@@ -1,0 +1,685 @@
+"""Ray-Data-native inverted-index build pipeline (SURVEY.md §3.1 restated).
+
+Replaces the reference's crawl-and-upsert build (ForkJoinPool crawler →
+per-page ``new LemmaSearch()`` → row-at-a-time MySQL writes,
+services/RecursiveSearch.java:46-162 and
+services/IndexingServiceImpl.java:80-135) with a streaming Dataset
+pipeline:
+
+  read_parquet(transcripts)                       (S1/S2 analog)
+    → map_batches(TokenizerActor, pyarrow, zero-copy)   actor pool; the
+      dictionary is loaded once per actor in ``__init__`` — the
+      reference pays it once per page (RecursiveSearch.java:68)
+    → exploded (term, doc_id, tf) with per-doc partial aggregation
+      already done in-batch (A1 analog, LemmaSearch.java:50-53)
+    → groupby(partition, term-bucket) shuffle → posting segments with
+      delta-gap+varint blobs (A2 analog: df comes from the shuffle,
+      not a shared counter — contrast RecursiveSearch.java:150-162)
+    → LSM-style k-way merge of per-partition segments into the global
+      index + lexicon + meta (S6/S7 analog)
+
+Deterministic doc_id: dense rank under stable (conv_id, turn_idx)
+order, realized WITHOUT a global sort — conv offsets are computed from
+a (small) groupby over conv_id and broadcast via ``ray.put``; then
+``doc_id = offset[conv_id] + turn_idx`` (turn_idx is contiguous per
+conversation by input contract; ``validate=True`` asserts it).  This is
+SURVEY §7 hard-part (a)'s range-partition mitigation.
+
+Skew: hot Zipf terms (df≈N) never form one giant shuffle group — the
+group key is (input partition, crc32(term) % buckets), so a hot term's
+per-group payload is bounded by the partition's doc count; the merge
+stage then concatenates the per-partition sub-postings (doc-disjoint by
+construction) and re-chunks rows at ``MAX_CHUNK`` docs so no single
+allocation scales with global df.  This is the explicit salting design
+of SURVEY §4 ("Skew / hot keys").
+
+Checkpoint/resume: work proceeds in WAVES of partitions; each wave
+writes its segments + doc lengths + a manifest (lineage: input files,
+per-partition row counts, wall time) into a temp dir that is atomically
+renamed into ``waves/``.  A present wave dir is complete by invariant;
+resume skips partitions already covered by a committed wave.  The merge
+is idempotent (tmp + rename) — mirrors & replaces the reference's
+destructive re-init (IndexingServiceImpl.java:154-163, S8).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raysearch.codec import encode_postings
+from raysearch.lex import Lexer
+
+MAX_CHUNK = 1 << 20  # max docs per merged posting row (bounds allocations)
+DEFAULT_BUCKETS = 64
+
+
+def term_bucket(term: str, buckets: int) -> int:
+    """Deterministic shuffle bucket for a term (stable across processes,
+    unlike builtin hash)."""
+    return zlib.crc32(term.encode("utf-8")) % buckets
+
+
+# ---------------------------------------------------------------------------
+# Stage 0 — conv offsets (deterministic doc_id assignment backbone)
+# ---------------------------------------------------------------------------
+
+
+def compute_conv_offsets(files: list[str], validate: bool = False):
+    """Global (conv_id → first doc_id, n_turns) via one small groupby.
+
+    The wide input is reduced to one row per conversation; conv count ≪
+    turn count, so collecting it on the driver is the deliberate
+    range-partition alternative to a 10^12-row global sort (SURVEY §7
+    hard part (a)).  Returns an arrow table sorted by conv_id.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
+    agg = ds.groupby("conv_id").max("turn_idx")
+    table = pa.concat_tables(
+        [pa.Table.from_pandas(b) for b in agg.iter_batches(batch_format="pandas")]
+    )
+    table = table.sort_by("conv_id")
+    n_turns = pc.add(table["max(turn_idx)"], 1).cast(pa.int64())
+    counts = n_turns.to_numpy()
+    offsets = np.cumsum(counts) - counts
+    out = pa.table(
+        {
+            "conv_id": table["conv_id"],
+            "offset": pa.array(offsets, pa.int64()),
+            "n_turns": pa.array(counts, pa.int64()),
+        }
+    )
+    if validate:
+        # D2 analog (RecursiveSearch.java:164-169): (conv_id, turn_idx)
+        # unique AND contiguous from 0 — count per conv must equal
+        # max(turn_idx)+1 and every (conv, turn) pair must be unique.
+        cnt = ds.groupby("conv_id").count()
+        cnt_t = pa.concat_tables(
+            [pa.Table.from_pandas(b) for b in cnt.iter_batches(batch_format="pandas")]
+        ).sort_by("conv_id")
+        if cnt_t["count()"].to_numpy().tolist() != counts.tolist():
+            raise ValueError("turn_idx not contiguous per conv_id")
+        dup = (
+            ds.groupby(["conv_id", "turn_idx"])
+            .count()
+            .filter(lambda r: r["count()"] > 1)
+            .count()
+        )
+        if dup:
+            raise ValueError(f"{dup} duplicate (conv_id, turn_idx) rows")
+    return out
+
+
+def file_conv_ranges(files: list[str]) -> list[dict]:
+    """Per-file conv_id min/max from parquet footer statistics — used by
+    the doc-fetch path (M9 analog: title/text lookup without network,
+    SearchServiceImpl.java:82-94 → point read with predicate pushdown)."""
+    out = []
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        cmin, cmax, rows = None, None, md.num_rows
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            st = col.statistics
+            if st is not None and st.has_min_max:
+                lo = st.min if isinstance(st.min, str) else st.min.decode()
+                hi = st.max if isinstance(st.max, str) else st.max.decode()
+                cmin = lo if cmin is None or lo < cmin else cmin
+                cmax = hi if cmax is None or hi > cmax else cmax
+        out.append({"path": path, "conv_min": cmin, "conv_max": cmax, "rows": rows})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — tokenizer actor pool (ST1 analog)
+# ---------------------------------------------------------------------------
+
+
+class TokenizerActor:
+    """Stateful lemmatizer stage (SURVEY §2.3 ST1).
+
+    The reference constructs the morphology dictionary once per page
+    (``new LemmaSearch()``, services/RecursiveSearch.java:68); this pool
+    pays it once per actor in ``__init__`` and reuses it across batches.
+    Per batch (zero-copy Arrow in): vectorized tokenize
+    (lex.Lexer.token_parent_pairs), per-doc tf aggregation
+    (LemmaSearch.java:50-53 semantics), and doc_id assignment from the
+    broadcast conv-offset table.  Emits exploded posting rows
+    (term, doc_id, tf, gkey) plus per-doc sentinel rows (term="",
+    tf=doc_len, gkey=-pid-1) used to build the doc-length table.
+    """
+
+    def __init__(self, offsets_ref, path2pid: dict[str, int], mode: str, buckets: int):
+        import ray
+
+        offsets = (
+            ray.get(offsets_ref)
+            if isinstance(offsets_ref, ray.ObjectRef)
+            else offsets_ref
+        )
+        self.conv_arr = offsets["conv_id"].combine_chunks()
+        self.offset_arr = offsets["offset"].to_numpy()
+        self.path2pid = path2pid
+        self.lexer = Lexer(mode)
+        self.buckets = buckets
+        self._bucket_memo: dict[str, int] = {}
+
+    def _pid_of(self, path: str) -> int:
+        pid = self.path2pid.get(path)
+        if pid is None:
+            pid = self.path2pid.get(os.path.basename(path))
+        if pid is None:
+            raise KeyError(f"unknown input fragment {path!r}")
+        return pid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        if n_rows == 0:
+            return _empty_exploded()
+        conv_idx = pc.index_in(batch["conv_id"], value_set=self.conv_arr)
+        conv_idx_np = conv_idx.to_numpy(zero_copy_only=False)
+        if np.any(conv_idx_np < 0) or conv_idx.null_count:
+            raise KeyError("conv_id missing from offset table")
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = self.offset_arr[conv_idx_np] + turn
+        paths = batch["path"].to_pylist() if "path" in batch.column_names else None
+        if paths is None:
+            pids = np.zeros(n_rows, dtype=np.int64)
+        else:
+            memo: dict[str, int] = {}
+            pids = np.array(
+                [
+                    memo[p] if p in memo else memo.setdefault(p, self._pid_of(p))
+                    for p in paths
+                ],
+                dtype=np.int64,
+            )
+
+        parent, lemmas = self.lexer.token_parent_pairs(batch["text"])
+        if len(lemmas):
+            import pandas as pd
+
+            codes, uniq = pd.factorize(lemmas)
+            n_uniq = len(uniq)
+            key = parent.astype(np.int64) * n_uniq + codes
+            uniq_keys, tf = np.unique(key, return_counts=True)
+            rows = uniq_keys // n_uniq
+            ucodes = uniq_keys % n_uniq
+            bmemo = self._bucket_memo
+            buckets = np.array(
+                [
+                    bmemo.get(t)
+                    if t in bmemo
+                    else bmemo.setdefault(t, term_bucket(t, self.buckets))
+                    for t in uniq
+                ],
+                dtype=np.int64,
+            )
+            p_term = uniq[ucodes]
+            p_doc = doc_ids[rows]
+            p_tf = tf.astype(np.int64)
+            p_gkey = pids[rows] * self.buckets + buckets[ucodes]
+            doc_len = np.bincount(parent, minlength=n_rows).astype(np.int64)
+        else:
+            p_term = np.empty(0, dtype=object)
+            p_doc = np.empty(0, dtype=np.int64)
+            p_tf = np.empty(0, dtype=np.int64)
+            p_gkey = np.empty(0, dtype=np.int64)
+            doc_len = np.zeros(n_rows, dtype=np.int64)
+
+        term_col = pa.array(
+            np.concatenate([p_term, np.full(n_rows, "", dtype=object)]), pa.string()
+        )
+        doc_col = pa.array(np.concatenate([p_doc, doc_ids]), pa.int64())
+        tf_col = pa.array(np.concatenate([p_tf, doc_len]), pa.int64())
+        gkey_col = pa.array(np.concatenate([p_gkey, -pids - 1]), pa.int64())
+        return pa.table(
+            {"term": term_col, "doc_id": doc_col, "tf": tf_col, "gkey": gkey_col}
+        )
+
+
+def _empty_exploded() -> pa.Table:
+    return pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+            "gkey": pa.array([], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — per-(partition, bucket) posting build (A2 analog)
+# ---------------------------------------------------------------------------
+
+
+def build_bucket_postings(group: pa.Table, buckets: int) -> pa.Table:
+    """Build compressed posting rows for one (partition, term-bucket)
+    group: sort (term, doc_id) → per-term delta-gap+varint blobs.
+
+    One Arrow row per term per partition replaces the reference's one
+    SQL row per (lemma, page) (model/SearchIndex.java:12-27); df is the
+    per-term doc count within the partition."""
+    import pandas as pd
+
+    if group.num_rows == 0:
+        return _empty_segment()
+    gkey = int(group["gkey"][0].as_py())
+    pid, bucket = divmod(gkey, buckets)
+    terms = group["term"].to_numpy(zero_copy_only=False)
+    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    tfs = group["tf"].to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(terms)
+    # order terms lexically so segment rows come out term-sorted
+    uniq_order = np.argsort(uniq)
+    rank_of_code = np.empty(len(uniq), dtype=np.int64)
+    rank_of_code[uniq_order] = np.arange(len(uniq))
+    order = np.lexsort((doc_ids, rank_of_code[codes]))
+    s_codes = rank_of_code[codes][order]
+    s_docs = doc_ids[order]
+    s_tfs = tfs[order]
+    starts = np.flatnonzero(np.concatenate(([True], s_codes[1:] != s_codes[:-1])))
+    ends = np.concatenate((starts[1:], [len(s_codes)]))
+    sorted_uniq = uniq[uniq_order]
+    out = {
+        "term": [], "partition_id": [], "bucket": [], "df": [], "cf": [],
+        "max_tf": [], "first_doc": [], "last_doc": [],
+        "doc_blob": [], "tf_blob": [], "bm_blob": [],
+    }
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        d = s_docs[s:e]
+        t = s_tfs[s:e]
+        doc_blob, tf_blob, bm_blob = encode_postings(d, t)
+        out["term"].append(str(sorted_uniq[s_codes[s]]))
+        out["partition_id"].append(pid)
+        out["bucket"].append(bucket)
+        out["df"].append(int(e - s))
+        out["cf"].append(int(t.sum()))
+        out["max_tf"].append(int(t.max()))
+        out["first_doc"].append(int(d[0]))
+        out["last_doc"].append(int(d[-1]))
+        out["doc_blob"].append(doc_blob)
+        out["tf_blob"].append(tf_blob)
+        out["bm_blob"].append(bm_blob)
+    return _segment_table(out)
+
+
+def _segment_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("term", pa.string()), ("partition_id", pa.int32()),
+            ("bucket", pa.int32()), ("df", pa.int64()), ("cf", pa.int64()),
+            ("max_tf", pa.int64()), ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()), ("doc_blob", pa.binary()),
+            ("tf_blob", pa.binary()), ("bm_blob", pa.binary()),
+        ]
+    )
+
+
+def _segment_table(out: dict) -> pa.Table:
+    schema = _segment_schema()
+    return pa.table(
+        {f.name: pa.array(out[f.name], f.type) for f in schema}, schema=schema
+    )
+
+
+def _empty_segment() -> pa.Table:
+    return _segment_table({f.name: [] for f in _segment_schema()})
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — LSM-style merge (per-bucket k-way concat of doc-disjoint subs)
+# ---------------------------------------------------------------------------
+
+
+def merge_bucket(group: pa.Table) -> pa.Table:
+    """Merge one bucket's per-partition sub-postings into global posting
+    rows, re-chunked at MAX_CHUNK docs.  Sub-postings are doc-disjoint
+    (a doc lives in exactly one partition), so the merge is a
+    decode-concat-sort-encode per term; hot terms (df≈N) emit multiple
+    chunk rows instead of one giant blob."""
+    import pandas as pd
+
+    from raysearch.codec import decode_postings
+
+    if group.num_rows == 0:
+        return _empty_merged()
+    terms = group["term"].to_numpy(zero_copy_only=False)
+    first = group["first_doc"].to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(terms)
+    uniq_order = np.argsort(uniq)
+    rank_of_code = np.empty(len(uniq), dtype=np.int64)
+    rank_of_code[uniq_order] = np.arange(len(uniq))
+    order = np.lexsort((first, rank_of_code[codes]))
+    bucket = int(group["bucket"][0].as_py())
+    doc_blobs = group["doc_blob"].to_pylist()
+    tf_blobs = group["tf_blob"].to_pylist()
+    out = {
+        "term": [], "bucket": [], "chunk_id": [], "df": [], "cf": [],
+        "max_tf": [], "first_doc": [], "last_doc": [],
+        "doc_blob": [], "tf_blob": [], "bm_blob": [],
+    }
+    i = 0
+    n = len(order)
+    while i < n:
+        j = i
+        code = rank_of_code[codes[order[i]]]
+        while j < n and rank_of_code[codes[order[j]]] == code:
+            j += 1
+        rows = order[i:j]
+        parts = [decode_postings(doc_blobs[r], tf_blobs[r]) for r in rows]
+        d = np.concatenate([p[0] for p in parts])
+        t = np.concatenate([p[1] for p in parts])
+        if np.any(np.diff(d) <= 0):  # general case: interleaved doc ranges
+            o = np.argsort(d, kind="stable")
+            d, t = d[o], t[o]
+            if np.any(np.diff(d) == 0):
+                raise ValueError(f"duplicate doc_id in postings of {terms[rows[0]]!r}")
+        term = str(terms[rows[0]])
+        for chunk_id, s in enumerate(range(0, len(d), MAX_CHUNK)):
+            cd, ct = d[s : s + MAX_CHUNK], t[s : s + MAX_CHUNK]
+            doc_blob, tf_blob, bm_blob = encode_postings(cd, ct)
+            out["term"].append(term)
+            out["bucket"].append(bucket)
+            out["chunk_id"].append(chunk_id)
+            out["df"].append(int(len(cd)))
+            out["cf"].append(int(ct.sum()))
+            out["max_tf"].append(int(ct.max()))
+            out["first_doc"].append(int(cd[0]))
+            out["last_doc"].append(int(cd[-1]))
+            out["doc_blob"].append(doc_blob)
+            out["tf_blob"].append(tf_blob)
+            out["bm_blob"].append(bm_blob)
+        i = j
+    return _merged_table(out)
+
+
+def _merged_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("term", pa.string()), ("bucket", pa.int32()),
+            ("chunk_id", pa.int32()), ("df", pa.int64()), ("cf", pa.int64()),
+            ("max_tf", pa.int64()), ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()), ("doc_blob", pa.binary()),
+            ("tf_blob", pa.binary()), ("bm_blob", pa.binary()),
+        ]
+    )
+
+
+def _merged_table(out: dict) -> pa.Table:
+    schema = _merged_schema()
+    return pa.table(
+        {f.name: pa.array(out[f.name], f.type) for f in schema}, schema=schema
+    )
+
+
+def _empty_merged() -> pa.Table:
+    return _merged_table({f.name: [] for f in _merged_schema()})
+
+
+# ---------------------------------------------------------------------------
+# Driver orchestration: waves, manifests, merge, meta
+# ---------------------------------------------------------------------------
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def _committed_partitions(out_dir: str) -> tuple[set[int], list[str]]:
+    pids: set[int] = set()
+    waves: list[str] = []
+    wave_root = os.path.join(out_dir, "waves")
+    if not os.path.isdir(wave_root):
+        return pids, waves
+    for d in sorted(os.listdir(wave_root)):
+        wdir = os.path.join(wave_root, d)
+        mpath = os.path.join(wdir, "manifest.json")
+        if not os.path.isfile(mpath):
+            # invariant: wave dirs are renamed into place complete —
+            # anything else is a crashed attempt; drop it
+            shutil.rmtree(wdir, ignore_errors=True)
+            continue
+        with open(mpath) as f:
+            manifest = json.load(f)
+        pids.update(int(p) for p in manifest["partitions"])
+        waves.append(d)
+    return pids, waves
+
+
+def build_index(
+    transcripts_dir: str,
+    out_dir: str,
+    mode: str = "latin",
+    n_partitions: int | None = None,
+    buckets: int = DEFAULT_BUCKETS,
+    wave_size: int | None = None,
+    batch_size: int = 4096,
+    resume: bool = True,
+    validate: bool = False,
+) -> dict:
+    """Build (or resume) the inverted index; returns the final meta dict.
+
+    ``wave_size`` bounds how many partitions commit atomically together
+    (None = all remaining in one fully-pipelined wave); smaller waves
+    trade pipeline overlap for finer-grained resume.
+    """
+    import ray
+    import ray.data as rd
+
+    t_start = time.monotonic()
+    files = sorted(glob.glob(os.path.join(transcripts_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {transcripts_dir}")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    if n_partitions is None:
+        n_partitions = max(1, min(len(files), 2 * ncpu))
+    n_partitions = min(n_partitions, len(files))
+    os.makedirs(os.path.join(out_dir, "waves"), exist_ok=True)
+
+    # ---- stage 0: conv offsets + input meta (resume-aware) ----
+    offsets_path = os.path.join(out_dir, "conv_offsets.parquet")
+    input_meta_path = os.path.join(out_dir, "input_meta.json")
+    if resume and os.path.exists(offsets_path) and os.path.exists(input_meta_path):
+        offsets = pq.read_table(offsets_path)
+        with open(input_meta_path) as f:
+            input_meta = json.load(f)
+        if input_meta["files"] != files:
+            raise ValueError("input file list changed; use a fresh out_dir")
+        n_partitions = input_meta["n_partitions"]
+        buckets = input_meta["buckets"]
+        mode = input_meta["mode"]
+    else:
+        offsets = compute_conv_offsets(files, validate=validate)
+        tmp = offsets_path + ".tmp"
+        pq.write_table(offsets, tmp)
+        os.replace(tmp, offsets_path)
+        input_meta = {
+            "files": files,
+            "file_ranges": file_conv_ranges(files),
+            "n_partitions": n_partitions,
+            "buckets": buckets,
+            "mode": mode,
+            "n_docs": int(pc.sum(offsets["n_turns"]).as_py()),
+        }
+        _atomic_write_json(input_meta_path, input_meta)
+
+    n_docs = input_meta["n_docs"]
+    bounds = np.linspace(0, len(files), n_partitions + 1).astype(int)
+    part_files = {
+        pid: files[bounds[pid] : bounds[pid + 1]] for pid in range(n_partitions)
+    }
+    path2pid = {}
+    for pid, fl in part_files.items():
+        for p in fl:
+            path2pid[p] = pid
+            path2pid[os.path.basename(p)] = pid
+
+    committed, _ = _committed_partitions(out_dir) if resume else (set(), [])
+    remaining = [p for p in range(n_partitions) if p not in committed]
+    offsets_ref = ray.put(offsets) if remaining else None
+
+    if wave_size is None:
+        wave_batches = [remaining] if remaining else []
+    else:
+        wave_batches = [
+            remaining[i : i + wave_size] for i in range(0, len(remaining), wave_size)
+        ]
+
+    for wave_pids in wave_batches:
+        wave_t0 = time.monotonic()
+        wave_files = [f for p in wave_pids for f in part_files[p]]
+        wave_name = f"w-{wave_pids[0]:05d}-{len(wave_pids)}"
+        wave_tmp = os.path.join(out_dir, "waves", "_tmp_" + wave_name)
+        shutil.rmtree(wave_tmp, ignore_errors=True)
+        os.makedirs(os.path.join(wave_tmp, "segments"))
+        os.makedirs(os.path.join(wave_tmp, "doclens"))
+
+        ds = rd.read_parquet(
+            wave_files,
+            columns=["conv_id", "turn_idx", "text"],
+            include_paths=True,
+        )
+        exploded = ds.map_batches(
+            TokenizerActor,
+            fn_constructor_kwargs={
+                "offsets_ref": offsets_ref,
+                "path2pid": path2pid,
+                "mode": mode,
+                "buckets": buckets,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=(1, max(2, ncpu)),
+            num_cpus=1,
+        ).materialize()
+
+        doclens = exploded.map_batches(
+            lambda t, b=buckets: (
+                t.filter(pc.less(t["gkey"], 0))
+                .select(["doc_id", "tf", "gkey"])
+                .rename_columns(["doc_id", "doc_len", "neg_pid"])
+            ),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.set_column(
+                2,
+                "partition_id",
+                pc.cast(pc.subtract(-1, t["neg_pid"]), pa.int32()),
+            ),
+            batch_format="pyarrow",
+        )
+        doclens.write_parquet(os.path.join(wave_tmp, "doclens"))
+
+        postings = exploded.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["gkey"], 0)),
+            batch_format="pyarrow",
+        )
+        segments = postings.groupby("gkey").map_groups(
+            lambda g, b=buckets: build_bucket_postings(g, b),
+            batch_format="pyarrow",
+        )
+        segments.write_parquet(os.path.join(wave_tmp, "segments"))
+
+        # per-partition lineage/metrics from the written outputs (small
+        # metadata columns only)
+        import duckdb
+
+        con = duckdb.connect()
+        doc_stats = con.sql(
+            f"SELECT partition_id, count(*) AS n_docs, sum(doc_len) AS n_tokens "
+            f"FROM read_parquet('{wave_tmp}/doclens/*.parquet') GROUP BY 1"
+        ).fetchall()
+        seg_stats = con.sql(
+            f"SELECT partition_id, count(*) AS n_terms, sum(df) AS n_postings "
+            f"FROM read_parquet('{wave_tmp}/segments/*.parquet') GROUP BY 1"
+        ).fetchall()
+        con.close()
+        doc_stats = {int(r[0]): r for r in doc_stats}
+        seg_stats = {int(r[0]): r for r in seg_stats}
+        manifest = {
+            "partitions": wave_pids,
+            "wall_s": round(time.monotonic() - wave_t0, 3),
+            "per_partition": {
+                str(p): {
+                    "files": part_files[p],
+                    "n_docs": int(doc_stats[p][1]) if p in doc_stats else 0,
+                    "n_tokens": int(doc_stats[p][2]) if p in doc_stats else 0,
+                    "n_terms": int(seg_stats[p][1]) if p in seg_stats else 0,
+                    "n_postings": int(seg_stats[p][2]) if p in seg_stats else 0,
+                }
+                for p in wave_pids
+            },
+        }
+        _atomic_write_json(os.path.join(wave_tmp, "manifest.json"), manifest)
+        final = os.path.join(out_dir, "waves", wave_name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(wave_tmp, final)
+
+    # ---- merge (idempotent; skipped when up to date) ----
+    committed, waves = _committed_partitions(out_dir)
+    if len(committed) != n_partitions:
+        raise RuntimeError(
+            f"{n_partitions - len(committed)} partitions failed to commit"
+        )
+    merged_dir = os.path.join(out_dir, "merged")
+    meta_path = os.path.join(merged_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("waves") == waves:
+            return meta
+    merged_tmp = os.path.join(out_dir, "_tmp_merged")
+    shutil.rmtree(merged_tmp, ignore_errors=True)
+    os.makedirs(os.path.join(merged_tmp, "postings"))
+
+    seg_files = sorted(
+        glob.glob(os.path.join(out_dir, "waves", "*", "segments", "*.parquet"))
+    )
+    seg_ds = rd.read_parquet(seg_files)
+    merged = seg_ds.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+    merged.write_parquet(os.path.join(merged_tmp, "postings"))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"COPY (SELECT term, sum(df) AS df, sum(cf) AS cf, count(*) AS n_chunks, "
+        f"min(bucket) AS bucket FROM read_parquet('{merged_tmp}/postings/*.parquet') "
+        f"GROUP BY term ORDER BY term) TO '{merged_tmp}/lexicon.parquet' (FORMAT PARQUET)"
+    )
+    totals = con.sql(
+        f"SELECT coalesce(sum(cf), 0), count(*) FROM read_parquet('{merged_tmp}/lexicon.parquet')"
+    ).fetchone()
+    con.close()
+    meta = {
+        "n_docs": n_docs,
+        "total_tokens": int(totals[0]),
+        "n_terms": int(totals[1]),
+        "avg_doc_len": (int(totals[0]) / n_docs) if n_docs else 0.0,
+        "mode": mode,
+        "buckets": buckets,
+        "n_partitions": n_partitions,
+        "waves": waves,
+        "build_wall_s": round(time.monotonic() - t_start, 3),
+    }
+    _atomic_write_json(os.path.join(merged_tmp, "meta.json"), meta)
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    os.replace(merged_tmp, merged_dir)
+    return meta

@@ -1,0 +1,439 @@
+"""Query engine over the merged index (SURVEY.md §3.2 restated).
+
+Replaces the reference's SQL-backed search
+(services/SearchServiceImpl.java:33-115: lemma lookups J5, posting
+fetch J1, conjunctive intersection J2, per-pair tf lookups J3, tf-sum
+scoring A4) with an ``IndexSearcher`` that holds the lexicon and
+segment handles once (actor-pool-friendly: construct per actor, reuse
+across query batches) and fetches posting rows with parquet row-group
+pruning (the merged postings are term-clustered, so a term's chunks
+live in O(1) row groups).
+
+The candidate semantics + scorers live in scoring.py and are shared
+verbatim with the oracle; doc text fetch for snippets is a point read
+into the original transcript parquet with predicate pushdown instead of
+the reference's live HTTP re-fetch (SearchServiceImpl.java:82-94, M9).
+
+Block-max pruning: each posting chunk row carries per-128-doc block
+maxima of tf (codec.BLOCK).  For conjunctive top-k the searcher scores
+the exact candidate set (reference semantics demand it — the candidate
+count is part of the response, SearchServiceImpl.java:66); the block
+maxima give ``max_score`` upper bounds used by the disjunctive
+(OR-mode) WAND path ``search_or`` to skip blocks that cannot reach the
+current heap threshold.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from raysearch.codec import BLOCK, decode_postings, varint_decode
+from raysearch.lex import Lexer, validate_query
+from raysearch.scoring import (
+    BM25_B,
+    BM25_K1,
+    TermPostings,
+    bm25_idf,
+    order_query_terms,
+    search_postings,
+)
+from raysearch.snippet import build_snippet
+
+
+class IndexSearcher:
+    """Holds lexicon + doc-length table + posting locators; stateless
+    across queries, safe to use as a ``map_batches`` actor class."""
+
+    def __init__(self, index_dir: str):
+        merged = os.path.join(index_dir, "merged")
+        with open(os.path.join(merged, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.mode = self.meta["mode"]
+        self.lexer = Lexer(self.mode)
+        self.n_docs = self.meta["n_docs"]
+        self.avg_doc_len = self.meta["avg_doc_len"]
+
+        lex_table = pq.read_table(os.path.join(merged, "lexicon.parquet"))
+        self._lex_terms = lex_table["term"].to_pylist()
+        self._lex_df = lex_table["df"].to_numpy()
+        self._lex_index = {t: i for i, t in enumerate(self._lex_terms)}
+
+        # posting locator: per merged file, per row group → [term_min, term_max]
+        self._locators: list[tuple[str, int, str, str]] = []
+        post_dir = os.path.join(merged, "postings")
+        for fname in sorted(os.listdir(post_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            path = os.path.join(post_dir, fname)
+            md = pq.ParquetFile(path).metadata
+            term_col = md.schema.to_arrow_schema().get_field_index("term")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(term_col).statistics
+                if st is None or not st.has_min_max:
+                    self._locators.append((path, rg, "", "\U0010ffff"))
+                else:
+                    lo = st.min if isinstance(st.min, str) else st.min.decode()
+                    hi = st.max if isinstance(st.max, str) else st.max.decode()
+                    self._locators.append((path, rg, lo, hi))
+        self._pf_cache: dict[str, pq.ParquetFile] = {}
+
+        # doc lengths (BM25 length normalization); int32 array indexed by doc_id
+        self.doc_lens = np.zeros(self.n_docs, dtype=np.int64)
+        import glob as _glob
+
+        for p in sorted(
+            _glob.glob(os.path.join(index_dir, "waves", "*", "doclens", "*.parquet"))
+        ):
+            t = pq.read_table(p, columns=["doc_id", "doc_len"])
+            self.doc_lens[t["doc_id"].to_numpy()] = t["doc_len"].to_numpy()
+
+        # conv scope ranges (J4 analog) + doc→(conv, turn) inverse
+        offsets = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
+        self._conv_ids = offsets["conv_id"].to_pylist()
+        self._conv_offsets = offsets["offset"].to_numpy()
+        self._conv_turns = offsets["n_turns"].to_numpy()
+        self._conv_index = {c: i for i, c in enumerate(self._conv_ids)}
+        with open(os.path.join(index_dir, "input_meta.json")) as f:
+            self._input_meta = json.load(f)
+
+    # -- posting fetch (J1 analog) ----------------------------------------
+
+    def _read_row_group(self, path: str, rg: int) -> pa.Table:
+        pf = self._pf_cache.get(path)
+        if pf is None:
+            pf = self._pf_cache[path] = pq.ParquetFile(path)
+        return pf.read_row_group(rg)
+
+    def fetch_postings(self, term: str) -> TermPostings | None:
+        idx = self._lex_index.get(term)
+        if idx is None:
+            return None
+        df = int(self._lex_df[idx])
+        chunks: list[tuple[int, int, bytes, bytes]] = []
+        for path, rg, lo, hi in self._locators:
+            if lo <= term <= hi:
+                t = self._read_row_group(path, rg)
+                mask = pc.equal(t["term"], term)
+                rows = t.filter(mask)
+                for i in range(rows.num_rows):
+                    chunks.append(
+                        (
+                            rows["first_doc"][i].as_py(),
+                            rows["chunk_id"][i].as_py(),
+                            rows["doc_blob"][i].as_py(),
+                            rows["tf_blob"][i].as_py(),
+                        )
+                    )
+        chunks.sort()
+        parts = [decode_postings(db, tb) for _, _, db, tb in chunks]
+        if not parts:
+            return None
+        doc_ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        return TermPostings(term, df, doc_ids, tfs)
+
+    # -- query plan (J5 + K1/K2 analog) -----------------------------------
+
+    def query_terms(self, query: str) -> list[str]:
+        lemmas = self.lexer.split_to_lemmas(query)
+        found = [
+            (t, int(self._lex_df[self._lex_index[t]]))
+            for t in lemmas
+            if t in self._lex_index
+        ]
+        return order_query_terms(found, self.n_docs)
+
+    def conv_range(self, conv_id: str) -> tuple[int, int] | None:
+        i = self._conv_index.get(conv_id)
+        if i is None:
+            return None
+        lo = int(self._conv_offsets[i])
+        return lo, lo + int(self._conv_turns[i])
+
+    # -- search (shared scoring path) -------------------------------------
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        scope: str | None = None,
+        scorer: str = "bm25",
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(top doc_ids, scores, total candidates) — must be
+        rank-identical to Oracle.search on the same corpus."""
+        terms = self.query_terms(query)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), 0)
+        if not terms:
+            return empty
+        postings = []
+        for t in terms:
+            p = self.fetch_postings(t)
+            if p is None:
+                return empty
+            postings.append(p)
+        doc_range = None
+        if scope:
+            doc_range = self.conv_range(scope)
+            if doc_range is None:
+                return empty
+        return search_postings(
+            postings,
+            self.n_docs,
+            self.avg_doc_len,
+            self.doc_lens,
+            k=k,
+            scorer=scorer,
+            doc_range=doc_range,
+        )
+
+    # -- disjunctive block-max WAND top-k ----------------------------------
+
+    def search_or(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """OR-semantics BM25 top-k with block-max pruning: per-term,
+        per-128-doc block maxima (bm_blob) bound each block's best
+        possible contribution; blocks whose sum of bounds cannot beat
+        the current k-th score are skipped without decoding doc hits.
+        Exactness: every returned doc's score is fully computed; the
+        pruning only skips provably sub-threshold blocks."""
+        terms = self.query_terms(query)
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        infos = []
+        for t in terms:
+            p = self.fetch_postings(t)
+            if p is None:
+                continue
+            bm = self._block_maxes(t)
+            infos.append((p, bm))
+        if not infos:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+        # upper bound per (term, block): idf * (k1+1) * bm / (bm + k1*(1-b))
+        # (the most favorable length normalization, dl→0)
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+
+        # accumulate scores block-aligned: iterate over the union of
+        # candidate blocks in doc order, skipping blocks whose combined
+        # bound is below the heap threshold
+        bounds = []
+        for p, bm in infos:
+            idf = bm25_idf(p.df, self.n_docs)
+            ub = idf * (BM25_K1 + 1.0) * bm / (bm + BM25_K1 * (1.0 - BM25_B))
+            bounds.append(ub)
+        # block key = doc_id // BLOCK is NOT aligned with posting-local
+        # blocks; bm blobs are posting-local (every BLOCK entries), so
+        # map each posting block to its doc span.
+        events: dict[tuple[int, int], list[tuple[int, int, float]]] = {}
+        for ti, (p, bm) in enumerate(infos):
+            for bi in range(len(bm)):
+                s = bi * BLOCK
+                e = min(len(p.doc_ids), s + BLOCK) - 1
+                span = (int(p.doc_ids[s]), int(p.doc_ids[e]))
+                events.setdefault(span, []).append((ti, bi, bounds[ti][bi]))
+
+        scores_acc: dict[int, float] = {}
+        # conservative union pass: process spans in doc order; compute
+        # exact contributions for spans that can matter
+        threshold = 0.0
+        for span in sorted(events):
+            blocks = events[span]
+            ub_sum = sum(b for _, _, b in blocks)
+            # overlapping spans from other terms can add to a doc's
+            # score, so the safe skip bound sums ALL terms' global max
+            # block bounds except those present here — keep it simple
+            # and safe: skip only when every term's global bound says no
+            global_rest = sum(
+                float(bounds[ti].max()) if len(bounds[ti]) else 0.0
+                for ti in range(len(infos))
+                if ti not in {b[0] for b in blocks}
+            )
+            if len(heap) >= k and ub_sum + global_rest <= threshold:
+                continue
+            for ti, bi, _ in blocks:
+                p, _bm = infos[ti]
+                idf = bm25_idf(p.df, self.n_docs)
+                s = bi * BLOCK
+                e = min(len(p.doc_ids), s + BLOCK)
+                d = p.doc_ids[s:e]
+                tf = p.tfs[s:e].astype(np.float64)
+                dl = self.doc_lens[d].astype(np.float64)
+                norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / self.avg_doc_len))
+                contrib = idf * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+                for doc, c in zip(d.tolist(), contrib.tolist()):
+                    scores_acc[doc] = scores_acc.get(doc, 0.0) + c
+            # refresh heap/threshold from accumulated docs (approximate
+            # staging; final exact ranking below)
+            if len(scores_acc) > 4 * k:
+                top = heapq.nlargest(k, scores_acc.values())
+                if len(top) == k:
+                    threshold = top[-1]
+                    heap = [(v, 0) for v in top]
+        if not scores_acc:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs = np.array(sorted(scores_acc), dtype=np.int64)
+        vals = np.array([scores_acc[d] for d in docs.tolist()], dtype=np.float64)
+        order = np.argsort(-vals, kind="stable")[:k]
+        return docs[order], vals[order]
+
+    def _block_maxes(self, term: str) -> np.ndarray:
+        bms = []
+        for path, rg, lo, hi in self._locators:
+            if lo <= term <= hi:
+                t = self._read_row_group(path, rg)
+                rows = t.filter(pc.equal(t["term"], term))
+                for i in range(rows.num_rows):
+                    bms.append(
+                        (
+                            rows["first_doc"][i].as_py(),
+                            varint_decode(rows["bm_blob"][i].as_py()).astype(
+                                np.float64
+                            ),
+                        )
+                    )
+        bms.sort(key=lambda x: x[0])
+        return (
+            np.concatenate([b for _, b in bms]) if bms else np.empty(0, np.float64)
+        )
+
+    # -- doc fetch (M9 analog: no network, predicate-pushdown point read) --
+
+    def doc_locate(self, doc_id: int) -> tuple[str, int]:
+        """doc_id → (conv_id, turn_idx) via the conv-offset table
+        (inverse of the build's dense-rank assignment)."""
+        i = int(np.searchsorted(self._conv_offsets, doc_id, side="right")) - 1
+        conv = self._conv_ids[i]
+        turn = doc_id - int(self._conv_offsets[i])
+        if not 0 <= turn < int(self._conv_turns[i]):
+            raise KeyError(f"doc_id {doc_id} out of range")
+        return conv, int(turn)
+
+    def fetch_docs(self, doc_ids: list[int]) -> pa.Table:
+        """Point-read turn rows for result rendering; prunes fragments
+        by the per-file conv ranges captured at build time and pushes
+        (conv_id, turn_idx) filters into parquet."""
+        wanted = [(d, *self.doc_locate(d)) for d in doc_ids]
+        by_file: dict[str, list[tuple[int, str, int]]] = {}
+        ranges = self._input_meta["file_ranges"]
+        for d, conv, turn in wanted:
+            for fr in ranges:
+                if (fr["conv_min"] is None or fr["conv_min"] <= conv) and (
+                    fr["conv_max"] is None or conv <= fr["conv_max"]
+                ):
+                    by_file.setdefault(fr["path"], []).append((d, conv, turn))
+        tables = []
+        for path, rows in by_file.items():
+            convs = sorted({c for _, c, _ in rows})
+            t = pq.read_table(
+                path,
+                filters=[("conv_id", "in", convs)],
+            )
+            key_ok = pa.array(
+                [
+                    (c, tu) in {(c2, t2) for _, c2, t2 in rows}
+                    for c, tu in zip(
+                        t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()
+                    )
+                ]
+            )
+            tables.append(t.filter(key_ok))
+        if not tables:
+            return pa.table({})
+        out = pa.concat_tables(tables)
+        # attach doc_id and order as requested
+        idx = {
+            (c, tu): i
+            for i, (c, tu) in enumerate(
+                zip(out["conv_id"].to_pylist(), out["turn_idx"].to_pylist())
+            )
+        }
+        order = [idx[(c, tu)] for _, c, tu in wanted if (c, tu) in idx]
+        out = out.take(order)
+        return out.append_column("doc_id", pa.array([d for d, _, _ in wanted], pa.int64()))
+
+    # -- full response (SearchData analog, dto/search/SearchData.java:6-13) --
+
+    def search_response(
+        self,
+        query: str,
+        k: int = 10,
+        offset: int = 0,
+        scope: str | None = None,
+        scorer: str = "bm25",
+    ) -> dict:
+        err = validate_query(query, self.mode)
+        if err:
+            return {"result": False, "error": err}
+        ids, scores, total = self.search(query, k=offset + k, scope=scope, scorer=scorer)
+        ids, scores = ids[offset : offset + k], scores[offset : offset + k]
+        docs = self.fetch_docs(ids.tolist()) if len(ids) else pa.table({})
+        query_lemmas = self.query_terms(query)
+        data = []
+        for i in range(len(ids)):
+            text = docs["text"][i].as_py() if docs.num_rows > i else ""
+            conv, turn = self.doc_locate(int(ids[i]))
+            data.append(
+                {
+                    "conv_id": conv,
+                    "turn_idx": turn,
+                    "doc_id": int(ids[i]),
+                    "role": docs["role"][i].as_py() if docs.num_rows > i else "",
+                    "snippet": build_snippet(text, list(query_lemmas), self.lexer),
+                    "relevance": float(scores[i]),
+                }
+            )
+        return {"result": True, "count": total, "data": data}
+
+
+def search(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    scope: str | None = None,
+    scorer: str = "bm25",
+) -> dict:
+    """One-shot convenience wrapper (constructs a searcher per call —
+    for repeated queries hold an IndexSearcher or use batch_search)."""
+    return IndexSearcher(index_dir).search_response(query, k=k, scope=scope, scorer=scorer)
+
+
+class SearcherActor:
+    """Batch query evaluation stage: ``queries_ds.map_batches(SearcherActor,
+    fn_constructor_kwargs={"index_dir": ...}, concurrency=N)`` — the Ray
+    restatement of serving queries from a pool of IndexSearchers
+    (SURVEY §3.2 step 5).  Input batch columns: query_id, query, scope
+    (may be ""), k; output: one row per (query_id, rank)."""
+
+    def __init__(self, index_dir: str, scorer: str = "bm25"):
+        self.searcher = IndexSearcher(index_dir)
+        self.scorer = scorer
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        ks = batch["k"].to_pylist() if "k" in batch.column_names else None
+        scopes = batch["scope"].to_pylist() if "scope" in batch.column_names else None
+        for i, (qid, q) in enumerate(
+            zip(batch["query_id"].to_pylist(), batch["query"].to_pylist())
+        ):
+            k = int(ks[i]) if ks else 10
+            scope = scopes[i] if scopes and scopes[i] else None
+            ids, scores, _ = self.searcher.search(q, k=k, scope=scope, scorer=self.scorer)
+            for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist())):
+                out["query_id"].append(qid)
+                out["rank"].append(rank)
+                out["doc_id"].append(d)
+                out["score"].append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )

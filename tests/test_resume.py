@@ -1,0 +1,108 @@
+"""Checkpoint/resume lifecycle tests (SURVEY.md §5 item (c); FIXTURES.md §5
+'Resume': a rebuild after losing some partitions must produce an index
+equal to an uninterrupted build, without redoing committed work)."""
+
+import glob
+import json
+import os
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def two_indexes(ray_session, tiny_corpus, tmp_path):
+    from raysearch.build import build_index
+
+    full = str(tmp_path / "full")
+    build_index(tiny_corpus, full, mode="latin", n_partitions=4, wave_size=1)
+    return tiny_corpus, full, tmp_path
+
+
+def _lexicon_rows(index_dir):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT term, df, cf FROM read_parquet('{index_dir}/merged/lexicon.parquet') ORDER BY term"
+    ).fetchall()
+
+
+def _postings_rows(index_dir):
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT term, chunk_id, df, first_doc, last_doc, doc_blob, tf_blob "
+        f"FROM read_parquet('{index_dir}/merged/postings/*.parquet') ORDER BY term, chunk_id"
+    ).fetchall()
+
+
+def test_resume_after_lost_wave(two_indexes):
+    from raysearch.build import build_index
+
+    corpus, full, tmp = two_indexes
+    # clone the index dir, destroy one wave + the merged index
+    broken = str(tmp / "broken")
+    shutil.copytree(full, broken)
+    waves = sorted(glob.glob(os.path.join(broken, "waves", "*")))
+    assert len(waves) == 4
+    shutil.rmtree(waves[2])
+    shutil.rmtree(os.path.join(broken, "merged"))
+    # record mtimes of surviving waves: resume must not recompute them
+    mtimes = {w: os.path.getmtime(w) for w in waves if os.path.isdir(w)}
+    build_index(corpus, broken, mode="latin", n_partitions=4, wave_size=1)
+    for w, m in mtimes.items():
+        assert os.path.getmtime(w) == m, f"committed wave {w} was recomputed"
+    assert _lexicon_rows(broken) == _lexicon_rows(full)
+    assert _postings_rows(broken) == _postings_rows(full)
+
+
+def test_crashed_wave_tmp_is_cleaned(two_indexes):
+    from raysearch.build import build_index
+
+    corpus, full, tmp = two_indexes
+    broken = str(tmp / "crashed")
+    shutil.copytree(full, broken)
+    # simulate a crash: a wave dir present WITHOUT manifest.json
+    waves = sorted(glob.glob(os.path.join(broken, "waves", "*")))
+    os.remove(os.path.join(waves[1], "manifest.json"))
+    shutil.rmtree(os.path.join(broken, "merged"))
+    build_index(corpus, broken, mode="latin", n_partitions=4, wave_size=1)
+    assert _postings_rows(broken) == _postings_rows(full)
+
+
+def test_changed_input_rejected(two_indexes, tmp_path_factory):
+    from raysearch.build import build_index
+    from raysearch.gen import write_corpus
+
+    _, full, _ = two_indexes
+    other = str(tmp_path_factory.mktemp("corpus2"))
+    write_corpus(other, n_convs=10, avg_turns=5, n_files=2)
+    with pytest.raises(ValueError, match="file list changed"):
+        build_index(other, full, mode="latin")
+
+
+def test_manifest_lineage(two_indexes):
+    _, full, _ = two_indexes
+    for mpath in glob.glob(os.path.join(full, "waves", "*", "manifest.json")):
+        with open(mpath) as f:
+            m = json.load(f)
+        assert m["wall_s"] >= 0
+        for pid, st in m["per_partition"].items():
+            assert st["files"], pid  # lineage: input fragments recorded
+            assert st["n_docs"] > 0 and st["n_postings"] > 0
+
+
+def test_merge_skipped_when_up_to_date(two_indexes):
+    from raysearch.build import build_index
+
+    corpus, full, _ = two_indexes
+    mtime = max(
+        os.path.getmtime(p)
+        for p in glob.glob(os.path.join(full, "merged", "postings", "*.parquet"))
+    )
+    build_index(corpus, full, mode="latin")  # no-op resume
+    mtime2 = max(
+        os.path.getmtime(p)
+        for p in glob.glob(os.path.join(full, "merged", "postings", "*.parquet"))
+    )
+    assert mtime == mtime2
