@@ -1,0 +1,221 @@
+"""Benchmark harness for the raysearch engine.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and prints ONE JSON line::
+
+    {"metric": "end_to_end_sec", "value": <total sec>, "unit": "sec",
+     "queries": {stage: sec, ...}, "sf": "sf0.1", "num_cpus": 32,
+     "turns_per_sec": ..., "p95_query_ms": ...}
+
+``--scaling``: runs the identical index build twice in FRESH
+subprocesses (num_cpus=8 then num_cpus=32) on the same input and
+reports throughput at both plus scaling efficiency
+(= speedup / cpu-ratio; north rule asks >= 0.8).
+
+``--scaling-child N``: internal — one fresh-process build at N cpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF_NAME = os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
+
+# bench corpus sizes per scale factor: (n_convs, avg_turns)
+BENCH_CORPUS = {
+    "sf0.001": (250, 8),
+    "sf0.01": (2000, 12),
+    "sf0.1": (8000, 16),
+}
+AVG_TOKENS = 30
+
+
+def _bench_corpus_dir() -> tuple[str, int]:
+    """Generate (idempotent) the bench transcripts corpus; return
+    (dir, n_turns)."""
+    from raysearch.gen import turns_for_conv, write_corpus
+
+    n_convs, avg_turns = BENCH_CORPUS.get(SF_NAME, (2000, 12))
+    d = f"/tmp/raysearch_bench/{SF_NAME}/corpus"
+    write_corpus(d, n_convs=n_convs, avg_turns=avg_turns,
+                 avg_tokens=AVG_TOKENS, seed=42, use_ray=True)
+    n_turns = sum(turns_for_conv(i, avg_turns) for i in range(n_convs))
+    return d, n_turns
+
+
+def _build(corpus: str, out: str) -> dict:
+    from raysearch.build import build_index
+
+    shutil.rmtree(out, ignore_errors=True)
+    return build_index(corpus, out, mode="latin")
+
+
+def _query_bench(index_dir: str, n_queries: int = 200) -> dict:
+    """Single-searcher per-query latency (p50/p95) + batch throughput."""
+    import numpy as np
+
+    from raysearch.search import IndexSearcher
+    from raysearch.vocab import LEMMAS
+
+    rng = np.random.default_rng(7)
+    queries = []
+    for i in range(n_queries):
+        n_terms = 1 + int(rng.integers(0, 3))
+        terms = [LEMMAS[int(rng.zipf(1.3)) % len(LEMMAS)] for _ in range(n_terms)]
+        queries.append(" ".join(terms))
+    s = IndexSearcher(index_dir)
+    # warm: touch lexicon + a few postings
+    s.search(queries[0], k=10)
+    lat = []
+    t0 = time.monotonic()
+    for q in queries:
+        q0 = time.monotonic()
+        s.search(q, k=10)
+        lat.append((time.monotonic() - q0) * 1e3)
+    total = time.monotonic() - t0
+    lat = np.sort(np.array(lat))
+    return {
+        "n_queries": n_queries,
+        "p50_ms": float(lat[int(0.50 * len(lat))]),
+        "p95_ms": float(lat[int(0.95 * len(lat))]),
+        "qps": n_queries / total,
+        "sec": total,
+    }
+
+
+def _pipeline_bench() -> dict:
+    """Representative Ray Data pipelines over the provided sf tables."""
+    import __ray_entry__ as E
+
+    stages = {
+        "term_df": E._q_term_df,
+        "bm25_topk_docs": E._q_bm25_topk,
+        "exact_dedup": E._q_exact_dedup,
+        "minhash_pairs": E._q_minhash_pairs,
+        "ann_cosine_topk": E._q_ann_cosine,
+        "revenue_by_flag": E._q_revenue,
+    }
+    out = {}
+    for name, fn in stages.items():
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        # force execution
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        out[name] = time.monotonic() - t0
+    return out
+
+
+def run_default() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False)
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    t0 = time.monotonic()
+    corpus, n_turns = _bench_corpus_dir()
+    timings["corpus_gen"] = time.monotonic() - t0
+
+    out = f"/tmp/raysearch_bench/{SF_NAME}/index"
+    t0 = time.monotonic()
+    _build(corpus, out)
+    t_build = time.monotonic() - t0
+    timings["index_build"] = t_build
+
+    t0 = time.monotonic()
+    qstats = _query_bench(os.path.join(out))
+    timings["query_batch"] = qstats["sec"]
+
+    timings.update(_pipeline_bench())
+
+    total = time.monotonic() - t_all
+    print(json.dumps({
+        "metric": "end_to_end_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_NAME,
+        "num_cpus": NCPU,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / t_build, 1),
+        "p50_query_ms": round(qstats["p50_ms"], 3),
+        "p95_query_ms": round(qstats["p95_ms"], 3),
+        "qps": round(qstats["qps"], 1),
+    }))
+    ray.shutdown()
+
+
+def run_scaling_child(ncpu: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
+    corpus, n_turns = _bench_corpus_dir()
+    out = f"/tmp/raysearch_bench/{SF_NAME}/index_scale{ncpu}"
+    t0 = time.monotonic()
+    _build(corpus, out)
+    t_build = time.monotonic() - t0
+    print(json.dumps({
+        "num_cpus": ncpu,
+        "n_turns": n_turns,
+        "build_sec": round(t_build, 3),
+        "turns_per_sec": round(n_turns / t_build, 1),
+    }))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    # pre-generate the corpus once so children only time the build
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False)
+    _bench_corpus_dir()
+    ray.shutdown()
+
+    results = {}
+    lo, hi = 8, 32
+    for ncpu in (lo, hi):
+        env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[ncpu] = json.loads(line)
+    tps_lo = results[lo]["turns_per_sec"]
+    tps_hi = results[hi]["turns_per_sec"]
+    speedup = tps_hi / tps_lo
+    eff = speedup / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "queries": {f"build_sec_cpus{n}": results[n]["build_sec"] for n in (lo, hi)},
+        "sf": SF_NAME,
+        "num_cpus": hi,
+        "turns_per_sec": {str(n): results[n]["turns_per_sec"] for n in (lo, hi)},
+        "speedup": round(speedup, 3),
+        "cpu_ratio": hi / lo,
+    }))
+
+
+if __name__ == "__main__":
+    os.chdir(os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling-child" in sys.argv:
+        run_scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_default()

@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``cosine_topk`` — exact brute-force top-k: the query matrix is
+  broadcast once (``ray.put``); each batch computes a (batch × queries)
+  matmul and emits only its LOCAL top-k candidates per query (partial
+  top-k = the pre-aggregation that keeps the final reduce tiny); the
+  driver reduces the ≤ (n_blocks × k) candidates to the global top-k.
+* ``ivf_topk`` — the scale path: deterministic k-means (few Lloyd
+  iterations, seeded init) partitions vectors into nlist cells; a
+  query probes only the nprobe nearest cells.  Approximate — recall is
+  measured against cosine_topk in tests.
+
+Scores are float64 and rounded to 4 decimals at the boundary so the
+DuckDB oracle (list_cosine_similarity) compares exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raysearch.util import round_half_away
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def cosine_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
+    """Exact cosine top-k for each query vector; returns a Dataset of
+    (query_id, rank, vec_id, score) — deterministic tie-break
+    (rounded score desc, vec_id asc)."""
+    import ray
+    import ray.data as rd
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+    nq = len(query_ids)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        emb = _unit(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = emb @ q.T  # (batch, nq)
+        out_q, out_v, out_s = [], [], []
+        top = min(k, len(ids))
+        for qi in range(nq):
+            # tie-inclusive local top-k on ROUNDED scores so the global
+            # (rounded score desc, vec_id asc) order is deterministic and
+            # identical to the SQL oracle's window ranking
+            col = round_half_away(sims[:, qi], 4)
+            if top < len(ids):
+                kth = -np.partition(-col, top - 1)[top - 1]
+                idx = np.flatnonzero(col >= kth)
+            else:
+                idx = np.arange(len(ids))
+            out_q.extend([qi] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(local_topk, batch_format="pyarrow")
+    # final reduce: ≤ n_blocks × k × nq rows — safe to collect
+    pdf = partial.to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = pdf[pdf.qi == qi].copy()
+        sub["score"] = round_half_away(sub["score"].to_numpy(), 4)
+        sub = sub.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(sub.iterrows()):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "rank": rank,
+                    "vec_id": int(r.vec_id),
+                    "score": float(r.score),
+                }
+            )
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def kmeans_fit(ds, nlist: int = 16, iters: int = 5, seed: int = 5, sample: int = 4096):
+    """Deterministic mini k-means on a seeded sample (driver-side Lloyd
+    over ≤ `sample` unit vectors); returns (nlist, dim) centroids."""
+    import itertools
+
+    vecs = []
+    for batch in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        vecs.append(_unit(_to_matrix(batch["embedding"])))
+        if sum(len(v) for v in vecs) >= sample:
+            break
+    m = np.concatenate(vecs)[:sample]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
+             nlist: int = 16, nprobe: int = 4):
+    """IVF-style approximate top-k: assign vectors to their nearest
+    centroid cell (one map_batches), probe the nprobe nearest cells per
+    query.  Shuffle-free: cell filtering happens inside the same
+    brute-force pass via a broadcast (query → allowed cells) table."""
+    import ray
+    import ray.data as rd
+
+    cent = kmeans_fit(ds, nlist=nlist)
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]
+    ctx = ray.put((cent, q_unit, probe))
+    nq = len(query_ids)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cents, q, pr = ray.get(ctx)
+        emb = _unit(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = np.argmax(emb @ cents.T, axis=1)
+        sims = emb @ q.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            allowed = np.isin(cells, pr[qi])
+            if not allowed.any():
+                continue
+            col = np.where(allowed, sims[:, qi], -np.inf)
+            top = min(k, int(allowed.sum()))
+            idx = np.argpartition(-col, top - 1)[:top]
+            idx = idx[np.isfinite(col[idx])]
+            out_q.extend([qi] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    pdf = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = pdf[pdf.qi == qi].copy()
+        sub["score"] = round_half_away(sub["score"].to_numpy(), 4)
+        sub = sub.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(sub.iterrows()):
+            rows.append(
+                {"query_id": qid, "rank": rank, "vec_id": int(r.vec_id), "score": float(r.score)}
+            )
+    return rd.from_pandas(pd.DataFrame(rows))

@@ -1,0 +1,163 @@
+"""Text-analysis operators over a (doc_id, text) table.
+
+Every operator here has a deliberately SQL-expressible definition
+(simple-mode tokenizer = DuckDB ``regexp_split_to_array(lower(text),
+'[^a-z0-9]+')``), so the driver's DuckDB oracle can verify the Ray
+pipeline end-to-end; the __ray_entry__ module carries the matching SQL.
+These mirror the reference's tokenize/df/tf semantics (M2/A1/A2 in
+SURVEY §2) minus lemmatization and stop words, which live in the
+transcripts engine path.
+
+All stages are vectorized: Arrow string kernels for tokenize, numpy
+unique/bincount for counting, one small groupby for the wide step.
+Floating aggregates that cross engines are rounded to 4 decimals so
+IEEE summation-order differences cannot flip the comparison.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raysearch.lex import Lexer
+from raysearch.util import round_half_away
+
+#: fixed stop list for quality metrics — mirrored verbatim in oracle SQL
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "or", "in", "on", "to")
+
+
+class _TokenizeBatch:
+    """Actor-pool stage: (doc_id, text) batch → exploded (doc_id, term,
+    tf) with per-doc partial aggregation (A1 analog)."""
+
+    def __init__(self):
+        self.lexer = Lexer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parent, terms = self.lexer.token_parent_pairs(batch["text"])
+        if not len(terms):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(terms)
+        key = parent.astype(np.int64) * len(uniq) + codes
+        ukeys, counts = np.unique(key, return_counts=True)
+        rows = ukeys // len(uniq)
+        ucodes = ukeys % len(uniq)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[rows], pa.int64()),
+                "term": pa.array(uniq[ucodes], pa.string()),
+                "tf": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def tokenize_docs(ds):
+    """documents Dataset → exploded (doc_id, term, tf)."""
+    return ds.map_batches(_TokenizeBatch, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def term_df(ds):
+    """term → document frequency (A2 analog, one small groupby over
+    per-doc partials)."""
+    from ray.data.aggregate import Count
+
+    return (
+        tokenize_docs(ds)
+        .groupby("term")
+        .aggregate(Count(alias_name="df"))
+    )
+
+
+def doc_postings(ds):
+    """(term, doc_id, tf) exploded postings — the `index` table analog."""
+    return tokenize_docs(ds)
+
+
+def doc_stats(ds):
+    """Single-row corpus stats (A3 analog): n_docs, n_tokens, avg_doc_len."""
+    import ray.data as rd
+
+    n_docs = ds.count()
+    tok = tokenize_docs(ds)
+    from ray.data.aggregate import Sum
+
+    total = tok.aggregate(Sum("tf", alias_name="n_tokens"))["n_tokens"] or 0
+    return rd.from_items(
+        [
+            {
+                "n_docs": n_docs,
+                "n_tokens": int(total),
+                "avg_doc_len": (int(total) / n_docs) if n_docs else 0.0,
+            }
+        ]
+    )
+
+
+class _DocMetrics:
+    """Per-doc text metrics in one vectorized pass: token count,
+    distinct terms, stop-word ratio, quality score, language guess,
+    fingerprint.  Quality formula (mirrored in oracle SQL):
+    q = round(0.5*min(1, n_tokens/100) + 0.3*(distinct/n_tokens)
+              + 0.2*(1 - stop_ratio), 4).
+    Language guess is a stop-word-ratio heuristic (n-gram-free langid
+    stand-in): 'en' when stop_ratio > 0.05 else 'unk'."""
+
+    def __init__(self):
+        self.lexer = Lexer("simple")
+        self.stops = set(QUALITY_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        parent, terms = self.lexer.token_parent_pairs(batch["text"])
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        stop_mask = np.array([t in self.stops for t in terms], dtype=np.int64)
+        n_stop = np.bincount(parent, weights=stop_mask, minlength=n).astype(np.int64)
+        # distinct terms per doc
+        if len(terms):
+            codes, uniq = pd.factorize(terms)
+            pairs = np.unique(parent.astype(np.int64) * len(uniq) + codes)
+            distinct = np.bincount(pairs // len(uniq), minlength=n).astype(np.int64)
+        else:
+            distinct = np.zeros(n, dtype=np.int64)
+        nt = n_tokens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stop_ratio = np.where(n_tokens > 0, n_stop / nt, 0.0)
+            distinct_ratio = np.where(n_tokens > 0, distinct / nt, 0.0)
+        quality = round_half_away(
+            0.5 * np.minimum(1.0, nt / 100.0)
+            + 0.3 * distinct_ratio
+            + 0.2 * (1.0 - stop_ratio),
+            4,
+        )
+        lang = np.where(stop_ratio > 0.05, "en", "unk")
+        fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "distinct_terms": pa.array(distinct, pa.int64()),
+                "stop_ratio": pa.array(round_half_away(stop_ratio, 4), pa.float64()),
+                "quality": pa.array(quality, pa.float64()),
+                "lang_guess": pa.array(lang, pa.string()),
+                "fingerprint": pa.array(fp, pa.string()),
+            }
+        )
+
+
+def doc_metrics(ds):
+    """Per-doc analysis table (token counting, quality scoring, langid
+    heuristic, md5 fingerprint) — one actor-pool pass."""
+    return ds.map_batches(_DocMetrics, batch_format="pyarrow", concurrency=(1, 8))
