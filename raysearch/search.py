@@ -28,6 +28,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -65,24 +66,34 @@ class IndexSearcher:
         self._lex_df = lex_table["df"].to_numpy()
         self._lex_index = {t: i for i, t in enumerate(self._lex_terms)}
 
-        # posting locator: per merged file, per row group → [term_min, term_max]
-        self._locators: list[tuple[str, int, str, str]] = []
+        # Exact posting locator: term → [(file, row_group), ...].  Terms
+        # are bucketed by HASH, so parquet min/max stats cannot prune
+        # (every row group spans the alphabet); instead scan just the
+        # `term` column once at startup (lexicon-scale metadata, same
+        # order of memory as the lexicon dict itself).
+        self._term_locs: dict[str, list[tuple[str, int]]] = {}
         post_dir = os.path.join(merged, "postings")
         for fname in sorted(os.listdir(post_dir)):
             if not fname.endswith(".parquet"):
                 continue
             path = os.path.join(post_dir, fname)
-            md = pq.ParquetFile(path).metadata
-            term_col = md.schema.to_arrow_schema().get_field_index("term")
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(term_col).statistics
-                if st is None or not st.has_min_max:
-                    self._locators.append((path, rg, "", "\U0010ffff"))
-                else:
-                    lo = st.min if isinstance(st.min, str) else st.min.decode()
-                    hi = st.max if isinstance(st.max, str) else st.max.decode()
-                    self._locators.append((path, rg, lo, hi))
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.metadata.num_row_groups):
+                tcol = pf.read_row_group(rg, columns=["term"])
+                for term in pc.unique(tcol["term"]).to_pylist():
+                    self._term_locs.setdefault(term, []).append((path, rg))
         self._pf_cache: dict[str, pq.ParquetFile] = {}
+        # LRU caches: repeated queries share terms (Zipf), so decoded
+        # postings and raw row groups are kept hot.  Byte-bounded so a
+        # searcher over a huge index stays within its actor heap.
+        self._rg_cache: OrderedDict[tuple[str, int], pa.Table] = OrderedDict()
+        self._rg_cache_max = int(os.environ.get("RAYSEARCH_RG_CACHE", "32"))
+        self._term_cache: OrderedDict[str, TermPostings] = OrderedDict()
+        self._term_cache_bytes = 0
+        self._term_cache_budget = int(
+            os.environ.get("RAYSEARCH_TERM_CACHE_BYTES", str(256 << 20))
+        )
+        self._bm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
         # doc lengths (BM25 length normalization); int32 array indexed by doc_id
         self.doc_lens = np.zeros(self.n_docs, dtype=np.int64)
@@ -106,38 +117,65 @@ class IndexSearcher:
     # -- posting fetch (J1 analog) ----------------------------------------
 
     def _read_row_group(self, path: str, rg: int) -> pa.Table:
+        key = (path, rg)
+        t = self._rg_cache.get(key)
+        if t is not None:
+            self._rg_cache.move_to_end(key)
+            return t
         pf = self._pf_cache.get(path)
         if pf is None:
             pf = self._pf_cache[path] = pq.ParquetFile(path)
-        return pf.read_row_group(rg)
+        t = pf.read_row_group(rg)
+        self._rg_cache[key] = t
+        while len(self._rg_cache) > self._rg_cache_max:
+            self._rg_cache.popitem(last=False)
+        return t
+
+    def _term_rows(self, term: str) -> pa.Table | None:
+        """All posting-chunk rows for a term (exact-located row groups)."""
+        locs = self._term_locs.get(term)
+        if not locs:
+            return None
+        found = []
+        for path, rg in locs:
+            t = self._read_row_group(path, rg)
+            rows = t.filter(pc.equal(t["term"], term))
+            if rows.num_rows:
+                found.append(rows)
+        if not found:
+            return None
+        return pa.concat_tables(found)
 
     def fetch_postings(self, term: str) -> TermPostings | None:
         idx = self._lex_index.get(term)
         if idx is None:
             return None
+        hit = self._term_cache.get(term)
+        if hit is not None:
+            self._term_cache.move_to_end(term)
+            return hit
         df = int(self._lex_df[idx])
-        chunks: list[tuple[int, int, bytes, bytes]] = []
-        for path, rg, lo, hi in self._locators:
-            if lo <= term <= hi:
-                t = self._read_row_group(path, rg)
-                mask = pc.equal(t["term"], term)
-                rows = t.filter(mask)
-                for i in range(rows.num_rows):
-                    chunks.append(
-                        (
-                            rows["first_doc"][i].as_py(),
-                            rows["chunk_id"][i].as_py(),
-                            rows["doc_blob"][i].as_py(),
-                            rows["tf_blob"][i].as_py(),
-                        )
-                    )
-        chunks.sort()
-        parts = [decode_postings(db, tb) for _, _, db, tb in chunks]
-        if not parts:
+        rows = self._term_rows(term)
+        if rows is None:
             return None
+        chunks = sorted(
+            zip(
+                rows["first_doc"].to_pylist(),
+                rows["chunk_id"].to_pylist(),
+                rows["doc_blob"].to_pylist(),
+                rows["tf_blob"].to_pylist(),
+            )
+        )
+        parts = [decode_postings(db, tb) for _, _, db, tb in chunks]
         doc_ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
-        return TermPostings(term, df, doc_ids, tfs)
+        out = TermPostings(term, df, doc_ids, tfs)
+        self._term_cache[term] = out
+        self._term_cache_bytes += doc_ids.nbytes + tfs.nbytes
+        while self._term_cache_bytes > self._term_cache_budget and self._term_cache:
+            _, old = self._term_cache.popitem(last=False)
+            self._term_cache_bytes -= old.doc_ids.nbytes + old.tfs.nbytes
+        return out
 
     # -- query plan (J5 + K1/K2 analog) -----------------------------------
 
@@ -283,24 +321,29 @@ class IndexSearcher:
         return docs[order], vals[order]
 
     def _block_maxes(self, term: str) -> np.ndarray:
+        hit = self._bm_cache.get(term)
+        if hit is not None:
+            self._bm_cache.move_to_end(term)
+            return hit
+        rows = self._term_rows(term)
         bms = []
-        for path, rg, lo, hi in self._locators:
-            if lo <= term <= hi:
-                t = self._read_row_group(path, rg)
-                rows = t.filter(pc.equal(t["term"], term))
-                for i in range(rows.num_rows):
-                    bms.append(
-                        (
-                            rows["first_doc"][i].as_py(),
-                            varint_decode(rows["bm_blob"][i].as_py()).astype(
-                                np.float64
-                            ),
-                        )
+        if rows is not None:
+            bms = sorted(
+                (
+                    (fd, varint_decode(bb).astype(np.float64))
+                    for fd, bb in zip(
+                        rows["first_doc"].to_pylist(), rows["bm_blob"].to_pylist()
                     )
-        bms.sort(key=lambda x: x[0])
-        return (
+                ),
+                key=lambda x: x[0],
+            )
+        out = (
             np.concatenate([b for _, b in bms]) if bms else np.empty(0, np.float64)
         )
+        self._bm_cache[term] = out
+        while len(self._bm_cache) > 4096:
+            self._bm_cache.popitem(last=False)
+        return out
 
     # -- doc fetch (M9 analog: no network, predicate-pushdown point read) --
 
