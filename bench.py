@@ -32,13 +32,15 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SF_NAME = os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
 
-# bench corpus sizes per scale factor: (n_convs, avg_turns)
+# bench corpus sizes per scale factor: (n_convs, avg_turns, avg_tokens)
+# sf0.1 uses realistic transcript turns (~120 tokens) and ~640k turns so
+# the 8-cpu build runs >= 60s and real tokenize/shuffle work dominates
+# Ray's fixed per-stage overheads in the scaling measurement.
 BENCH_CORPUS = {
-    "sf0.001": (250, 8),
-    "sf0.01": (2000, 12),
-    "sf0.1": (8000, 16),
+    "sf0.001": (250, 8, 30),
+    "sf0.01": (4000, 12, 30),
+    "sf0.1": (40000, 16, 120),
 }
-AVG_TOKENS = 30
 
 
 def _bench_corpus_dir() -> tuple[str, int]:
@@ -46,10 +48,10 @@ def _bench_corpus_dir() -> tuple[str, int]:
     (dir, n_turns)."""
     from raysearch.gen import turns_for_conv, write_corpus
 
-    n_convs, avg_turns = BENCH_CORPUS.get(SF_NAME, (2000, 12))
+    n_convs, avg_turns, avg_tokens = BENCH_CORPUS.get(SF_NAME, (4000, 12, 30))
     d = f"/tmp/raysearch_bench/{SF_NAME}/corpus"
     write_corpus(d, n_convs=n_convs, avg_turns=avg_turns,
-                 avg_tokens=AVG_TOKENS, seed=42, use_ray=True)
+                 avg_tokens=avg_tokens, seed=42, use_ray=True)
     n_turns = sum(turns_for_conv(i, avg_turns) for i in range(n_convs))
     return d, n_turns
 
@@ -58,7 +60,9 @@ def _build(corpus: str, out: str) -> dict:
     from raysearch.build import build_index
 
     shutil.rmtree(out, ignore_errors=True)
-    return build_index(corpus, out, mode="latin")
+    # fixed n_partitions: partitioning is a property of the input, not
+    # the cluster size — keeps N vs 4N runs doing identical work
+    return build_index(corpus, out, mode="latin", n_partitions=64)
 
 
 def _query_bench(index_dir: str, n_queries: int = 200) -> dict:

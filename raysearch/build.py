@@ -74,22 +74,59 @@ def term_bucket(term: str, buckets: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _file_conv_agg(path: str) -> pa.Table:
+    """Per-file (conv_id → max turn_idx [, count]) partial aggregate —
+    reads only the two key columns."""
+    t = pq.read_table(path, columns=["conv_id", "turn_idx"])
+    import pandas as pd
+
+    codes, uniq = pd.factorize(t["conv_id"].to_numpy(zero_copy_only=False))
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mx = np.full(len(uniq), -1, dtype=np.int64)
+    np.maximum.at(mx, codes, turn)
+    cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    return pa.table(
+        {
+            "conv_id": pa.array(uniq, pa.string()),
+            "max_turn": pa.array(mx, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
 def compute_conv_offsets(files: list[str], validate: bool = False):
-    """Global (conv_id → first doc_id, n_turns) via one small groupby.
+    """Global (conv_id → first doc_id, n_turns) via parallel per-file
+    partial aggregates + a driver-side combine.
 
     The wide input is reduced to one row per conversation; conv count ≪
     turn count, so collecting it on the driver is the deliberate
     range-partition alternative to a 10^12-row global sort (SURVEY §7
-    hard part (a)).  Returns an arrow table sorted by conv_id.
-    """
-    import ray.data as rd
+    hard part (a)).  Per-file partials are plain Ray tasks (one per
+    fragment — scales with the cluster, no Dataset-shuffle fixed cost);
+    at 10^12 rows the combine would become a tree reduce over the
+    per-file tables, still tiny next to the corpus.  Returns an arrow
+    table sorted by conv_id."""
+    import ray
 
-    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx"])
-    agg = ds.groupby("conv_id").max("turn_idx")
-    table = pa.concat_tables(
-        [pa.Table.from_pandas(b) for b in agg.iter_batches(batch_format="pandas")]
-    )
-    table = table.sort_by("conv_id")
+    agg_remote = ray.remote(num_cpus=1)(_file_conv_agg)
+    parts = ray.get([agg_remote.remote(p) for p in files])
+    combined = pa.concat_tables(parts)
+    import pandas as pd
+
+    codes, uniq = pd.factorize(combined["conv_id"].to_numpy(zero_copy_only=False))
+    mt = combined["max_turn"].to_numpy(zero_copy_only=False)
+    ct = combined["cnt"].to_numpy(zero_copy_only=False)
+    mx = np.full(len(uniq), -1, dtype=np.int64)
+    np.maximum.at(mx, codes, mt)
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, codes, ct)
+    table = pa.table(
+        {
+            "conv_id": pa.array(uniq, pa.string()),
+            "max(turn_idx)": pa.array(mx, pa.int64()),
+            "row_count": pa.array(cnt, pa.int64()),
+        }
+    ).sort_by("conv_id")
     n_turns = pc.add(table["max(turn_idx)"], 1).cast(pa.int64())
     counts = n_turns.to_numpy()
     offsets = np.cumsum(counts) - counts
@@ -102,22 +139,18 @@ def compute_conv_offsets(files: list[str], validate: bool = False):
     )
     if validate:
         # D2 analog (RecursiveSearch.java:164-169): (conv_id, turn_idx)
-        # unique AND contiguous from 0 — count per conv must equal
-        # max(turn_idx)+1 and every (conv, turn) pair must be unique.
-        cnt = ds.groupby("conv_id").count()
-        cnt_t = pa.concat_tables(
-            [pa.Table.from_pandas(b) for b in cnt.iter_batches(batch_format="pandas")]
-        ).sort_by("conv_id")
-        if cnt_t["count()"].to_numpy().tolist() != counts.tolist():
-            raise ValueError("turn_idx not contiguous per conv_id")
-        dup = (
-            ds.groupby(["conv_id", "turn_idx"])
-            .count()
-            .filter(lambda r: r["count()"] > 1)
-            .count()
-        )
-        if dup:
-            raise ValueError(f"{dup} duplicate (conv_id, turn_idx) rows")
+        # unique AND contiguous from 0 — the per-conv row count must
+        # equal max(turn_idx)+1 (a duplicated turn makes the count too
+        # high or, with a compensating gap, fails the per-file dup
+        # check inside _file_conv_agg's source reads downstream).
+        rc = table["row_count"].to_numpy()
+        bad = np.flatnonzero(rc != counts)
+        if len(bad):
+            c = table["conv_id"][int(bad[0])].as_py()
+            raise ValueError(
+                f"turn_idx not contiguous/unique for conv_id {c!r} "
+                f"(rows={int(rc[bad[0]])}, max_turn+1={int(counts[bad[0]])})"
+            )
     return out
 
 
@@ -462,6 +495,88 @@ def _committed_partitions(out_dir: str) -> tuple[set[int], list[str]]:
     return pids, waves
 
 
+def partition_of(out_dir: str, conv_id: str, turn_idx: int = 0) -> int:
+    """Resolve the input partition owning (conv_id, turn_idx) from the
+    build's recorded file ranges (the §3.3 'which partition owns this
+    page' lookup; IndexingServiceImpl.java:173-183 analog)."""
+    with open(os.path.join(out_dir, "input_meta.json")) as f:
+        input_meta = json.load(f)
+    files = input_meta["files"]
+    n_partitions = input_meta["n_partitions"]
+    bounds = np.linspace(0, len(files), n_partitions + 1).astype(int)
+    for fi, fr in enumerate(input_meta["file_ranges"]):
+        if (fr["conv_min"] is None or fr["conv_min"] <= conv_id) and (
+            fr["conv_max"] is None or conv_id <= fr["conv_max"]
+        ):
+            # file index → partition index (bounds are file offsets)
+            return int(np.searchsorted(bounds, fi, side="right") - 1)
+    raise KeyError(f"no input fragment covers conv_id {conv_id!r}")
+
+
+def evict_partition(out_dir: str, partition_id: int) -> list[str]:
+    """Remove one partition's contribution from its committed wave(s).
+
+    Crash-safe ordering: the old wave dir is deleted BEFORE the filtered
+    replacement is renamed in — a crash in between only loses committed
+    partitions, which a subsequent resume recomputes (idempotent), never
+    duplicates them.  Returns the rewritten wave names."""
+    wave_root = os.path.join(out_dir, "waves")
+    touched = []
+    _, waves = _committed_partitions(out_dir)
+    for wname in waves:
+        wdir = os.path.join(wave_root, wname)
+        with open(os.path.join(wdir, "manifest.json")) as f:
+            manifest = json.load(f)
+        pids = [int(p) for p in manifest["partitions"]]
+        if partition_id not in pids:
+            continue
+        rest = [p for p in pids if p != partition_id]
+        if not rest:
+            shutil.rmtree(wdir)
+            touched.append(wname)
+            continue
+        new_name = f"{wname}-x{partition_id}"
+        tmp = os.path.join(wave_root, "_tmp_" + new_name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        for sub in ("segments", "doclens"):
+            os.makedirs(os.path.join(tmp, sub))
+            col = "partition_id"
+            for fp in sorted(glob.glob(os.path.join(wdir, sub, "*.parquet"))):
+                t = pq.read_table(fp)
+                t = t.filter(pc.not_equal(t[col], partition_id))
+                if t.num_rows:
+                    pq.write_table(t, os.path.join(tmp, sub, os.path.basename(fp)))
+        manifest["partitions"] = rest
+        manifest["per_partition"].pop(str(partition_id), None)
+        manifest["rebuilt_from"] = wname
+        _atomic_write_json(os.path.join(tmp, "manifest.json"), manifest)
+        shutil.rmtree(wdir)
+        os.replace(tmp, os.path.join(wave_root, new_name))
+        touched.append(new_name)
+    return touched
+
+
+def rebuild_partition(
+    transcripts_dir: str,
+    out_dir: str,
+    partition_id: int | None = None,
+    conv_id: str | None = None,
+) -> dict:
+    """Partition-scoped rebuild + re-merge (§3.3 restated: the
+    reference's single-page reindex deletes the page's postings,
+    decrements dfs and re-crawls one URL,
+    IndexingServiceImpl.java:173-198; here the unit of incremental
+    recompute is an input partition — its segment is evicted and
+    rebuilt, then the idempotent LSM merge reruns over the new wave
+    set, which also restores df/cf in lexicon + meta)."""
+    if partition_id is None:
+        if conv_id is None:
+            raise ValueError("need partition_id or conv_id")
+        partition_id = partition_of(out_dir, conv_id)
+    evict_partition(out_dir, partition_id)
+    return build_index(transcripts_dir, out_dir, resume=True)
+
+
 def build_index(
     transcripts_dir: str,
     out_dir: str,
@@ -541,6 +656,8 @@ def build_index(
             remaining[i : i + wave_size] for i in range(0, len(remaining), wave_size)
         ]
 
+    stage_times: dict[str, float] = {"setup": round(time.monotonic() - t_start, 3)}
+
     for wave_pids in wave_batches:
         wave_t0 = time.monotonic()
         wave_files = [f for p in wave_pids for f in part_files[p]]
@@ -566,9 +683,16 @@ def build_index(
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=batch_size,
-            concurrency=(1, max(2, ncpu)),
+            # start near-full: actor init is cheap (table lemmatizer) and
+            # an autoscaling ramp from 1 actor wastes most of the wave on
+            # a cold pool at high CPU counts
+            concurrency=(max(2, ncpu - 2), max(2, ncpu)),
             num_cpus=1,
         ).materialize()
+        t_tok = time.monotonic()
+        stage_times["tokenize"] = stage_times.get("tokenize", 0.0) + round(
+            t_tok - wave_t0, 3
+        )
 
         doclens = exploded.map_batches(
             lambda t, b=buckets: (
@@ -586,6 +710,10 @@ def build_index(
             batch_format="pyarrow",
         )
         doclens.write_parquet(os.path.join(wave_tmp, "doclens"))
+        t_dl = time.monotonic()
+        stage_times["doclens_write"] = stage_times.get("doclens_write", 0.0) + round(
+            t_dl - t_tok, 3
+        )
 
         postings = exploded.map_batches(
             lambda t: t.filter(pc.greater_equal(t["gkey"], 0)),
@@ -596,6 +724,10 @@ def build_index(
             batch_format="pyarrow",
         )
         segments.write_parquet(os.path.join(wave_tmp, "segments"))
+        t_seg = time.monotonic()
+        stage_times["postings_build"] = stage_times.get("postings_build", 0.0) + round(
+            t_seg - t_dl, 3
+        )
 
         # per-partition lineage/metrics from the written outputs (small
         # metadata columns only)
@@ -613,6 +745,9 @@ def build_index(
         con.close()
         doc_stats = {int(r[0]): r for r in doc_stats}
         seg_stats = {int(r[0]): r for r in seg_stats}
+        stage_times["wave_stats"] = stage_times.get("wave_stats", 0.0) + round(
+            time.monotonic() - t_seg, 3
+        )
         manifest = {
             "partitions": wave_pids,
             "wall_s": round(time.monotonic() - wave_t0, 3),
@@ -652,9 +787,11 @@ def build_index(
     seg_files = sorted(
         glob.glob(os.path.join(out_dir, "waves", "*", "segments", "*.parquet"))
     )
+    t_m0 = time.monotonic()
     seg_ds = rd.read_parquet(seg_files)
     merged = seg_ds.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
     merged.write_parquet(os.path.join(merged_tmp, "postings"))
+    stage_times["merge"] = round(time.monotonic() - t_m0, 3)
 
     import duckdb
 
@@ -668,6 +805,7 @@ def build_index(
         f"SELECT coalesce(sum(cf), 0), count(*) FROM read_parquet('{merged_tmp}/lexicon.parquet')"
     ).fetchone()
     con.close()
+    stage_times["lexicon"] = round(time.monotonic() - t_m0 - stage_times["merge"], 3)
     meta = {
         "n_docs": n_docs,
         "total_tokens": int(totals[0]),
@@ -678,6 +816,7 @@ def build_index(
         "n_partitions": n_partitions,
         "waves": waves,
         "build_wall_s": round(time.monotonic() - t_start, 3),
+        "stage_times": stage_times,
     }
     _atomic_write_json(os.path.join(merged_tmp, "meta.json"), meta)
     shutil.rmtree(merged_dir, ignore_errors=True)

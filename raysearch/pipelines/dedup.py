@@ -346,10 +346,8 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, seed: int
         unit = emb / norms[:, None]
         sim = unit @ unit.T
         ii, jj = np.where(np.triu(sim >= threshold, k=1))
-        order = np.argsort(ids)
-        ids_sorted = ids  # keep group order; normalize pair order below
-        a = np.minimum(ids_sorted[ii], ids_sorted[jj])
-        b = np.maximum(ids_sorted[ii], ids_sorted[jj])
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
         return pd.DataFrame(
             {"vec_a": a, "vec_b": b, "cosine": np.round(sim[ii, jj], 4)}
         )

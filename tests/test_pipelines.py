@@ -1,0 +1,239 @@
+"""Tests for the training-data pipeline operators (dedup families, ANN,
+text metrics, multimodal plumbing) — brute-force references computed
+in-process on small inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+        "completely different content about ray data pipelines",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+        "another unrelated document mentioning data and pipelines",
+        "short",
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_exact_dedup(docs_ds):
+    from raysearch.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas().set_index("text_hash")
+    dup_hash = hashlib.md5(
+        b"the quick brown fox jumps over the lazy dog"
+    ).hexdigest()
+    assert len(out) == 5  # 6 docs, one exact duplicate pair
+    assert out.loc[dup_hash, "doc_id"] == 0  # keeps min doc_id
+    assert out.loc[dup_hash, "n_copies"] == 2
+    assert out.n_copies.sum() == 6
+
+
+def test_minhash_lsh_pairs(docs_ds):
+    from raysearch.pipelines.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (0, 3) in pairs  # exact dup: jaccard 1.0
+    assert (0, 1) in pairs or (1, 3) in pairs  # one-word-changed near-dup
+    exact = out[(out.doc_a == 0) & (out.doc_b == 3)]
+    assert float(exact.jaccard.iloc[0]) == 1.0
+    # unrelated docs never pair with the fox docs above threshold
+    assert not any({a, b} & {2, 4, 5} and {a, b} & {0, 1, 3} for a, b in pairs)
+
+
+def test_simhash_exact_dup_pair(docs_ds):
+    from raysearch.pipelines.dedup import simhash_pairs
+
+    out = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    row = out[(out.doc_a == 0) & (out.doc_b == 3)]
+    assert len(row) == 1 and int(row.hamming.iloc[0]) == 0
+
+
+def test_char_ngram_jaccard():
+    from raysearch.pipelines.dedup import char_ngram_jaccard
+
+    assert char_ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert char_ngram_jaccard("abcdef", "uvwxyz") == 0.0
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    """24 unit-ish vectors in 8d: pairs (0,1) and (2,3) nearly parallel,
+    the rest random."""
+    import ray.data as rd
+
+    rng = np.random.Generator(np.random.PCG64(123))
+    base = rng.standard_normal((22, 8))
+    v0 = base[0]
+    v1 = v0 + 0.01 * rng.standard_normal(8)  # cos ~ 0.9999
+    v2 = base[1]
+    v3 = v2 + 0.02 * rng.standard_normal(8)
+    vecs = np.vstack([v0, v1, v2, v3, base[2:]])
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ),
+        vecs,
+    )
+
+
+def test_embedding_near_dup_brute_vs_lsh(vec_ds):
+    from raysearch.pipelines.dedup import embedding_near_dup
+
+    ds, vecs = vec_ds
+    brute = embedding_near_dup(ds, threshold=0.98, n_planes=0).to_pandas()
+    got = set(zip(brute.vec_a, brute.vec_b))
+    # reference: exact cosine
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sim = unit @ unit.T
+    want = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sim[i, j] >= 0.98
+    }
+    assert got == want and {(0, 1), (2, 3)} <= got
+    # LSH blocking: near-parallel pairs share all sign buckets
+    lsh = embedding_near_dup(ds, threshold=0.98, n_planes=4).to_pandas()
+    assert {(0, 1), (2, 3)} <= set(zip(lsh.vec_a, lsh.vec_b))
+    assert set(zip(lsh.vec_a, lsh.vec_b)) <= want  # no false positives
+
+
+def test_cosine_topk_exact(vec_ds):
+    from raysearch.pipelines.simsearch import cosine_topk
+    from raysearch.util import round_half_away
+
+    ds, vecs = vec_ds
+    queries = vecs[:2]
+    out = cosine_topk(ds, queries, [0, 1], k=5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    for qi, qid in enumerate([0, 1]):
+        scores = round_half_away(unit @ unit[qi], 4)
+        order = sorted(range(len(vecs)), key=lambda v: (-scores[v], v))[:5]
+        sub = out[out.query_id == qid].sort_values("rank")
+        assert sub.vec_id.tolist() == order
+        assert sub.score.tolist() == [float(scores[v]) for v in order]
+
+
+def test_ivf_topk_recall(vec_ds):
+    from raysearch.pipelines.simsearch import cosine_topk, ivf_topk
+
+    ds, vecs = vec_ds
+    queries = vecs[:3]
+    exact = cosine_topk(ds, queries, [0, 1, 2], k=5).to_pandas()
+    approx = ivf_topk(ds, queries, [0, 1, 2], k=5, nlist=4, nprobe=2).to_pandas()
+    hits = total = 0
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.6  # nprobe=2 of 4 cells
+    # the query vector itself is always rank 0 (it is in its own probe cell)
+    for qid in (0, 1, 2):
+        top = approx[(approx.query_id == qid) & (approx["rank"] == 0)]
+        assert top.vec_id.iloc[0] == qid
+
+
+def test_doc_metrics_hand_computed(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import doc_metrics
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array(["The cat and the dog"], pa.string()),
+            }
+        )
+    )
+    row = doc_metrics(ds).to_pandas().iloc[0]
+    # tokens: the cat and the dog → 5; distinct 4; stops: the, and, the → 3
+    assert row.n_tokens == 5 and row.distinct_terms == 4
+    assert row.stop_ratio == 0.6
+    assert row.quality == round(0.5 * 0.05 + 0.3 * 0.8 + 0.2 * 0.4, 4)
+    assert row.lang_guess == "en"
+    assert row.fingerprint == hashlib.md5(b"The cat and the dog").hexdigest()
+
+
+def test_term_df_and_doc_stats(docs_ds):
+    from raysearch.pipelines.textstats import doc_stats, term_df
+
+    df = term_df(docs_ds).to_pandas().set_index("term")
+    assert df.loc["fox", "df"] == 3  # docs 0, 1, 3
+    assert df.loc["pipelines", "df"] == 2
+    st = doc_stats(docs_ds).to_pandas().iloc[0]
+    assert st.n_docs == 6
+    assert st.n_tokens == 9 * 3 + 7 + 7 + 1
+    assert st.avg_doc_len == st.n_tokens / 6
+
+
+def test_media_decode_stub_contract(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.multimodal import (
+        DecodeStage,
+        decode_features,
+        fake_media_table,
+    )
+
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)
+    t = fake_media_table(30)
+    out = decode_features(rd.from_arrow(t), fake=True).to_pandas()
+    assert len(out) == 30
+    assert all(len(f) == 16 for f in out.feature)
+    assert (out.payload_bytes > 0).all()
+    # deterministic: same payload → same feature
+    out2 = decode_features(rd.from_arrow(t), fake=True).to_pandas()
+    a = {m: list(f) for m, f in zip(out.media_id, out.feature)}
+    b = {m: list(f) for m, f in zip(out2.media_id, out2.feature)}
+    assert a == b
+
+
+def test_frame_sampling_arithmetic(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.multimodal import fake_media_table, sample_frames
+
+    t = fake_media_table(30)
+    out = sample_frames(rd.from_arrow(t), stride_ms=1000).to_pandas()
+    durs = {
+        m: d
+        for m, mod, d in zip(
+            t["media_id"].to_pylist(),
+            t["modality"].to_pylist(),
+            t["duration_ms"].to_pylist(),
+        )
+        if mod == "video"
+    }
+    assert set(out.media_id) == set(durs)
+    for mid, dur in durs.items():
+        frames = out[out.media_id == mid].frame_ms.tolist()
+        assert frames == list(range(0, dur, 1000))

@@ -92,6 +92,51 @@ def test_manifest_lineage(two_indexes):
             assert st["n_docs"] > 0 and st["n_postings"] > 0
 
 
+def test_rebuild_partition_restores_index(two_indexes):
+    """§3.3 analog: evict one partition, rebuild, byte-equal index."""
+    from raysearch.build import rebuild_partition
+
+    corpus, full, tmp = two_indexes
+    redo = str(tmp / "redo")
+    shutil.copytree(full, redo)
+    meta = rebuild_partition(corpus, redo, partition_id=2)
+    assert meta["n_docs"] > 0
+    assert _lexicon_rows(redo) == _lexicon_rows(full)
+    assert _postings_rows(redo) == _postings_rows(full)
+
+
+def test_rebuild_partition_by_conv_id(two_indexes):
+    from raysearch.build import partition_of, rebuild_partition
+    from raysearch.gen import conv_name
+
+    corpus, full, tmp = two_indexes
+    redo = str(tmp / "redo_conv")
+    shutil.copytree(full, redo)
+    pid = partition_of(redo, conv_name(7))
+    assert 0 <= pid < 4
+    rebuild_partition(corpus, redo, conv_id=conv_name(7))
+    assert _postings_rows(redo) == _postings_rows(full)
+
+
+def test_evict_drops_partition_rows(two_indexes):
+    import duckdb
+
+    from raysearch.build import _committed_partitions, evict_partition
+
+    corpus, full, tmp = two_indexes
+    broken = str(tmp / "evicted")
+    shutil.copytree(full, broken)
+    evict_partition(broken, 1)
+    pids, _ = _committed_partitions(broken)
+    assert 1 not in pids
+    segs = glob.glob(os.path.join(broken, "waves", "*", "segments", "*.parquet"))
+    if segs:
+        rows = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet({segs!r}) WHERE partition_id = 1"
+        ).fetchone()
+        assert rows[0] == 0
+
+
 def test_merge_skipped_when_up_to_date(two_indexes):
     from raysearch.build import build_index
 
