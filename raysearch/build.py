@@ -56,7 +56,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from raysearch.codec import encode_postings
+from raysearch.codec import (
+    decode_posting_segments,
+    encode_posting_segments,
+)
 from raysearch.lex import Lexer
 
 MAX_CHUNK = 1 << 20  # max docs per merged posting row (bounds allocations)
@@ -193,7 +196,14 @@ class TokenizerActor:
     tf=doc_len, gkey=-pid-1) used to build the doc-length table.
     """
 
-    def __init__(self, offsets_ref, path2pid: dict[str, int], mode: str, buckets: int):
+    def __init__(
+        self,
+        offsets_ref,
+        path2pid: dict[str, int],
+        mode: str,
+        buckets: int,
+        strip_html: bool = False,
+    ):
         import ray
 
         offsets = (
@@ -206,7 +216,26 @@ class TokenizerActor:
         self.path2pid = path2pid
         self.lexer = Lexer(mode)
         self.buckets = buckets
+        self.strip_html = strip_html
         self._bucket_memo: dict[str, int] = {}
+
+    def _strip_markup(self, texts: pa.ChunkedArray) -> pa.Array:
+        """M1 analog (LemmaSearch.clearCodeFromTags,
+        services/LemmaSearch.java:68-70), mostly vectorized: tag removal
+        is one Arrow regex kernel; entity decode falls back to Python
+        only for the rows that actually contain '&'."""
+        import html
+
+        no_tags = pc.replace_substring_regex(texts, r"<[^>]*>", "")
+        if isinstance(no_tags, pa.ChunkedArray):
+            no_tags = no_tags.combine_chunks()
+        has_amp = pc.match_substring(no_tags, "&").to_numpy(zero_copy_only=False)
+        if has_amp.any():
+            vals = no_tags.to_pylist()
+            for i in np.flatnonzero(has_amp):
+                vals[i] = html.unescape(vals[i])
+            no_tags = pa.array(vals, pa.string())
+        return no_tags
 
     def _pid_of(self, path: str) -> int:
         pid = self.path2pid.get(path)
@@ -239,7 +268,10 @@ class TokenizerActor:
                 dtype=np.int64,
             )
 
-        parent, lemmas = self.lexer.token_parent_pairs(batch["text"])
+        texts = batch["text"]
+        if self.strip_html:
+            texts = self._strip_markup(texts)
+        parent, lemmas = self.lexer.token_parent_pairs(texts)
         if len(lemmas):
             import pandas as pd
 
@@ -324,28 +356,18 @@ def build_bucket_postings(group: pa.Table, buckets: int) -> pa.Table:
     s_docs = doc_ids[order]
     s_tfs = tfs[order]
     starts = np.flatnonzero(np.concatenate(([True], s_codes[1:] != s_codes[:-1])))
-    ends = np.concatenate((starts[1:], [len(s_codes)]))
     sorted_uniq = uniq[uniq_order]
+    enc = encode_posting_segments(s_docs, s_tfs, starts)
+    n_terms = len(starts)
     out = {
-        "term": [], "partition_id": [], "bucket": [], "df": [], "cf": [],
-        "max_tf": [], "first_doc": [], "last_doc": [],
-        "doc_blob": [], "tf_blob": [], "bm_blob": [],
+        "term": sorted_uniq[s_codes[starts]].astype(object),
+        "partition_id": np.full(n_terms, pid, dtype=np.int64),
+        "bucket": np.full(n_terms, bucket, dtype=np.int64),
+        "df": enc["df"], "cf": enc["cf"], "max_tf": enc["max_tf"],
+        "first_doc": enc["first_doc"], "last_doc": enc["last_doc"],
+        "doc_blob": enc["doc_blob"], "tf_blob": enc["tf_blob"],
+        "bm_blob": enc["bm_blob"],
     }
-    for i, (s, e) in enumerate(zip(starts, ends)):
-        d = s_docs[s:e]
-        t = s_tfs[s:e]
-        doc_blob, tf_blob, bm_blob = encode_postings(d, t)
-        out["term"].append(str(sorted_uniq[s_codes[s]]))
-        out["partition_id"].append(pid)
-        out["bucket"].append(bucket)
-        out["df"].append(int(e - s))
-        out["cf"].append(int(t.sum()))
-        out["max_tf"].append(int(t.max()))
-        out["first_doc"].append(int(d[0]))
-        out["last_doc"].append(int(d[-1]))
-        out["doc_blob"].append(doc_blob)
-        out["tf_blob"].append(tf_blob)
-        out["bm_blob"].append(bm_blob)
     return _segment_table(out)
 
 
@@ -380,12 +402,11 @@ def _empty_segment() -> pa.Table:
 def merge_bucket(group: pa.Table) -> pa.Table:
     """Merge one bucket's per-partition sub-postings into global posting
     rows, re-chunked at MAX_CHUNK docs.  Sub-postings are doc-disjoint
-    (a doc lives in exactly one partition), so the merge is a
-    decode-concat-sort-encode per term; hot terms (df≈N) emit multiple
-    chunk rows instead of one giant blob."""
+    (a doc lives in exactly one partition) and arrive in (term,
+    first_doc) order, so the merge is one vectorized decode of every
+    blob, a segmented-order audit, and one vectorized re-encode; hot
+    terms (df≈N) emit multiple chunk rows instead of one giant blob."""
     import pandas as pd
-
-    from raysearch.codec import decode_postings
 
     if group.num_rows == 0:
         return _empty_merged()
@@ -395,47 +416,68 @@ def merge_bucket(group: pa.Table) -> pa.Table:
     uniq_order = np.argsort(uniq)
     rank_of_code = np.empty(len(uniq), dtype=np.int64)
     rank_of_code[uniq_order] = np.arange(len(uniq))
-    order = np.lexsort((first, rank_of_code[codes]))
+    ranks = rank_of_code[codes]
+    order = np.lexsort((first, ranks))
     bucket = int(group["bucket"][0].as_py())
     doc_blobs = group["doc_blob"].to_pylist()
     tf_blobs = group["tf_blob"].to_pylist()
+    row_df = group["df"].to_numpy(zero_copy_only=False)
+
+    # one vectorized decode across ALL rows (in merged row order)
+    d, t, row_starts = decode_posting_segments(
+        [doc_blobs[r] for r in order],
+        [tf_blobs[r] for r in order],
+        row_df[order],
+    )
+    # term segment boundaries in value space
+    sorted_ranks = ranks[order]
+    term_row_starts = np.flatnonzero(
+        np.concatenate(([True], sorted_ranks[1:] != sorted_ranks[:-1]))
+    )
+    term_val_starts = row_starts[term_row_starts]
+    n_vals = len(d)
+    if n_vals == 0:
+        return _empty_merged()
+    term_val_ends = np.concatenate((term_val_starts[1:], [n_vals]))
+
+    # order audit: doc-disjoint partitions concatenated by first_doc are
+    # already ascending; sort (and dup-check) only the terms that aren't
+    interior = np.ones(n_vals, dtype=bool)
+    interior[term_val_starts] = False
+    bad = np.flatnonzero(interior & (np.diff(np.concatenate(([d[0] - 1], d))) <= 0))
+    if len(bad):
+        term_of_val = np.repeat(
+            np.arange(len(term_val_starts)),
+            term_val_ends - term_val_starts,
+        )
+        for ti in np.unique(term_of_val[bad]):
+            s, e = term_val_starts[ti], term_val_ends[ti]
+            o = np.argsort(d[s:e], kind="stable")
+            d[s:e], t[s:e] = d[s:e][o], t[s:e][o]
+            if np.any(np.diff(d[s:e]) == 0):
+                raise ValueError(
+                    f"duplicate doc_id in postings of "
+                    f"{uniq[uniq_order][ti]!r}"
+                )
+
+    # re-chunk each term at MAX_CHUNK and encode everything in one pass
+    sorted_terms = uniq[uniq_order]
+    chunk_starts, chunk_term, chunk_ids = [], [], []
+    for ti, (s, e) in enumerate(zip(term_val_starts, term_val_ends)):
+        for ci, cs in enumerate(range(int(s), int(e), MAX_CHUNK)):
+            chunk_starts.append(cs)
+            chunk_term.append(ti)
+            chunk_ids.append(ci)
+    enc = encode_posting_segments(d, t, np.array(chunk_starts, dtype=np.int64))
     out = {
-        "term": [], "bucket": [], "chunk_id": [], "df": [], "cf": [],
-        "max_tf": [], "first_doc": [], "last_doc": [],
-        "doc_blob": [], "tf_blob": [], "bm_blob": [],
+        "term": sorted_terms[np.array(chunk_term, dtype=np.int64)].astype(object),
+        "bucket": np.full(len(chunk_starts), bucket, dtype=np.int64),
+        "chunk_id": np.array(chunk_ids, dtype=np.int64),
+        "df": enc["df"], "cf": enc["cf"], "max_tf": enc["max_tf"],
+        "first_doc": enc["first_doc"], "last_doc": enc["last_doc"],
+        "doc_blob": enc["doc_blob"], "tf_blob": enc["tf_blob"],
+        "bm_blob": enc["bm_blob"],
     }
-    i = 0
-    n = len(order)
-    while i < n:
-        j = i
-        code = rank_of_code[codes[order[i]]]
-        while j < n and rank_of_code[codes[order[j]]] == code:
-            j += 1
-        rows = order[i:j]
-        parts = [decode_postings(doc_blobs[r], tf_blobs[r]) for r in rows]
-        d = np.concatenate([p[0] for p in parts])
-        t = np.concatenate([p[1] for p in parts])
-        if np.any(np.diff(d) <= 0):  # general case: interleaved doc ranges
-            o = np.argsort(d, kind="stable")
-            d, t = d[o], t[o]
-            if np.any(np.diff(d) == 0):
-                raise ValueError(f"duplicate doc_id in postings of {terms[rows[0]]!r}")
-        term = str(terms[rows[0]])
-        for chunk_id, s in enumerate(range(0, len(d), MAX_CHUNK)):
-            cd, ct = d[s : s + MAX_CHUNK], t[s : s + MAX_CHUNK]
-            doc_blob, tf_blob, bm_blob = encode_postings(cd, ct)
-            out["term"].append(term)
-            out["bucket"].append(bucket)
-            out["chunk_id"].append(chunk_id)
-            out["df"].append(int(len(cd)))
-            out["cf"].append(int(ct.sum()))
-            out["max_tf"].append(int(ct.max()))
-            out["first_doc"].append(int(cd[0]))
-            out["last_doc"].append(int(cd[-1]))
-            out["doc_blob"].append(doc_blob)
-            out["tf_blob"].append(tf_blob)
-            out["bm_blob"].append(bm_blob)
-        i = j
     return _merged_table(out)
 
 
@@ -587,6 +629,7 @@ def build_index(
     batch_size: int = 4096,
     resume: bool = True,
     validate: bool = False,
+    strip_html: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final meta dict.
 
@@ -619,6 +662,7 @@ def build_index(
         n_partitions = input_meta["n_partitions"]
         buckets = input_meta["buckets"]
         mode = input_meta["mode"]
+        strip_html = input_meta.get("strip_html", False)
     else:
         offsets = compute_conv_offsets(files, validate=validate)
         tmp = offsets_path + ".tmp"
@@ -630,6 +674,7 @@ def build_index(
             "n_partitions": n_partitions,
             "buckets": buckets,
             "mode": mode,
+            "strip_html": strip_html,
             "n_docs": int(pc.sum(offsets["n_turns"]).as_py()),
         }
         _atomic_write_json(input_meta_path, input_meta)
@@ -679,6 +724,7 @@ def build_index(
                 "path2pid": path2pid,
                 "mode": mode,
                 "buckets": buckets,
+                "strip_html": strip_html,
             },
             batch_format="pyarrow",
             zero_copy_batch=True,

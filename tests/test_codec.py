@@ -51,6 +51,71 @@ def test_postings_roundtrip(doc_set, tf_seed):
         assert bm[bi] == blk.max()
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=80),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=1000),
+)
+def test_segmented_encode_matches_per_segment(doc_sets, tf_seed):
+    """encode_posting_segments over concatenated segments must produce
+    byte-identical blobs to encode_postings per segment; the segmented
+    decode must invert it."""
+    from raysearch.codec import (
+        decode_posting_segments,
+        encode_posting_segments,
+    )
+
+    rng = np.random.default_rng(tf_seed)
+    segs = []
+    for s in doc_sets:
+        ids = np.array(sorted(s), dtype=np.int64)
+        tfs = rng.integers(1, 1000, size=ids.size).astype(np.int64)
+        segs.append((ids, tfs))
+    flat_ids = np.concatenate([i for i, _ in segs])
+    flat_tfs = np.concatenate([t for _, t in segs])
+    starts = np.cumsum([0] + [len(i) for i, _ in segs[:-1]])
+    enc = encode_posting_segments(flat_ids, flat_tfs, np.asarray(starts, np.int64))
+    for k, (ids, tfs) in enumerate(segs):
+        db, tb, bb = encode_postings(ids, tfs)
+        assert enc["doc_blob"][k] == db
+        assert enc["tf_blob"][k] == tb
+        assert enc["bm_blob"][k] == bb
+        assert enc["df"][k] == len(ids)
+        assert enc["cf"][k] == tfs.sum()
+        assert enc["first_doc"][k] == ids[0] and enc["last_doc"][k] == ids[-1]
+    d, t, ss = decode_posting_segments(
+        enc["doc_blob"], enc["tf_blob"], enc["df"]
+    )
+    assert d.tolist() == flat_ids.tolist()
+    assert t.tolist() == flat_tfs.tolist()
+    assert ss.tolist() == list(starts)
+
+
+def test_segmented_encode_rejects_bad_segment():
+    import pytest
+
+    from raysearch.codec import encode_posting_segments
+
+    # second segment not increasing
+    with pytest.raises(ValueError):
+        encode_posting_segments(
+            np.array([1, 5, 9, 3], dtype=np.int64),
+            np.ones(4, dtype=np.int64),
+            np.array([0, 2], dtype=np.int64),
+        )
+    # segment boundary reset is allowed (9 -> 2 across segments)
+    out = encode_posting_segments(
+        np.array([1, 9, 2, 3], dtype=np.int64),
+        np.ones(4, dtype=np.int64),
+        np.array([0, 2], dtype=np.int64),
+    )
+    assert out["first_doc"].tolist() == [1, 2]
+
+
 def test_encode_rejects_unsorted():
     import pytest
 
