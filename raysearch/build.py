@@ -178,8 +178,42 @@ def file_conv_ranges(files: list[str]) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
-# Stage 1 — tokenizer actor pool (ST1 analog)
+# Stage 1 — tokenizer stage (ST1 analog: state loaded once per worker)
 # ---------------------------------------------------------------------------
+
+#: per-worker tokenizer state cache for the task-based stage: the ST1
+#: "load once per worker" pattern without an actor pool — Ray reuses
+#: worker processes across map tasks, so the state is constructed once
+#: per (worker, build) and shared by every batch that worker processes.
+#: Measured: a 30-actor pool spends ~6s of a 10s stage on actor startup
+#: (cold interpreter per actor); warm task workers cut the stage 2-3x.
+_WORKER_TOKENIZERS: dict[tuple, "TokenizerActor"] = {}
+
+
+def tokenize_batch(
+    batch: pa.Table,
+    *,
+    offsets_ref,
+    path2pid: dict[str, int],
+    mode: str,
+    buckets: int,
+    strip_html: bool = False,
+) -> pa.Table:
+    """Task-based tokenize stage: resolves (and caches) the per-worker
+    TokenizerActor state, then delegates to it."""
+    key = (
+        offsets_ref.hex() if hasattr(offsets_ref, "hex") else id(offsets_ref),
+        mode,
+        buckets,
+        strip_html,
+    )
+    tok = _WORKER_TOKENIZERS.get(key)
+    if tok is None:
+        _WORKER_TOKENIZERS.clear()  # one live build per worker is typical
+        tok = _WORKER_TOKENIZERS[key] = TokenizerActor(
+            offsets_ref, path2pid, mode, buckets, strip_html
+        )
+    return tok(batch)
 
 
 class TokenizerActor:
@@ -245,29 +279,16 @@ class TokenizerActor:
             raise KeyError(f"unknown input fragment {path!r}")
         return pid
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def explode_arrays(self, batch: pa.Table):
+        """Vectorized core: batch → (doc_ids per row, doc_len per row,
+        p_row posting→row index, p_term, p_tf, p_bucket)."""
         n_rows = batch.num_rows
-        if n_rows == 0:
-            return _empty_exploded()
         conv_idx = pc.index_in(batch["conv_id"], value_set=self.conv_arr)
         conv_idx_np = conv_idx.to_numpy(zero_copy_only=False)
         if np.any(conv_idx_np < 0) or conv_idx.null_count:
             raise KeyError("conv_id missing from offset table")
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         doc_ids = self.offset_arr[conv_idx_np] + turn
-        paths = batch["path"].to_pylist() if "path" in batch.column_names else None
-        if paths is None:
-            pids = np.zeros(n_rows, dtype=np.int64)
-        else:
-            memo: dict[str, int] = {}
-            pids = np.array(
-                [
-                    memo[p] if p in memo else memo.setdefault(p, self._pid_of(p))
-                    for p in paths
-                ],
-                dtype=np.int64,
-            )
-
         texts = batch["text"]
         if self.strip_html:
             texts = self._strip_markup(texts)
@@ -279,7 +300,7 @@ class TokenizerActor:
             n_uniq = len(uniq)
             key = parent.astype(np.int64) * n_uniq + codes
             uniq_keys, tf = np.unique(key, return_counts=True)
-            rows = uniq_keys // n_uniq
+            p_row = uniq_keys // n_uniq
             ucodes = uniq_keys % n_uniq
             bmemo = self._bucket_memo
             buckets = np.array(
@@ -292,16 +313,36 @@ class TokenizerActor:
                 dtype=np.int64,
             )
             p_term = uniq[ucodes]
-            p_doc = doc_ids[rows]
             p_tf = tf.astype(np.int64)
-            p_gkey = pids[rows] * self.buckets + buckets[ucodes]
+            p_bucket = buckets[ucodes]
             doc_len = np.bincount(parent, minlength=n_rows).astype(np.int64)
         else:
+            p_row = np.empty(0, dtype=np.int64)
             p_term = np.empty(0, dtype=object)
-            p_doc = np.empty(0, dtype=np.int64)
             p_tf = np.empty(0, dtype=np.int64)
-            p_gkey = np.empty(0, dtype=np.int64)
+            p_bucket = np.empty(0, dtype=np.int64)
             doc_len = np.zeros(n_rows, dtype=np.int64)
+        return doc_ids, doc_len, p_row, p_term, p_tf, p_bucket
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        if n_rows == 0:
+            return _empty_exploded()
+        paths = batch["path"].to_pylist() if "path" in batch.column_names else None
+        if paths is None:
+            pids = np.zeros(n_rows, dtype=np.int64)
+        else:
+            memo: dict[str, int] = {}
+            pids = np.array(
+                [
+                    memo[p] if p in memo else memo.setdefault(p, self._pid_of(p))
+                    for p in paths
+                ],
+                dtype=np.int64,
+            )
+        doc_ids, doc_len, p_row, p_term, p_tf, p_bucket = self.explode_arrays(batch)
+        p_doc = doc_ids[p_row]
+        p_gkey = pids[p_row] * self.buckets + p_bucket
 
         term_col = pa.array(
             np.concatenate([p_term, np.full(n_rows, "", dtype=object)]), pa.string()
@@ -321,6 +362,193 @@ def _empty_exploded() -> pa.Table:
             "doc_id": pa.array([], pa.int64()),
             "tf": pa.array([], pa.int64()),
             "gkey": pa.array([], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 1b — partition-local segment build (the scale path)
+# ---------------------------------------------------------------------------
+
+#: exploded-posting buffer budget per partition before an early flush
+#: writes a partial (doc-disjoint) sub-segment — the "per-partition
+#: spill" of the north star.  ~24 bytes/posting + term strings.
+DEFAULT_SPILL_ROWS = 8_000_000
+
+
+def _encode_partition_segment(
+    terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray, pid: int, buckets: int,
+    bucket_memo: dict,
+) -> pa.Table:
+    """Sort one partition's exploded (term, doc, tf) rows and encode
+    per-term posting rows (bucket assigned per term by hash)."""
+    import pandas as pd
+
+    if len(terms) == 0:
+        return _empty_segment()
+    codes, uniq = pd.factorize(terms)
+    uniq_order = np.argsort(uniq)
+    rank_of_code = np.empty(len(uniq), dtype=np.int64)
+    rank_of_code[uniq_order] = np.arange(len(uniq))
+    order = np.lexsort((docs, rank_of_code[codes]))
+    s_codes = rank_of_code[codes][order]
+    starts = np.flatnonzero(np.concatenate(([True], s_codes[1:] != s_codes[:-1])))
+    sorted_uniq = uniq[uniq_order]
+    enc = encode_posting_segments(docs[order], tfs[order], starts)
+    seg_terms = sorted_uniq[s_codes[starts]]
+    b = np.array(
+        [
+            bucket_memo.get(t)
+            if t in bucket_memo
+            else bucket_memo.setdefault(t, term_bucket(t, buckets))
+            for t in seg_terms
+        ],
+        dtype=np.int64,
+    )
+    out = {
+        "term": seg_terms.astype(object),
+        "partition_id": np.full(len(starts), pid, dtype=np.int64),
+        "bucket": b,
+        "df": enc["df"], "cf": enc["cf"], "max_tf": enc["max_tf"],
+        "first_doc": enc["first_doc"], "last_doc": enc["last_doc"],
+        "doc_blob": enc["doc_blob"], "tf_blob": enc["tf_blob"],
+        "bm_blob": enc["bm_blob"],
+    }
+    return _segment_table(out)
+
+
+def _atomic_write_table(table: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def build_partition_task(
+    batch: pa.Table,
+    *,
+    offsets_ref,
+    mode: str,
+    buckets: int,
+    strip_html: bool,
+    wave_tmp: str,
+    spill_rows: int = DEFAULT_SPILL_ROWS,
+) -> pa.Table:
+    """One task per input partition: stream its parquet fragments
+    (record-batch granularity), tokenize with the shared per-worker
+    state, accumulate exploded postings up to ``spill_rows``, and flush
+    sorted, compressed sub-segments.  Because input is consumed in doc
+    order, flushed sub-segments are doc-DISJOINT per term, so the merge
+    stage concatenates them like any other per-partition rows — spill
+    costs no extra merge complexity.
+
+    No shuffle: a partition's postings never leave the worker (gkey is
+    file-determined, SURVEY §4 skew note); the only all-to-all in the
+    build is the merge over compressed segment rows.  Segment and
+    doc-length files are written with deterministic names (idempotent
+    under Ray task retry); returns one stats row per partition
+    (manifest lineage/metrics)."""
+    key = (
+        offsets_ref.hex() if hasattr(offsets_ref, "hex") else id(offsets_ref),
+        mode,
+        buckets,
+        strip_html,
+    )
+    tok = _WORKER_TOKENIZERS.get(key)
+    if tok is None:
+        _WORKER_TOKENIZERS.clear()
+        tok = _WORKER_TOKENIZERS[key] = TokenizerActor(
+            offsets_ref, {}, mode, buckets, strip_html
+        )
+    out_rows = {
+        "partition_id": [], "n_docs": [], "n_tokens": [], "n_terms": [],
+        "n_postings": [], "n_flushes": [], "wall_s": [],
+    }
+    for row in range(batch.num_rows):
+        pid = int(batch["pid"][row].as_py())
+        files = batch["files"][row].as_py()
+        t0 = time.monotonic()
+        term_buf: list[np.ndarray] = []
+        doc_buf: list[np.ndarray] = []
+        tf_buf: list[np.ndarray] = []
+        dl_doc: list[np.ndarray] = []
+        dl_len: list[np.ndarray] = []
+        n_buf = 0
+        flush_i = 0
+        seen_terms: set = set()
+        n_postings = 0
+
+        def flush():
+            nonlocal n_buf, flush_i
+            if not n_buf:
+                return
+            seg = _encode_partition_segment(
+                np.concatenate(term_buf),
+                np.concatenate(doc_buf),
+                np.concatenate(tf_buf),
+                pid,
+                buckets,
+                tok._bucket_memo,
+            )
+            _atomic_write_table(
+                seg,
+                os.path.join(
+                    wave_tmp, "segments", f"pid-{pid:05d}-f{flush_i:03d}.parquet"
+                ),
+            )
+            seen_terms.update(seg["term"].to_pylist())
+            term_buf.clear()
+            doc_buf.clear()
+            tf_buf.clear()
+            n_buf = 0
+            flush_i += 1
+
+        for path in files:
+            pf = pq.ParquetFile(path)
+            for rb in pf.iter_batches(
+                batch_size=32768, columns=["conv_id", "turn_idx", "text"]
+            ):
+                tbl = pa.Table.from_batches([rb])
+                doc_ids, doc_len, p_row, p_term, p_tf, _ = tok.explode_arrays(tbl)
+                term_buf.append(p_term)
+                doc_buf.append(doc_ids[p_row])
+                tf_buf.append(p_tf)
+                dl_doc.append(doc_ids)
+                dl_len.append(doc_len)
+                n_buf += len(p_term)
+                n_postings += len(p_term)
+                if n_buf >= spill_rows:
+                    flush()
+        flush()
+        docs = np.concatenate(dl_doc) if dl_doc else np.empty(0, np.int64)
+        lens = np.concatenate(dl_len) if dl_len else np.empty(0, np.int64)
+        _atomic_write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(docs, pa.int64()),
+                    "doc_len": pa.array(lens, pa.int64()),
+                    "partition_id": pa.array(
+                        np.full(len(docs), pid), pa.int32()
+                    ),
+                }
+            ),
+            os.path.join(wave_tmp, "doclens", f"pid-{pid:05d}.parquet"),
+        )
+        out_rows["partition_id"].append(pid)
+        out_rows["n_docs"].append(int(len(docs)))
+        out_rows["n_tokens"].append(int(lens.sum()))
+        out_rows["n_terms"].append(len(seen_terms))
+        out_rows["n_postings"].append(int(n_postings))
+        out_rows["n_flushes"].append(flush_i)
+        out_rows["wall_s"].append(round(time.monotonic() - t0, 3))
+    return pa.table(
+        {
+            "partition_id": pa.array(out_rows["partition_id"], pa.int64()),
+            "n_docs": pa.array(out_rows["n_docs"], pa.int64()),
+            "n_tokens": pa.array(out_rows["n_tokens"], pa.int64()),
+            "n_terms": pa.array(out_rows["n_terms"], pa.int64()),
+            "n_postings": pa.array(out_rows["n_postings"], pa.int64()),
+            "n_flushes": pa.array(out_rows["n_flushes"], pa.int64()),
+            "wall_s": pa.array(out_rows["wall_s"], pa.float64()),
         }
     )
 
@@ -626,10 +854,13 @@ def build_index(
     n_partitions: int | None = None,
     buckets: int = DEFAULT_BUCKETS,
     wave_size: int | None = None,
-    batch_size: int = 4096,
+    batch_size: int | None = None,
     resume: bool = True,
     validate: bool = False,
     strip_html: bool = False,
+    use_actor_pool: bool = False,
+    pipeline: str = "local",
+    spill_rows: int = DEFAULT_SPILL_ROWS,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final meta dict.
 
@@ -712,29 +943,100 @@ def build_index(
         os.makedirs(os.path.join(wave_tmp, "segments"))
         os.makedirs(os.path.join(wave_tmp, "doclens"))
 
+        if pipeline == "local":
+            # partition-local build: one task per partition streams its
+            # fragments, tokenizes, and writes sorted sub-segments with
+            # bounded-memory spill — NO posting-row shuffle (the only
+            # all-to-all left is the merge over compressed segments)
+            descs = pa.table(
+                {
+                    "pid": pa.array(wave_pids, pa.int64()),
+                    "files": pa.array(
+                        [part_files[p] for p in wave_pids],
+                        pa.list_(pa.string()),
+                    ),
+                }
+            )
+            stats_tbl = (
+                rd.from_arrow(descs)
+                .repartition(len(wave_pids))
+                .map_batches(
+                    build_partition_task,
+                    fn_kwargs={
+                        "offsets_ref": offsets_ref,
+                        "mode": mode,
+                        "buckets": buckets,
+                        "strip_html": strip_html,
+                        "wave_tmp": wave_tmp,
+                        "spill_rows": spill_rows,
+                    },
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    num_cpus=1,
+                )
+                .to_pandas()  # one tiny stats row per partition
+            )
+            stage_times["partition_build"] = stage_times.get(
+                "partition_build", 0.0
+            ) + round(time.monotonic() - wave_t0, 3)
+            by_pid = {int(r.partition_id): r for r in stats_tbl.itertuples()}
+            manifest = {
+                "partitions": wave_pids,
+                "wall_s": round(time.monotonic() - wave_t0, 3),
+                "per_partition": {
+                    str(p): {
+                        "files": part_files[p],
+                        "n_docs": int(by_pid[p].n_docs) if p in by_pid else 0,
+                        "n_tokens": int(by_pid[p].n_tokens) if p in by_pid else 0,
+                        "n_terms": int(by_pid[p].n_terms) if p in by_pid else 0,
+                        "n_postings": int(by_pid[p].n_postings) if p in by_pid else 0,
+                        "n_flushes": int(by_pid[p].n_flushes) if p in by_pid else 0,
+                        "build_s": float(by_pid[p].wall_s) if p in by_pid else 0.0,
+                    }
+                    for p in wave_pids
+                },
+            }
+            _atomic_write_json(os.path.join(wave_tmp, "manifest.json"), manifest)
+            final = os.path.join(out_dir, "waves", wave_name)
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(wave_tmp, final)
+            continue
+
         ds = rd.read_parquet(
             wave_files,
             columns=["conv_id", "turn_idx", "text"],
             include_paths=True,
         )
-        exploded = ds.map_batches(
-            TokenizerActor,
-            fn_constructor_kwargs={
-                "offsets_ref": offsets_ref,
-                "path2pid": path2pid,
-                "mode": mode,
-                "buckets": buckets,
-                "strip_html": strip_html,
-            },
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=batch_size,
-            # start near-full: actor init is cheap (table lemmatizer) and
-            # an autoscaling ramp from 1 actor wastes most of the wave on
-            # a cold pool at high CPU counts
-            concurrency=(max(2, ncpu - 2), max(2, ncpu)),
-            num_cpus=1,
-        ).materialize()
+        tok_kwargs = {
+            "offsets_ref": offsets_ref,
+            "path2pid": path2pid,
+            "mode": mode,
+            "buckets": buckets,
+            "strip_html": strip_html,
+        }
+        if use_actor_pool:
+            exploded = ds.map_batches(
+                TokenizerActor,
+                fn_constructor_kwargs=tok_kwargs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
+                # start near-full: an autoscaling ramp from 1 actor wastes
+                # most of the wave on a cold pool at high CPU counts
+                concurrency=(max(2, ncpu - 2), max(2, ncpu)),
+                num_cpus=1,
+            ).materialize()
+        else:
+            # default: task-based with per-worker cached state (same
+            # load-once-per-worker semantics, no pool-startup tail)
+            exploded = ds.map_batches(
+                tokenize_batch,
+                fn_kwargs=tok_kwargs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
+                num_cpus=1,
+            ).materialize()
         t_tok = time.monotonic()
         stage_times["tokenize"] = stage_times.get("tokenize", 0.0) + round(
             t_tok - wave_t0, 3

@@ -137,6 +137,22 @@ def test_evict_drops_partition_rows(two_indexes):
         assert rows[0] == 0
 
 
+def test_pipelines_produce_identical_index(two_indexes):
+    """local (partition-task, default), shuffle (groupby), and
+    forced-spill local builds must emit byte-identical merged postings."""
+    from raysearch.build import build_index
+
+    corpus, full, tmp = two_indexes  # `full` was built with the default
+    for name, kw in (
+        ("shuffle", {"pipeline": "shuffle"}),
+        ("spill", {"pipeline": "local", "spill_rows": 200}),
+    ):
+        out = str(tmp / f"pipe_{name}")
+        build_index(corpus, out, mode="latin", n_partitions=4, **kw)
+        assert _postings_rows(out) == _postings_rows(full), name
+        assert _lexicon_rows(out) == _lexicon_rows(full), name
+
+
 def test_merge_skipped_when_up_to_date(two_indexes):
     from raysearch.build import build_index
 
