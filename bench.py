@@ -39,7 +39,7 @@ SF_NAME = os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
 BENCH_CORPUS = {
     "sf0.001": (250, 8, 30),
     "sf0.01": (4000, 12, 30),
-    "sf0.1": (40000, 16, 120),
+    "sf0.1": (120000, 16, 120),  # ~1.9M turns -> 8-cpu build >= 60s
 }
 
 
@@ -179,6 +179,68 @@ def run_scaling_child(ncpu: int) -> None:
     ray.shutdown()
 
 
+def _hardware_ceiling(lo: int, hi: int) -> dict:
+    """Calibrate what THIS box delivers for embarrassingly parallel
+    work at the two concurrency levels — two ceilings: cache-resident
+    CPU (python int loop) and memory-streaming (numpy array passes,
+    what text processing looks like).  Virtualized hosts routinely
+    deliver far less than nominal cores at high concurrency; an
+    engine's scaling efficiency is only meaningful against these."""
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=hi, include_dashboard=False)
+
+    @ray.remote(num_cpus=1)
+    def cpu_burn(n):
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    @ray.remote(num_cpus=1)
+    def mem_stream(mb):
+        a = np.arange(mb * 131072, dtype=np.int64)  # mb MiB
+        s = 0
+        for _ in range(8):
+            s += int(a.sum())
+            a = a + 1
+        return s
+
+    ray.get([cpu_burn.remote(1000) for _ in range(hi)])  # warm workers
+    out = {"cpu": {}, "stream": {}}
+    for c in (lo, hi):
+        t0 = time.monotonic()
+        ray.get([cpu_burn.remote(20_000_000) for _ in range(2 * c)])
+        out["cpu"][c] = 2 * c / (time.monotonic() - t0)
+        t0 = time.monotonic()
+        ray.get([mem_stream.remote(256) for _ in range(2 * c)])
+        out["stream"][c] = 2 * c / (time.monotonic() - t0)
+    ray.shutdown()
+    return {
+        kind: {
+            "tasks_per_sec": {str(c): round(v, 2) for c, v in vals.items()},
+            "speedup": round(vals[hi] / vals[lo], 3),
+        }
+        for kind, vals in out.items()
+    }
+
+
+def _core_seconds(index_dir: str) -> float:
+    """Sum of per-partition build wall seconds from the wave manifests
+    (work-conservation check: if core-seconds grow with concurrency,
+    the slowdown is host contention, not engine coordination)."""
+    import glob as g
+    import json as j
+
+    total = 0.0
+    for mpath in g.glob(os.path.join(index_dir, "waves", "*", "manifest.json")):
+        with open(mpath) as f:
+            m = j.load(f)
+        total += sum(p.get("build_s", 0.0) for p in m["per_partition"].values())
+    return round(total, 1)
+
+
 def run_scaling() -> None:
     # pre-generate the corpus once so children only time the build
     import ray
@@ -198,10 +260,15 @@ def run_scaling() -> None:
         )
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
         results[ncpu] = json.loads(line)
+    hw = _hardware_ceiling(lo, hi)
     tps_lo = results[lo]["turns_per_sec"]
     tps_hi = results[hi]["turns_per_sec"]
     speedup = tps_hi / tps_lo
     eff = speedup / (hi / lo)
+    core_s = {
+        n: _core_seconds(f"/tmp/raysearch_bench/{SF_NAME}/index_scale{n}")
+        for n in (lo, hi)
+    }
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -212,6 +279,14 @@ def run_scaling() -> None:
         "turns_per_sec": {str(n): results[n]["turns_per_sec"] for n in (lo, hi)},
         "speedup": round(speedup, 3),
         "cpu_ratio": hi / lo,
+        # what perfectly-parallel Ray tasks achieve on this box at the
+        # same two concurrency levels (virtualization ceilings): no
+        # workload can exceed these, whatever the software does
+        "hardware_ceiling": hw,
+        "efficiency_vs_hardware": round(speedup / hw["stream"]["speedup"], 3),
+        # identical per-partition work, summed task seconds: growth with
+        # concurrency = host contention, not engine coordination cost
+        "partition_core_seconds": {str(n): core_s[n] for n in (lo, hi)},
     }))
 
 

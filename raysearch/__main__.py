@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--wave-size", type=int, default=None)
     b.add_argument("--validate", action="store_true")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--strip-html", action="store_true")
+    b.add_argument(
+        "--pipeline", default="local", choices=["local", "shuffle"],
+        help="local: partition-task build, no posting shuffle (default); "
+        "shuffle: Dataset groupby(term-bucket) architecture",
+    )
 
     s = sub.add_parser("search", help="top-k query (GET /api/search analog)")
     s.add_argument("--index", required=True)
@@ -82,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
             wave_size=args.wave_size,
             resume=not args.no_resume,
             validate=args.validate,
+            strip_html=args.strip_html,
+            pipeline=args.pipeline,
         )
         print(json.dumps(meta, default=str))
         if owns:

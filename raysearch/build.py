@@ -6,17 +6,34 @@ services/RecursiveSearch.java:46-162 and
 services/IndexingServiceImpl.java:80-135) with a streaming Dataset
 pipeline:
 
+Two equivalent pipelines (byte-identical merged output, tested):
+
+``pipeline="local"`` (default — the scale path).  The shuffle key of
+the posting build is (input partition, term-bucket), and the partition
+is fully determined by the input file — so posting rows never need to
+cross workers.  One Ray task per partition streams its parquet
+fragments, tokenizes (per-worker cached lemmatizer state — the ST1
+load-once pattern), accumulates exploded postings to a budget and
+flushes sorted compressed sub-segments ("per-partition spill"); doc
+lengths and lineage stats are computed in-task.  The ONLY all-to-all
+left is the merge groupby over compressed segment rows — at 100 TB the
+big data moves zero times instead of once.
+
+``pipeline="shuffle"`` (the textbook architecture, kept selectable):
+
   read_parquet(transcripts)                       (S1/S2 analog)
-    → map_batches(TokenizerActor, pyarrow, zero-copy)   actor pool; the
-      dictionary is loaded once per actor in ``__init__`` — the
-      reference pays it once per page (RecursiveSearch.java:68)
+    → map_batches(tokenize, pyarrow, zero-copy)   task-based with
+      per-worker cached state by default (``use_actor_pool=True`` for
+      a classic actor pool); the reference pays dictionary load once
+      per page (RecursiveSearch.java:68), we pay once per worker
     → exploded (term, doc_id, tf) with per-doc partial aggregation
       already done in-batch (A1 analog, LemmaSearch.java:50-53)
     → groupby(partition, term-bucket) shuffle → posting segments with
       delta-gap+varint blobs (A2 analog: df comes from the shuffle,
       not a shared counter — contrast RecursiveSearch.java:150-162)
-    → LSM-style k-way merge of per-partition segments into the global
-      index + lexicon + meta (S6/S7 analog)
+
+Both then: LSM-style k-way merge of per-partition segments into the
+global index + lexicon + meta (S6/S7 analog).
 
 Deterministic doc_id: dense rank under stable (conv_id, turn_idx)
 order, realized WITHOUT a global sort — conv offsets are computed from
@@ -189,6 +206,20 @@ def file_conv_ranges(files: list[str]) -> list[dict]:
 #: (cold interpreter per actor); warm task workers cut the stage 2-3x.
 _WORKER_TOKENIZERS: dict[tuple, "TokenizerActor"] = {}
 
+_ARROW_PINNED = False
+
+
+def _pin_arrow_threads() -> None:
+    """Each Ray worker gets num_cpus=1, but pyarrow's internal pools
+    default to the MACHINE core count — 32 one-cpu workers would run
+    ~32x32 threads and per-task wall time measurably 4x-es from the
+    contention.  Pin once per worker process."""
+    global _ARROW_PINNED
+    if not _ARROW_PINNED:
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _ARROW_PINNED = True
+
 
 def tokenize_batch(
     batch: pa.Table,
@@ -209,6 +240,7 @@ def tokenize_batch(
     )
     tok = _WORKER_TOKENIZERS.get(key)
     if tok is None:
+        _pin_arrow_threads()
         _WORKER_TOKENIZERS.clear()  # one live build per worker is typical
         tok = _WORKER_TOKENIZERS[key] = TokenizerActor(
             offsets_ref, path2pid, mode, buckets, strip_html
@@ -240,6 +272,7 @@ class TokenizerActor:
     ):
         import ray
 
+        _pin_arrow_threads()
         offsets = (
             ray.get(offsets_ref)
             if isinstance(offsets_ref, ray.ObjectRef)
@@ -292,11 +325,8 @@ class TokenizerActor:
         texts = batch["text"]
         if self.strip_html:
             texts = self._strip_markup(texts)
-        parent, lemmas = self.lexer.token_parent_pairs(texts)
-        if len(lemmas):
-            import pandas as pd
-
-            codes, uniq = pd.factorize(lemmas)
+        parent, codes, uniq = self.lexer.token_parent_codes(texts)
+        if len(codes):
             n_uniq = len(uniq)
             key = parent.astype(np.int64) * n_uniq + codes
             uniq_keys, tf = np.unique(key, return_counts=True)
@@ -312,17 +342,16 @@ class TokenizerActor:
                 ],
                 dtype=np.int64,
             )
-            p_term = uniq[ucodes]
             p_tf = tf.astype(np.int64)
-            p_bucket = buckets[ucodes]
             doc_len = np.bincount(parent, minlength=n_rows).astype(np.int64)
         else:
             p_row = np.empty(0, dtype=np.int64)
-            p_term = np.empty(0, dtype=object)
+            ucodes = np.empty(0, dtype=np.int64)
             p_tf = np.empty(0, dtype=np.int64)
-            p_bucket = np.empty(0, dtype=np.int64)
+            buckets = np.empty(0, dtype=np.int64)
+            uniq = np.empty(0, dtype=object)
             doc_len = np.zeros(n_rows, dtype=np.int64)
-        return doc_ids, doc_len, p_row, p_term, p_tf, p_bucket
+        return doc_ids, doc_len, p_row, ucodes, p_tf, uniq, buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_rows = batch.num_rows
@@ -340,9 +369,14 @@ class TokenizerActor:
                 ],
                 dtype=np.int64,
             )
-        doc_ids, doc_len, p_row, p_term, p_tf, p_bucket = self.explode_arrays(batch)
+        doc_ids, doc_len, p_row, ucodes, p_tf, uniq, ubuckets = self.explode_arrays(
+            batch
+        )
+        p_term = uniq[ucodes] if len(ucodes) else np.empty(0, dtype=object)
         p_doc = doc_ids[p_row]
-        p_gkey = pids[p_row] * self.buckets + p_bucket
+        p_gkey = pids[p_row] * self.buckets + (
+            ubuckets[ucodes] if len(ucodes) else np.empty(0, dtype=np.int64)
+        )
 
         term_col = pa.array(
             np.concatenate([p_term, np.full(n_rows, "", dtype=object)]), pa.string()
@@ -377,23 +411,22 @@ DEFAULT_SPILL_ROWS = 8_000_000
 
 
 def _encode_partition_segment(
-    terms: np.ndarray, docs: np.ndarray, tfs: np.ndarray, pid: int, buckets: int,
-    bucket_memo: dict,
+    codes: np.ndarray, uniq_terms: np.ndarray, docs: np.ndarray,
+    tfs: np.ndarray, pid: int, buckets: int, bucket_memo: dict,
 ) -> pa.Table:
-    """Sort one partition's exploded (term, doc, tf) rows and encode
-    per-term posting rows (bucket assigned per term by hash)."""
-    import pandas as pd
-
-    if len(terms) == 0:
+    """Sort one partition's exploded (term-code, doc, tf) rows and
+    encode per-term posting rows (bucket assigned per term by hash).
+    Terms arrive as integer codes into ``uniq_terms`` — the Python-level
+    work is bounded by the partition VOCABULARY, not its postings."""
+    if len(codes) == 0:
         return _empty_segment()
-    codes, uniq = pd.factorize(terms)
-    uniq_order = np.argsort(uniq)
-    rank_of_code = np.empty(len(uniq), dtype=np.int64)
-    rank_of_code[uniq_order] = np.arange(len(uniq))
+    uniq_order = np.argsort(uniq_terms)
+    rank_of_code = np.empty(len(uniq_terms), dtype=np.int64)
+    rank_of_code[uniq_order] = np.arange(len(uniq_terms))
     order = np.lexsort((docs, rank_of_code[codes]))
     s_codes = rank_of_code[codes][order]
     starts = np.flatnonzero(np.concatenate(([True], s_codes[1:] != s_codes[:-1])))
-    sorted_uniq = uniq[uniq_order]
+    sorted_uniq = uniq_terms[uniq_order]
     enc = encode_posting_segments(docs[order], tfs[order], starts)
     seg_terms = sorted_uniq[s_codes[starts]]
     b = np.array(
@@ -455,6 +488,7 @@ def build_partition_task(
     )
     tok = _WORKER_TOKENIZERS.get(key)
     if tok is None:
+        _pin_arrow_threads()
         _WORKER_TOKENIZERS.clear()
         tok = _WORKER_TOKENIZERS[key] = TokenizerActor(
             offsets_ref, {}, mode, buckets, strip_html
@@ -467,14 +501,18 @@ def build_partition_task(
         pid = int(batch["pid"][row].as_py())
         files = batch["files"][row].as_py()
         t0 = time.monotonic()
-        term_buf: list[np.ndarray] = []
+        # partition-level vocabulary: batch-local codes are remapped to
+        # stable partition codes (Python work ∝ per-batch vocab, not
+        # postings); posting buffers are pure int64 arrays
+        part_vocab: dict[str, int] = {}
+        part_terms: list[str] = []
+        code_buf: list[np.ndarray] = []
         doc_buf: list[np.ndarray] = []
         tf_buf: list[np.ndarray] = []
         dl_doc: list[np.ndarray] = []
         dl_len: list[np.ndarray] = []
         n_buf = 0
         flush_i = 0
-        seen_terms: set = set()
         n_postings = 0
 
         def flush():
@@ -482,7 +520,8 @@ def build_partition_task(
             if not n_buf:
                 return
             seg = _encode_partition_segment(
-                np.concatenate(term_buf),
+                np.concatenate(code_buf),
+                np.array(part_terms, dtype=object),
                 np.concatenate(doc_buf),
                 np.concatenate(tf_buf),
                 pid,
@@ -495,8 +534,7 @@ def build_partition_task(
                     wave_tmp, "segments", f"pid-{pid:05d}-f{flush_i:03d}.parquet"
                 ),
             )
-            seen_terms.update(seg["term"].to_pylist())
-            term_buf.clear()
+            code_buf.clear()
             doc_buf.clear()
             tf_buf.clear()
             n_buf = 0
@@ -508,14 +546,24 @@ def build_partition_task(
                 batch_size=32768, columns=["conv_id", "turn_idx", "text"]
             ):
                 tbl = pa.Table.from_batches([rb])
-                doc_ids, doc_len, p_row, p_term, p_tf, _ = tok.explode_arrays(tbl)
-                term_buf.append(p_term)
-                doc_buf.append(doc_ids[p_row])
-                tf_buf.append(p_tf)
+                doc_ids, doc_len, p_row, ucodes, p_tf, uniq, _ = (
+                    tok.explode_arrays(tbl)
+                )
+                if len(ucodes):
+                    remap = np.empty(len(uniq), dtype=np.int64)
+                    for i, t in enumerate(uniq):
+                        c = part_vocab.get(t)
+                        if c is None:
+                            c = part_vocab[t] = len(part_terms)
+                            part_terms.append(t)
+                        remap[i] = c
+                    code_buf.append(remap[ucodes])
+                    doc_buf.append(doc_ids[p_row])
+                    tf_buf.append(p_tf)
                 dl_doc.append(doc_ids)
                 dl_len.append(doc_len)
-                n_buf += len(p_term)
-                n_postings += len(p_term)
+                n_buf += len(ucodes)
+                n_postings += len(ucodes)
                 if n_buf >= spill_rows:
                     flush()
         flush()
@@ -536,7 +584,7 @@ def build_partition_task(
         out_rows["partition_id"].append(pid)
         out_rows["n_docs"].append(int(len(docs)))
         out_rows["n_tokens"].append(int(lens.sum()))
-        out_rows["n_terms"].append(len(seen_terms))
+        out_rows["n_terms"].append(len(part_terms))
         out_rows["n_postings"].append(int(n_postings))
         out_rows["n_flushes"].append(flush_i)
         out_rows["wall_s"].append(round(time.monotonic() - t0, 3))
@@ -567,6 +615,7 @@ def build_bucket_postings(group: pa.Table, buckets: int) -> pa.Table:
     per-term doc count within the partition."""
     import pandas as pd
 
+    _pin_arrow_threads()
     if group.num_rows == 0:
         return _empty_segment()
     gkey = int(group["gkey"][0].as_py())
@@ -636,6 +685,7 @@ def merge_bucket(group: pa.Table) -> pa.Table:
     terms (df≈N) emit multiple chunk rows instead of one giant blob."""
     import pandas as pd
 
+    _pin_arrow_threads()
     if group.num_rows == 0:
         return _empty_merged()
     terms = group["term"].to_numpy(zero_copy_only=False)
@@ -730,6 +780,67 @@ def _merged_table(out: dict) -> pa.Table:
 
 def _empty_merged() -> pa.Table:
     return _merged_table({f.name: [] for f in _merged_schema()})
+
+
+def _split_by_bucket(path: str, buckets: int) -> list[pa.Table]:
+    """Map side of the merge exchange: one segment file → per-bucket
+    sub-tables (rows already carry their bucket)."""
+    _pin_arrow_threads()
+    t = pq.read_table(path)
+    b = t["bucket"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    sorted_t = t.take(pa.array(order))
+    sb = b[order]
+    out = []
+    counts = np.bincount(sb, minlength=buckets)
+    pos = 0
+    for n in counts:
+        out.append(sorted_t.slice(pos, int(n)))
+        pos += int(n)
+    return out
+
+
+def _merge_bucket_task(out_path: str, *tables: pa.Table) -> int:
+    """Reduce side: merge one bucket's rows from every segment file and
+    write the merged posting rows (atomic rename; idempotent)."""
+    _pin_arrow_threads()
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return 0
+    merged = merge_bucket(pa.concat_tables(live))
+    if merged.num_rows:
+        _atomic_write_table(merged, out_path)
+    return merged.num_rows
+
+
+def run_merge(seg_files: list[str], out_dir: str, buckets: int) -> None:
+    """LSM merge as an explicit two-phase Ray-task exchange.
+
+    Ray Data's ``groupby("bucket").map_groups`` key-SORTS the blocks;
+    sorting rows whose payload is KB-sized binary blobs measured 24s for
+    150 MB of segments at 32 CPUs (hash shuffle: 83-120s).  The
+    semantics only need partitioning, not order, so this does it
+    directly: one map task per segment file splits rows by bucket
+    (num_returns=buckets), one reduce task per bucket concatenates its
+    sub-tables, merges, and writes — same data movement a multi-node
+    shuffle needs, none of the sort.  This is the one deliberate raw
+    ``@ray.remote`` stage in the engine (SURVEY §2 guidance: drop below
+    the Dataset API only where it can't express the semantics)."""
+    import ray
+
+    split_remote = ray.remote(num_cpus=1, num_returns=buckets)(_split_by_bucket)
+    merge_remote = ray.remote(num_cpus=1)(_merge_bucket_task)
+    parts = [split_remote.remote(f, buckets) for f in seg_files]
+    if buckets == 1:
+        parts = [[p] for p in parts]
+    futs = [
+        merge_remote.remote(
+            os.path.join(out_dir, f"bucket-{b:04d}.parquet"),
+            *[p[b] for p in parts],
+        )
+        for b in range(buckets)
+    ]
+    ray.get(futs)
 
 
 # ---------------------------------------------------------------------------
@@ -1136,9 +1247,7 @@ def build_index(
         glob.glob(os.path.join(out_dir, "waves", "*", "segments", "*.parquet"))
     )
     t_m0 = time.monotonic()
-    seg_ds = rd.read_parquet(seg_files)
-    merged = seg_ds.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
-    merged.write_parquet(os.path.join(merged_tmp, "postings"))
+    run_merge(seg_files, os.path.join(merged_tmp, "postings"), buckets)
     stage_times["merge"] = round(time.monotonic() - t_m0, 3)
 
     import duckdb

@@ -167,6 +167,12 @@ class Lexer:
         self._strip = re.compile(strip_re)
         self._ws = re.compile(r"\s+")
         self.lemma_fn = lemma_fn
+        # latin/simple alphabets strip every non-ASCII char anyway, so
+        # the cheaper ASCII lowercase kernel is result-identical there;
+        # reference (Russian) mode needs full utf8 lowering
+        self._batch_lower = (
+            pc.utf8_lower if mode == "reference" else pc.ascii_lower
+        )
         # per-instance memo: surface form -> lemma or None (dropped)
         self._memo: dict[str, str | None] = {}
 
@@ -220,23 +226,26 @@ class Lexer:
 
     # -- vectorized batch path (build pipeline hot loop) -------------------
 
-    def token_parent_pairs(
+    def token_parent_codes(
         self, texts: pa.ChunkedArray | pa.Array
-    ) -> tuple[np.ndarray, list[str]]:
-        """Vectorized tokenize of a batch of texts.
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized tokenize of a batch of texts, codes form.
 
-        Returns ``(parent_idx, lemmas)`` where ``parent_idx[i]`` is the
-        row index owning token i and ``lemmas[i]`` its lemma, stop words
-        and blanks already dropped.  Vectorization strategy: Arrow
-        kernels (utf8_lower, replace_substring_regex, split) produce the
-        flat token array; the per-token lemma lookup is done once per
-        DISTINCT surface form in the batch (dictionary-encode, then map
-        the small dictionary) and broadcast back by take — the Python
-        loop runs over unique tokens, not tokens.
+        Returns ``(parent_idx, lemma_codes, uniq_lemmas)`` where
+        ``parent_idx[i]`` is the row index owning kept token i,
+        ``lemma_codes[i]`` indexes into ``uniq_lemmas`` (object array of
+        distinct lemma strings), stop words and blanks already dropped.
+        Vectorization strategy: Arrow kernels (utf8_lower,
+        replace_substring_regex, split) produce the flat token array;
+        the per-token lemma lookup runs once per DISTINCT surface form
+        (dictionary-encode) and is broadcast back as INTEGER codes — no
+        materialized per-token object array, no downstream re-factorize
+        (per-token Python-object traffic measurably dominates the
+        tokenize stage's memory bandwidth at batch sizes ~10^6 tokens).
         """
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        lowered = pc.utf8_lower(texts)
+        lowered = self._batch_lower(texts)
         if self.joins:
             cleaned = pc.replace_substring_regex(lowered, self.strip_re, "")
             tokens = pc.split_pattern_regex(cleaned, r"\s+")
@@ -249,17 +258,33 @@ class Lexer:
             dictized = dictized.combine_chunks()
         indices = dictized.indices.to_numpy(zero_copy_only=False)
         uniques = dictized.dictionary.to_pylist()
-        # map unique surface forms -> lemma (or None), via the memo
+        # surface code -> lemma code (or -1 dropped), Python only over uniques
         resolve = self._resolve
-        uniq_lemmas = [resolve(u) for u in uniques]
-        keep_uniq = np.array([l is not None for l in uniq_lemmas], dtype=bool)
-        keep = keep_uniq[indices]
-        kept_idx = indices[keep]
-        parent = parent[keep]
-        lemmas_by_uniq = np.array(
-            [l if l is not None else "" for l in uniq_lemmas], dtype=object
-        )
-        return parent, lemmas_by_uniq[kept_idx]
+        lemma_ids: dict[str, int] = {}
+        uniq_lemmas: list[str] = []
+        surf2lemma = np.empty(len(uniques), dtype=np.int64)
+        for i, u in enumerate(uniques):
+            lemma = resolve(u)
+            if lemma is None:
+                surf2lemma[i] = -1
+                continue
+            code = lemma_ids.get(lemma)
+            if code is None:
+                code = lemma_ids[lemma] = len(uniq_lemmas)
+                uniq_lemmas.append(lemma)
+            surf2lemma[i] = code
+        codes = surf2lemma[indices]
+        keep = codes >= 0
+        return parent[keep], codes[keep], np.array(uniq_lemmas, dtype=object)
+
+    def token_parent_pairs(
+        self, texts: pa.ChunkedArray | pa.Array
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Compatibility wrapper over :meth:`token_parent_codes`:
+        returns ``(parent_idx, lemmas)`` with the per-token lemma
+        strings materialized (object array)."""
+        parent, codes, uniq = self.token_parent_codes(texts)
+        return parent, uniq[codes] if len(codes) else np.empty(0, dtype=object)
 
 
 # ---------------------------------------------------------------------------
