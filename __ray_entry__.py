@@ -354,6 +354,19 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.9, n_planes=6)
 
 
+def _q_embedding_near_dup_exact(sf_dir: str):
+    """Brute-force (n_planes=0) variant at a threshold the synthetic
+    embeddings actually reach — SQL-oracle value-checked."""
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import embedding_near_dup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return embedding_near_dup(ds, threshold=0.4, n_planes=0)
+
+
 def _q_ivf_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -423,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "ivf_topk": _q_ivf_topk,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -500,6 +514,14 @@ def oracle_sql() -> dict[str, str]:
             f"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank "
             f"FROM scored) "
             f"SELECT query_id, rank, vec_id, score FROM ranked WHERE rank < {ANN_K}"
+        ),
+        "embedding_near_dup_exact": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4"
         ),
         "events_window": (
             "SELECT event_type, date_trunc('day', ts) AS window_start, "

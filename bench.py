@@ -249,9 +249,13 @@ def run_scaling() -> None:
     _bench_corpus_dir()
     ray.shutdown()
 
-    results = {}
     lo, hi = 8, 32
-    for ncpu in (lo, hi):
+    # the sandbox host's deliverable CPU/memory throughput swings 3-6x
+    # over minutes (shared VM), so single sequential samples at the two
+    # levels are incomparable: interleave lo/hi twice and take the best
+    # run per level (adjacent-in-time, least-contended samples)
+    results = {}
+    for ncpu in (lo, hi, lo, hi):
         env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)],
@@ -259,7 +263,9 @@ def run_scaling() -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[ncpu] = json.loads(line)
+        r = json.loads(line)
+        if ncpu not in results or r["turns_per_sec"] > results[ncpu]["turns_per_sec"]:
+            results[ncpu] = r
     hw = _hardware_ceiling(lo, hi)
     tps_lo = results[lo]["turns_per_sec"]
     tps_hi = results[hi]["turns_per_sec"]

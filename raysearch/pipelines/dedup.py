@@ -348,8 +348,10 @@ def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, seed: int
         ii, jj = np.where(np.triu(sim >= threshold, k=1))
         a = np.minimum(ids[ii], ids[jj])
         b = np.maximum(ids[ii], ids[jj])
+        from raysearch.util import round_half_away
+
         return pd.DataFrame(
-            {"vec_a": a, "vec_b": b, "cosine": np.round(sim[ii, jj], 4)}
+            {"vec_a": a, "vec_b": b, "cosine": round_half_away(sim[ii, jj], 4)}
         )
 
     pairs = (

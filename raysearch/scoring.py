@@ -73,6 +73,8 @@ def intersect_postings(
     per-term tf arrays aligned to candidates, same order as input)."""
     if not postings:
         return np.empty(0, dtype=np.int64), []
+    if len(postings) == 1:  # no intersection, tfs already aligned
+        return postings[0].doc_ids, [postings[0].tfs]
     cand = postings[0].doc_ids
     for p in postings[1:]:
         if cand.size == 0 or p.doc_ids.size == 0:
@@ -95,6 +97,13 @@ def bm25_idf(df: int, n_docs: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
 
+def precompute_norms(doc_lens: np.ndarray, avg_doc_len: float) -> np.ndarray:
+    """Per-doc BM25 length normalization, computed once per index
+    (bit-identical to the inline formula in score_candidates)."""
+    dl = doc_lens.astype(np.float64)
+    return BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avg_doc_len))
+
+
 def score_candidates(
     cand: np.ndarray,
     tf_cols: list[np.ndarray],
@@ -103,9 +112,12 @@ def score_candidates(
     avg_doc_len: float,
     doc_lens: np.ndarray,
     scorer: str = "bm25",
+    doc_norms: np.ndarray | None = None,
 ) -> np.ndarray:
     """Float64 scores for candidate docs; summation order pinned
-    (term-by-term in the given rarest-first order, docs ascending)."""
+    (term-by-term in the given rarest-first order, docs ascending).
+    ``doc_norms`` may carry :func:`precompute_norms` output (identical
+    IEEE ops, hoisted out of the per-query path)."""
     if cand.size == 0:
         return np.empty(0, dtype=np.float64)
     if scorer == "reference":
@@ -116,8 +128,11 @@ def score_candidates(
         return abs_rank.astype(np.float64) / float(abs_rank.max())
     if scorer != "bm25":
         raise ValueError(f"unknown scorer {scorer!r}")
-    dl = doc_lens[cand].astype(np.float64)
-    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avg_doc_len))
+    if doc_norms is not None:
+        norm = doc_norms[cand]
+    else:
+        dl = doc_lens[cand].astype(np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avg_doc_len))
     scores = np.zeros(cand.size, dtype=np.float64)
     for tfs, p in zip(tf_cols, postings):
         idf = bm25_idf(p.df, n_docs)
@@ -132,9 +147,17 @@ def rank_results(
     """K3 with pinned tie-break: score desc, doc_id asc; top-k slice.
 
     ``cand`` ascending ⇒ a stable sort on (-score) yields doc_id-asc
-    ties for free."""
+    ties for free.  For k ≪ n an O(n) partition preselects the
+    tie-inclusive top slice first — flatnonzero keeps doc-ascending
+    order within the slice, so the stable sort over the slice is
+    rank-identical to the full sort."""
     if cand.size == 0:
         return cand, scores
+    if 0 <= k < cand.size:
+        kth = np.partition(scores, cand.size - k)[cand.size - k]
+        idx = np.flatnonzero(scores >= kth)
+        order = np.argsort(-scores[idx], kind="stable")[:k]
+        return cand[idx][order], scores[idx][order]
     order = np.argsort(-scores, kind="stable")
     if k >= 0:
         order = order[:k]
@@ -149,6 +172,7 @@ def search_postings(
     k: int = 10,
     scorer: str = "bm25",
     doc_range: tuple[int, int] | None = None,
+    doc_norms: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Full shared query path over already-fetched postings
     (rarest-first order).  ``doc_range=(lo, hi)`` is the optional
@@ -164,7 +188,7 @@ def search_postings(
         postings = scoped
     cand, tf_cols = intersect_postings(postings)
     scores = score_candidates(
-        cand, tf_cols, postings, n_docs, avg_doc_len, doc_lens, scorer
+        cand, tf_cols, postings, n_docs, avg_doc_len, doc_lens, scorer, doc_norms
     )
     top_ids, top_scores = rank_results(cand, scores, k)
     return top_ids, top_scores, int(cand.size)

@@ -91,7 +91,7 @@ class IndexSearcher:
         self._term_cache: OrderedDict[str, TermPostings] = OrderedDict()
         self._term_cache_bytes = 0
         self._term_cache_budget = int(
-            os.environ.get("RAYSEARCH_TERM_CACHE_BYTES", str(256 << 20))
+            os.environ.get("RAYSEARCH_TERM_CACHE_BYTES", str(1 << 30))
         )
         self._bm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
@@ -104,6 +104,9 @@ class IndexSearcher:
         ):
             t = pq.read_table(p, columns=["doc_id", "doc_len"])
             self.doc_lens[t["doc_id"].to_numpy()] = t["doc_len"].to_numpy()
+        from raysearch.scoring import precompute_norms
+
+        self.doc_norms = precompute_norms(self.doc_lens, self.avg_doc_len)
 
         # conv scope ranges (J4 analog) + doc→(conv, turn) inverse
         offsets = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
@@ -229,6 +232,7 @@ class IndexSearcher:
             k=k,
             scorer=scorer,
             doc_range=doc_range,
+            doc_norms=self.doc_norms,
         )
 
     # -- disjunctive block-max WAND top-k ----------------------------------
