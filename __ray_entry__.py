@@ -244,6 +244,22 @@ def _q_events_window(sf_dir: str):
     return events_window(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
 
 
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import sessionize
+
+    return sessionize(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
+def _q_asof_last_error(sf_dir: str):
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import asof_last_event
+
+    return asof_last_event(rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
+
+
 def _q_revenue(sf_dir: str):
     import ray.data as rd
 
@@ -425,6 +441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "ann_cosine_topk": _q_ann_cosine,
         "events_window": _q_events_window,
+        "events_sessionize": _q_sessionize,
+        "events_asof_join": _q_asof_last_error,
         "revenue_by_flag": _q_revenue,
         "top_customers": _q_top_customers,
         # transcripts engine + non-SQL ops (rows-only driver checks;
@@ -527,6 +545,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('day', ts) AS window_start, "
             "count(*) AS n_events, round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH e AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM e) "
+            "SELECT user_id, session_id, min(ts) AS session_start, "
+            "max(ts) AS session_end, count(*) AS n_events, "
+            "round(sum(value), 4) AS sum_value FROM s GROUP BY 1, 2"
+        ),
+        "events_asof_join": (
+            "SELECT event_id, user_id, ts, "
+            "max(CASE WHEN event_type = 'error' THEN ts END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_match_ts "
+            "FROM events"
         ),
         "revenue_by_flag": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

@@ -96,6 +96,81 @@ def top_customers(orders, customer, k: int = 10):
     )
 
 
+def sessionize(events, gap_minutes: int = 30):
+    """Gap-based sessionization (the classic stateful streaming window
+    as a batch operator): per user, events sorted by (ts, event_id);
+    a new session starts when the gap to the previous event exceeds
+    ``gap_minutes``.  Output: one row per session with bounds, count,
+    rounded value sum.
+
+    Ray mapping: ``groupby(user_id).map_groups`` — the one shuffle
+    moves (user_id, ts, event_id, value) rows only; per-group state is
+    a vectorized diff/cumsum, bounded by a single user's history.  At
+    skew (one bot user with 10^9 events) the group would need
+    splitting by time range with session stitching at the seams —
+    documented assumption: per-user event count fits a worker."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        gap = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        brk = np.concatenate(([0], (gap > gap_minutes * 60_000_000).astype(np.int64)))
+        sid = np.cumsum(brk)
+        g = g.assign(session_id=sid)
+        out = (
+            g.groupby("session_id", sort=True)
+            .agg(
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["sum_value"] = round_half_away(out["sum_value"].to_numpy(), 4)
+        return out
+
+    return (
+        events.select_columns(["user_id", "ts", "event_id", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def asof_last_event(events, match_type: str = "error"):
+    """As-of self-join: for every event, the timestamp of the same
+    user's most recent STRICTLY PRIOR event of ``match_type`` (NaT when
+    none) — the canonical as-of-join shape (trade→quote) over the
+    events table.
+
+    Ray mapping: ``groupby(user_id).map_groups`` with a vectorized
+    shifted forward-fill inside the group; same partitioning assumption
+    as :func:`sessionize`."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        is_m = (g["event_type"] == match_type).to_numpy()
+        ts = g["ts"].to_numpy()
+        # value available to row i = last match ts among rows < i
+        carry = pd.Series(np.where(is_m, ts, np.datetime64("NaT")))
+        prev = carry.shift(1).ffill().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "ts": ts,
+                "prev_match_ts": prev,
+            }
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
 def events_window(events, window: str = "day"):
     """Tumbling window aggregate: (event_type, window_start) → count,
     rounded value sum.  Event time = ``ts``; the bucket column is
