@@ -88,47 +88,119 @@ def exact_dedup(ds):
 # ---------------------------------------------------------------------------
 
 
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_MIX3 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix_step(acc: np.ndarray, nxt: np.ndarray) -> np.ndarray:
+    """One round of a splitmix-style combiner (uint64 wraparound)."""
+    x = (acc ^ (nxt * _MIX1)) * _MIX2
+    return x ^ (x >> np.uint64(31))
+
+
 class _MinHashSigs:
     """Per-batch: word shingles → n_perm MinHash values → banded rows
-    (doc_id, band, band_hash).  Vectorized: all shingle hashes for the
-    batch in one array, permutations applied as one (n_shingle × n_perm)
-    broadcast, per-doc minima via np.minimum.reduceat."""
+    (doc_id, band, band_hash).  Fully vectorized: per-UNIQUE-token
+    stable hashes, rolling k-gram combination via integer mixing (no
+    per-shingle string building or hashlib), permutations as one
+    (n_shingle × n_perm) broadcast, per-doc minima via
+    np.minimum.reduceat, band keys by vectorized mixing."""
 
     def __init__(self, n_perm: int = 64, bands: int = 16, shingle: int = 3):
         self.lexer = Lexer("simple")
         self.n_perm, self.bands, self.shingle = n_perm, bands, shingle
         self.rows_per_band = n_perm // bands
         self.a, self.b = _minhash_params(n_perm)
+        self._tok_hash_memo: dict[str, int] = {}
 
-    def _shingles(self, tokens: list[str]) -> list[str]:
-        k = self.shingle
-        if len(tokens) < k:
-            return [" ".join(tokens)] if tokens else []
-        return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    def _uniq_hashes(self, uniq: np.ndarray) -> np.ndarray:
+        memo = self._tok_hash_memo
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = memo.get(t)
+            if h is None:
+                h = memo[t] = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+                )
+            out[i] = h
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parent, codes, uniq = self.lexer.token_parent_codes(batch["text"])
+        k = self.shingle
+        if not len(codes):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                }
+            )
+        th = self._uniq_hashes(uniq)[codes]
+        n = len(th)
+        # token counts per row (docs ordered; parent nondecreasing)
+        row_starts = np.searchsorted(parent, np.arange(batch.num_rows))
+        row_counts = np.diff(np.concatenate((row_starts, [n])))
+
+        # rolling k-gram mix at positions whose full window stays in-doc
+        if n >= k:
+            m = n - k + 1
+            sh = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                sh = _mix_step(sh, th[j : j + m])
+            valid = parent[:m] == parent[k - 1 :]
+            sh_parent = parent[:m][valid]
+            sh = sh[valid]
+        else:
+            sh = np.empty(0, dtype=np.uint64)
+            sh_parent = np.empty(0, dtype=np.int64)
+        # short docs (1..k-1 tokens): one shingle over all their tokens
+        short_rows = np.flatnonzero((row_counts > 0) & (row_counts < k))
+        if len(short_rows):
+            extra = []
+            for r in short_rows:
+                s, c = row_starts[r], row_counts[r]
+                acc = np.zeros(1, dtype=np.uint64)
+                for j in range(int(c)):
+                    acc = _mix_step(acc, th[s + j : s + j + 1])
+                extra.append(acc[0])
+            sh = np.concatenate((sh, np.array(extra, dtype=np.uint64)))
+            sh_parent = np.concatenate((sh_parent, short_rows))
+            order = np.argsort(sh_parent, kind="stable")
+            sh, sh_parent = sh[order], sh_parent[order]
+
+        if not len(sh):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                }
+            )
+        h = sh % MERSENNE
+        perm = (h[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE
+        doc_bounds = np.flatnonzero(
+            np.concatenate(([True], sh_parent[1:] != sh_parent[:-1]))
+        )
+        sig = np.minimum.reduceat(perm, doc_bounds, axis=0)  # (docs, n_perm)
+        sig_docs = doc_ids[sh_parent[doc_bounds]]
+
         out_doc, out_band, out_hash = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sh = self._shingles(self.lexer.tokenize(text))
-            if not sh:
-                continue
-            h = _stable_u64(sh) % MERSENNE
-            # (n_shingle, n_perm) universal hashes → column minima
-            perm = (h[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE
-            sig = perm.min(axis=0)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_hash.append(bh)
+        for band in range(self.bands):
+            cols = sig[:, band * self.rows_per_band : (band + 1) * self.rows_per_band]
+            acc = np.full(len(sig), np.uint64(band + 1), dtype=np.uint64)
+            for j in range(self.rows_per_band):
+                acc = _mix_step(acc, cols[:, j].astype(np.uint64))
+            out_doc.append(sig_docs)
+            out_band.append(np.full(len(sig), band, dtype=np.int32))
+            out_hash.append(acc)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
             }
         )
 
@@ -239,31 +311,42 @@ class _SimHash:
         return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "simhash": [], "band": [], "band_key": []}
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks = self.lexer.tokenize(text)
-            if not toks:
-                continue
-            codes, uniq = pd.factorize(np.array(toks, dtype=object))
-            weights = np.bincount(codes)
-            acc = np.zeros(64, dtype=np.int64)
-            for u, w in zip(uniq, weights):
-                acc += w * self._bits(u)
-            bits = (acc > 0).astype(np.uint64)
-            sim = int((bits << np.arange(64, dtype=np.uint64)).sum())
-            for band in range(4):
-                out["doc_id"].append(doc_id)
-                out["simhash"].append(sim)
-                out["band"].append(band)
-                out["band_key"].append((sim >> (16 * band)) & 0xFFFF)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parent, codes, uniq = self.lexer.token_parent_codes(batch["text"])
+        if not len(codes):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.uint64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                }
+            )
+        # ±1 bit matrix over the batch's UNIQUE tokens (memoized)
+        bit_rows = np.stack([self._bits(t) for t in uniq])  # (n_uniq, 64)
+        n_uniq = len(uniq)
+        key = parent.astype(np.int64) * n_uniq + codes
+        ukeys, cnt = np.unique(key, return_counts=True)
+        rows = ukeys // n_uniq
+        ucs = ukeys % n_uniq
+        contrib = cnt[:, None] * bit_rows[ucs]  # (pairs, 64)
+        starts = np.flatnonzero(np.concatenate(([True], rows[1:] != rows[:-1])))
+        acc = np.add.reduceat(contrib, starts, axis=0)  # (docs, 64)
+        present_docs = doc_ids[rows[starts]]
+        bits = (acc > 0).astype(np.uint64)
+        sims = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        nd = len(sims)
+        bands = np.repeat(np.arange(4, dtype=np.int32), nd)
+        sims_r = np.tile(sims, 4)
+        keys = (sims_r >> (np.uint64(16) * bands.astype(np.uint64))) & np.uint64(
+            0xFFFF
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "simhash": pa.array(out["simhash"], pa.uint64()),
-                "band": pa.array(out["band"], pa.int32()),
-                "band_key": pa.array(out["band_key"], pa.int64()),
+                "doc_id": pa.array(np.tile(present_docs, 4), pa.int64()),
+                "simhash": pa.array(sims_r, pa.uint64()),
+                "band": pa.array(bands, pa.int32()),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
             }
         )
 

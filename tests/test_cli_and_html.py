@@ -84,6 +84,34 @@ def test_cli_search_stats_rebuild(ray_session, tiny_corpus, tmp_path, capsys):
     assert rc == 0 and meta["n_docs"] == st["total"]["docs"]
 
 
+def test_reference_mode_build_and_search(ray_session, tiny_corpus, tmp_path):
+    """End-to-end reference (Russian) mode: the golden sentences
+    embedded in the corpus must be findable via lemmatized queries, and
+    the engine must stay rank-identical to the oracle (the Latin filler
+    text is stripped entirely by the [^а-я\\s] alphabet rule)."""
+    from raysearch.build import build_index
+    from raysearch.oracle import Oracle
+    from raysearch.search import IndexSearcher
+
+    out = str(tmp_path / "ru_idx")
+    build_index(tiny_corpus, out, mode="reference", n_partitions=2)
+    s = IndexSearcher(out)
+    o = Oracle(tiny_corpus, mode="reference")
+    lex = set(s._lex_index)
+    assert {"леопард", "осетия", "обитать", "повторный"} <= lex
+    assert not any(t.isascii() and t for t in lex)  # Latin stripped
+    for q in ("леопард", "обитает леопарда", "северного кавказа", "появление"):
+        ids_e, sc_e, tot_e = s.search(q, k=10, scorer="bm25")
+        ids_o, sc_o, tot_o = o.search(q, k=10, scorer="bm25")
+        assert ids_e.tolist() == ids_o.tolist(), q
+        assert sc_e.tolist() == sc_o.tolist(), q
+        assert tot_e == tot_o
+    # inflected surface form reaches the same lemma posting
+    ids_a, _, _ = s.search("леопарда", k=10)
+    ids_b, _, _ = s.search("леопард", k=10)
+    assert ids_a.tolist() == ids_b.tolist() and len(ids_a) > 0
+
+
 def test_cli_rejects_unknown_mode():
     from raysearch import __main__ as cli
 
