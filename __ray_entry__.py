@@ -333,6 +333,25 @@ def _q_transcripts_bm25(sf_dir: str):
     return _search_batch(sf_dir, "bm25")
 
 
+def _q_transcripts_bm25_sharded(sf_dir: str):
+    """Distributed query path: 3 doc-range shard actors, driver merge;
+    pytest asserts bit-identical ranking to the single searcher."""
+    import pandas as pd
+
+    from raysearch.search import ShardedSearcher
+
+    _, index = _corpus_and_index(sf_dir)
+    sharded = ShardedSearcher(index, n_shards=3)
+    rows = []
+    for qid, q in enumerate(_transcript_queries()):
+        ids, scores, _ = sharded.search(q, k=10)
+        for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist())):
+            rows.append(
+                {"query_id": qid, "rank": rank, "doc_id": d, "score": s}
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
 def _q_transcripts_reference(sf_dir: str):
     return _search_batch(sf_dir, "reference")
 
@@ -450,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_lexicon": _q_transcripts_lexicon,
         "transcripts_stats": _q_transcripts_stats,
         "transcripts_bm25": _q_transcripts_bm25,
+        "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
         "transcripts_reference": _q_transcripts_reference,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,

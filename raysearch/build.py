@@ -828,6 +828,13 @@ def run_merge(seg_files: list[str], out_dir: str, buckets: int) -> None:
     the Dataset API only where it can't express the semantics)."""
     import ray
 
+    todo = [
+        b
+        for b in range(buckets)
+        if not os.path.exists(os.path.join(out_dir, f"bucket-{b:04d}.parquet"))
+    ]
+    if not todo:
+        return
     split_remote = ray.remote(num_cpus=1, num_returns=buckets)(_split_by_bucket)
     merge_remote = ray.remote(num_cpus=1)(_merge_bucket_task)
     parts = [split_remote.remote(f, buckets) for f in seg_files]
@@ -838,7 +845,7 @@ def run_merge(seg_files: list[str], out_dir: str, buckets: int) -> None:
             os.path.join(out_dir, f"bucket-{b:04d}.parquet"),
             *[p[b] for p in parts],
         )
-        for b in range(buckets)
+        for b in todo
     ]
     ray.get(futs)
 
@@ -1239,9 +1246,19 @@ def build_index(
             meta = json.load(f)
         if meta.get("waves") == waves:
             return meta
+    # merge checkpoint: keep a partially-completed _tmp_merged (its
+    # bucket files are atomic) when it was built from the SAME wave
+    # set; run_merge then skips finished buckets
     merged_tmp = os.path.join(out_dir, "_tmp_merged")
-    shutil.rmtree(merged_tmp, ignore_errors=True)
-    os.makedirs(os.path.join(merged_tmp, "postings"))
+    merge_ckpt = os.path.join(merged_tmp, "merge_inputs.json")
+    keep = False
+    if os.path.exists(merge_ckpt):
+        with open(merge_ckpt) as f:
+            keep = json.load(f).get("waves") == waves
+    if not keep:
+        shutil.rmtree(merged_tmp, ignore_errors=True)
+        os.makedirs(os.path.join(merged_tmp, "postings"))
+        _atomic_write_json(merge_ckpt, {"waves": waves})
 
     seg_files = sorted(
         glob.glob(os.path.join(out_dir, "waves", "*", "segments", "*.parquet"))

@@ -215,13 +215,30 @@ def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": a, "doc_b": b})
 
 
+_SIG_CACHE: dict[tuple, object] = {}
+
+
+def _minhash_task(batch: pa.Table, *, n_perm: int, bands: int, shingle: int):
+    key = ("minhash", n_perm, bands, shingle)
+    inst = _SIG_CACHE.get(key)
+    if inst is None:
+        inst = _SIG_CACHE[key] = _MinHashSigs(n_perm, bands, shingle)
+    return inst(batch)
+
+
+def _simhash_task(batch: pa.Table):
+    inst = _SIG_CACHE.get("simhash")
+    if inst is None:
+        inst = _SIG_CACHE["simhash"] = _SimHash()
+    return inst(batch)
+
+
 def minhash_candidates(ds, n_perm: int = 64, bands: int = 16, shingle: int = 3):
     """documents → candidate near-dup pairs (doc_a < doc_b), deduped."""
     sigs = ds.map_batches(
-        _MinHashSigs,
-        fn_constructor_kwargs={"n_perm": n_perm, "bands": bands, "shingle": shingle},
+        _minhash_task,
+        fn_kwargs={"n_perm": n_perm, "bands": bands, "shingle": shingle},
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     pairs = sigs.groupby(["band", "band_hash"]).map_groups(
         _pairs_from_buckets, batch_format="pandas"
@@ -367,7 +384,7 @@ def simhash_pairs(ds, max_hamming: int = 3):
                     h.append(dist)
         return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
 
-    sigs = ds.map_batches(_SimHash, batch_format="pyarrow", concurrency=(1, 8))
+    sigs = ds.map_batches(_simhash_task, batch_format="pyarrow")
     cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
     from ray.data.aggregate import Min
 

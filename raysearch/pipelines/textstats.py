@@ -62,9 +62,30 @@ class _TokenizeBatch:
         )
 
 
+_STAGE_CACHE: dict[str, object] = {}
+
+
+def _cached(cls):
+    """Per-worker cached stage instance: the state (a table lexer) is
+    tiny, so task-based map_batches with worker-process caching beats
+    an actor pool's cold-start ramp (see SURVEY §8)."""
+    inst = _STAGE_CACHE.get(cls.__name__)
+    if inst is None:
+        inst = _STAGE_CACHE[cls.__name__] = cls()
+    return inst
+
+
+def _tokenize_task(batch: pa.Table) -> pa.Table:
+    return _cached(_TokenizeBatch)(batch)
+
+
+def _metrics_task(batch: pa.Table) -> pa.Table:
+    return _cached(_DocMetrics)(batch)
+
+
 def tokenize_docs(ds):
     """documents Dataset → exploded (doc_id, term, tf)."""
-    return ds.map_batches(_TokenizeBatch, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_tokenize_task, batch_format="pyarrow")
 
 
 def term_df(ds):
@@ -160,4 +181,4 @@ class _DocMetrics:
 def doc_metrics(ds):
     """Per-doc analysis table (token counting, quality scoring, langid
     heuristic, md5 fingerprint) — one actor-pool pass."""
-    return ds.map_batches(_DocMetrics, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_metrics_task, batch_format="pyarrow")

@@ -113,25 +113,34 @@ def score_candidates(
     doc_lens: np.ndarray,
     scorer: str = "bm25",
     doc_norms: np.ndarray | None = None,
+    doc_offset: int = 0,
 ) -> np.ndarray:
     """Float64 scores for candidate docs; summation order pinned
     (term-by-term in the given rarest-first order, docs ascending).
     ``doc_norms`` may carry :func:`precompute_norms` output (identical
-    IEEE ops, hoisted out of the per-query path)."""
+    IEEE ops, hoisted out of the per-query path); ``doc_offset`` maps
+    global doc_ids into a shard-local lens/norms array.
+
+    Scorers: ``bm25``; ``reference`` (tf-sum normalized by the max over
+    the candidate set); ``reference_abs`` (tf-sum WITHOUT the
+    normalization — the shard-side half of the reference scorer, so a
+    distributed merge can divide by the GLOBAL candidate max)."""
     if cand.size == 0:
         return np.empty(0, dtype=np.float64)
-    if scorer == "reference":
+    if scorer in ("reference", "reference_abs"):
         # Σ tf (exact integers), normalized by max — SearchServiceImpl.java:96-115
         abs_rank = np.zeros(cand.size, dtype=np.int64)
         for tfs in tf_cols:
             abs_rank += tfs
+        if scorer == "reference_abs":
+            return abs_rank.astype(np.float64)
         return abs_rank.astype(np.float64) / float(abs_rank.max())
     if scorer != "bm25":
         raise ValueError(f"unknown scorer {scorer!r}")
     if doc_norms is not None:
-        norm = doc_norms[cand]
+        norm = doc_norms[cand - doc_offset] if doc_offset else doc_norms[cand]
     else:
-        dl = doc_lens[cand].astype(np.float64)
+        dl = doc_lens[cand - doc_offset].astype(np.float64)
         norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avg_doc_len))
     scores = np.zeros(cand.size, dtype=np.float64)
     for tfs, p in zip(tf_cols, postings):
@@ -173,6 +182,7 @@ def search_postings(
     scorer: str = "bm25",
     doc_range: tuple[int, int] | None = None,
     doc_norms: np.ndarray | None = None,
+    doc_offset: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Full shared query path over already-fetched postings
     (rarest-first order).  ``doc_range=(lo, hi)`` is the optional
@@ -188,7 +198,8 @@ def search_postings(
         postings = scoped
     cand, tf_cols = intersect_postings(postings)
     scores = score_candidates(
-        cand, tf_cols, postings, n_docs, avg_doc_len, doc_lens, scorer, doc_norms
+        cand, tf_cols, postings, n_docs, avg_doc_len, doc_lens, scorer,
+        doc_norms, doc_offset,
     )
     top_ids, top_scores = rank_results(cand, scores, k)
     return top_ids, top_scores, int(cand.size)

@@ -50,9 +50,18 @@ from raysearch.snippet import build_snippet
 
 class IndexSearcher:
     """Holds lexicon + doc-length table + posting locators; stateless
-    across queries, safe to use as a ``map_batches`` actor class."""
+    across queries, safe to use as a ``map_batches`` actor class.
 
-    def __init__(self, index_dir: str):
+    ``doc_range=(lo, hi)`` builds a SHARD searcher that owns only that
+    doc_id range: doc-length/norm arrays are sized to the range
+    (predicate-pushdown reads), posting CHUNKS wholly outside the range
+    are pruned before decode via their first_doc/last_doc metadata, and
+    every search is implicitly range-scoped.  Global statistics (df,
+    n_docs, avg_doc_len) stay global, so per-doc scores are identical
+    to an unsharded searcher — :class:`ShardedSearcher` merges shard
+    top-ks into exactly the single-node ranking."""
+
+    def __init__(self, index_dir: str, doc_range: tuple[int, int] | None = None):
         merged = os.path.join(index_dir, "merged")
         with open(os.path.join(merged, "meta.json")) as f:
             self.meta = json.load(f)
@@ -60,6 +69,7 @@ class IndexSearcher:
         self.lexer = Lexer(self.mode)
         self.n_docs = self.meta["n_docs"]
         self.avg_doc_len = self.meta["avg_doc_len"]
+        self.doc_lo, self.doc_hi = doc_range if doc_range else (0, self.n_docs)
 
         lex_table = pq.read_table(os.path.join(merged, "lexicon.parquet"))
         self._lex_terms = lex_table["term"].to_pylist()
@@ -96,14 +106,24 @@ class IndexSearcher:
         self._bm_cache: OrderedDict[str, np.ndarray] = OrderedDict()
 
         # doc lengths (BM25 length normalization); int32 array indexed by doc_id
-        self.doc_lens = np.zeros(self.n_docs, dtype=np.int64)
+        # doc lengths for the owned range only (shards never hold the
+        # global array — at 10^12 docs that is the point of sharding)
+        self.doc_lens = np.zeros(self.doc_hi - self.doc_lo, dtype=np.int64)
         import glob as _glob
 
+        filters = None
+        if doc_range:
+            filters = [
+                ("doc_id", ">=", self.doc_lo),
+                ("doc_id", "<", self.doc_hi),
+            ]
         for p in sorted(
             _glob.glob(os.path.join(index_dir, "waves", "*", "doclens", "*.parquet"))
         ):
-            t = pq.read_table(p, columns=["doc_id", "doc_len"])
-            self.doc_lens[t["doc_id"].to_numpy()] = t["doc_len"].to_numpy()
+            t = pq.read_table(p, columns=["doc_id", "doc_len"], filters=filters)
+            self.doc_lens[t["doc_id"].to_numpy() - self.doc_lo] = t[
+                "doc_len"
+            ].to_numpy()
         from raysearch.scoring import precompute_norms
 
         self.doc_norms = precompute_norms(self.doc_lens, self.avg_doc_len)
@@ -135,14 +155,26 @@ class IndexSearcher:
         return t
 
     def _term_rows(self, term: str) -> pa.Table | None:
-        """All posting-chunk rows for a term (exact-located row groups)."""
+        """All posting-chunk rows for a term (exact-located row groups);
+        a shard searcher additionally prunes chunks wholly outside its
+        doc range via the first_doc/last_doc chunk metadata."""
         locs = self._term_locs.get(term)
         if not locs:
             return None
+        sharded = (self.doc_lo, self.doc_hi) != (0, self.n_docs)
         found = []
         for path, rg in locs:
             t = self._read_row_group(path, rg)
-            rows = t.filter(pc.equal(t["term"], term))
+            mask = pc.equal(t["term"], term)
+            if sharded:
+                mask = pc.and_(
+                    mask,
+                    pc.and_(
+                        pc.greater_equal(t["last_doc"], self.doc_lo),
+                        pc.less(t["first_doc"], self.doc_hi),
+                    ),
+                )
+            rows = t.filter(mask)
             if rows.num_rows:
                 found.append(rows)
         if not found:
@@ -219,11 +251,16 @@ class IndexSearcher:
             if p is None:
                 return empty
             postings.append(p)
-        doc_range = None
+        # effective range = conv scope ∩ shard range (either may be absent)
+        lo, hi = self.doc_lo, self.doc_hi
         if scope:
-            doc_range = self.conv_range(scope)
-            if doc_range is None:
+            sr = self.conv_range(scope)
+            if sr is None:
                 return empty
+            lo, hi = max(lo, sr[0]), min(hi, sr[1])
+            if lo >= hi:
+                return empty
+        doc_range = None if (lo, hi) == (0, self.n_docs) else (lo, hi)
         return search_postings(
             postings,
             self.n_docs,
@@ -233,6 +270,7 @@ class IndexSearcher:
             scorer=scorer,
             doc_range=doc_range,
             doc_norms=self.doc_norms,
+            doc_offset=self.doc_lo,
         )
 
     # -- disjunctive block-max WAND top-k ----------------------------------
@@ -305,7 +343,12 @@ class IndexSearcher:
                 e = min(len(p.doc_ids), s + BLOCK)
                 d = p.doc_ids[s:e]
                 tf = p.tfs[s:e].astype(np.float64)
-                dl = self.doc_lens[d].astype(np.float64)
+                if (self.doc_lo, self.doc_hi) != (0, self.n_docs):
+                    m = (d >= self.doc_lo) & (d < self.doc_hi)
+                    d, tf = d[m], tf[m]
+                    if not len(d):
+                        continue
+                dl = self.doc_lens[d - self.doc_lo].astype(np.float64)
                 norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / self.avg_doc_len))
                 contrib = idf * (tf * (BM25_K1 + 1.0)) / (tf + norm)
                 for doc, c in zip(d.tolist(), contrib.tolist()):
@@ -448,6 +491,88 @@ def search(
     """One-shot convenience wrapper (constructs a searcher per call —
     for repeated queries hold an IndexSearcher or use batch_search)."""
     return IndexSearcher(index_dir).search_response(query, k=k, scope=scope, scorer=scorer)
+
+
+class _ShardSearch:
+    """Ray-actor payload: one doc-range shard of the index."""
+
+    def __init__(self, index_dir: str, doc_range: tuple[int, int]):
+        self.s = IndexSearcher(index_dir, doc_range=doc_range)
+
+    def search(self, query: str, k: int, scope, scorer: str):
+        ids, scores, total = self.s.search(query, k=k, scope=scope, scorer=scorer)
+        return ids, scores, total
+
+    def search_or(self, query: str, k: int):
+        return self.s.search_or(query, k=k)
+
+
+class ShardedSearcher:
+    """Distributed query path: the doc space is split into N contiguous
+    ranges, one shard actor per range (each holds ONLY its range's
+    doc-length/norm arrays and prunes posting chunks to its range —
+    nothing per-shard scales with global n_docs except the lexicon).
+    Per query every shard computes its exact range-scoped result with
+    GLOBAL statistics (df, n_docs, avg_doc_len), so merging the shard
+    top-ks by (score desc, doc_id asc) reproduces the single-node
+    ranking bit-for-bit; candidate counts add because ranges are
+    disjoint.  The reference scorer's max-normalization is global, so
+    shards return raw tf-sums (``reference_abs``) and the driver
+    normalizes by the global candidate max (= max over shard maxima,
+    since each shard's top-1 is its max).
+
+    This is the §3.2 restatement at cluster scale: on N nodes each
+    shard actor lives near its segment data; query fan-out is one RPC
+    per shard, merge is k×N rows on the driver."""
+
+    def __init__(self, index_dir: str, n_shards: int = 4):
+        import ray
+
+        with open(os.path.join(index_dir, "merged", "meta.json")) as f:
+            n_docs = json.load(f)["n_docs"]
+        bounds = np.linspace(0, n_docs, n_shards + 1).astype(int)
+        actor = ray.remote(num_cpus=1)(_ShardSearch)
+        self.shards = [
+            actor.remote(index_dir, (int(bounds[i]), int(bounds[i + 1])))
+            for i in range(n_shards)
+        ]
+        self.n_shards = n_shards
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        scope: str | None = None,
+        scorer: str = "bm25",
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        import ray
+
+        shard_scorer = "reference_abs" if scorer == "reference" else scorer
+        parts = ray.get(
+            [s.search.remote(query, k, scope, shard_scorer) for s in self.shards]
+        )
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        total = int(sum(p[2] for p in parts))
+        if not len(ids):
+            return ids, scores, total
+        if scorer == "reference":
+            # global max over ALL candidates = max over shard maxima
+            # (each shard's rank-1 result is its candidate max)
+            scores = scores / max(float(p[1][0]) for p in parts if len(p[1]))
+        order = np.lexsort((ids, -scores))[:k]
+        return ids[order], scores[order], total
+
+    def search_or(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        import ray
+
+        parts = ray.get([s.search_or.remote(query, k) for s in self.shards])
+        ids = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        if not len(ids):
+            return ids, scores
+        order = np.lexsort((ids, -scores))[:k]
+        return ids[order], scores[order]
 
 
 class SearcherActor:

@@ -217,6 +217,36 @@ def test_batch_query_actor(ray_session, built, searcher, oracle):
         assert got.score.tolist() == sc_o.tolist()
 
 
+def test_sharded_searcher_rank_identity(ray_session, built, searcher, oracle):
+    """Doc-range shard actors + driver merge must reproduce the
+    single-node ranking bit-for-bit (scores, tie-breaks, counts) for
+    both scorers, including scoped and OR-mode queries."""
+    from raysearch.search import ShardedSearcher
+
+    sharded = ShardedSearcher(built[1], n_shards=3)
+    queries = _query_set(oracle)
+    for q in queries:
+        for scorer in ("bm25", "reference"):
+            ids_s, sc_s, tot_s = sharded.search(q, k=10, scorer=scorer)
+            ids_1, sc_1, tot_1 = searcher.search(q, k=10, scorer=scorer)
+            assert ids_s.tolist() == ids_1.tolist(), (q, scorer)
+            assert sc_s.tolist() == sc_1.tolist(), (q, scorer)
+            assert tot_s == tot_1, (q, scorer)
+    # scoped query through the shard that owns the conversation
+    scope = conv_name(3)
+    q = next(q for q in queries if q)
+    ids_s, sc_s, tot_s = sharded.search(q, k=10, scope=scope)
+    ids_1, sc_1, tot_1 = searcher.search(q, k=10, scope=scope)
+    assert ids_s.tolist() == ids_1.tolist()
+    assert sc_s.tolist() == sc_1.tolist() and tot_s == tot_1
+    # OR-mode (block-max WAND per shard, exact merge)
+    q2 = f"{LEMMAS[10]} {LEMMAS[100]}"
+    ids_s, sc_s = sharded.search_or(q2, k=10)
+    ids_1, sc_1 = searcher.search_or(q2, k=10)
+    assert ids_s.tolist() == ids_1.tolist()
+    assert np.allclose(sc_s, sc_1, rtol=1e-12)
+
+
 def test_stats(built):
     from raysearch.stats_api import index_stats
 

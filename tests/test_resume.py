@@ -137,6 +137,39 @@ def test_evict_drops_partition_rows(two_indexes):
         assert rows[0] == 0
 
 
+def test_merge_resumes_from_partial_tmp(two_indexes):
+    """A crashed merge leaves _tmp_merged with some atomic bucket
+    files; resume must keep them (same wave set) and only produce the
+    missing buckets."""
+    import time
+
+    from raysearch.build import build_index
+
+    corpus, full, tmp = two_indexes
+    broken = str(tmp / "merge_crash")
+    shutil.copytree(full, broken)
+    # simulate the crash: merged/ becomes the in-progress _tmp_merged
+    # with half its bucket files missing
+    os.rename(os.path.join(broken, "merged"), os.path.join(broken, "_tmp_merged"))
+    os.remove(os.path.join(broken, "_tmp_merged", "meta.json"))
+    bucket_files = sorted(
+        glob.glob(os.path.join(broken, "_tmp_merged", "postings", "*.parquet"))
+    )
+    assert len(bucket_files) > 2
+    for f in bucket_files[::2]:
+        os.remove(f)
+    survivors = {
+        f: os.path.getmtime(f) for f in bucket_files if os.path.exists(f)
+    }
+    time.sleep(0.05)
+    build_index(corpus, broken, mode="latin", n_partitions=4, wave_size=1)
+    for f, m in survivors.items():
+        final = f.replace("_tmp_merged", "merged")
+        assert os.path.getmtime(final) == m, "completed bucket was redone"
+    assert _postings_rows(broken) == _postings_rows(full)
+    assert _lexicon_rows(broken) == _lexicon_rows(full)
+
+
 def test_pipelines_produce_identical_index(two_indexes):
     """local (partition-task, default), shuffle (groupby), and
     forced-spill local builds must emit byte-identical merged postings."""
