@@ -114,23 +114,9 @@ def _file_conv_agg(path: str) -> pa.Table:
     )
 
 
-def compute_conv_offsets(files: list[str], validate: bool = False):
-    """Global (conv_id → first doc_id, n_turns) via parallel per-file
-    partial aggregates + a driver-side combine.
-
-    The wide input is reduced to one row per conversation; conv count ≪
-    turn count, so collecting it on the driver is the deliberate
-    range-partition alternative to a 10^12-row global sort (SURVEY §7
-    hard part (a)).  Per-file partials are plain Ray tasks (one per
-    fragment — scales with the cluster, no Dataset-shuffle fixed cost);
-    at 10^12 rows the combine would become a tree reduce over the
-    per-file tables, still tiny next to the corpus.  Returns an arrow
-    table sorted by conv_id."""
-    import ray
-
-    agg_remote = ray.remote(num_cpus=1)(_file_conv_agg)
-    parts = ray.get([agg_remote.remote(p) for p in files])
-    combined = pa.concat_tables(parts)
+def _combine_conv_aggs(*tables: pa.Table) -> pa.Table:
+    """Associative combine of per-file (conv_id, max_turn, cnt) partials."""
+    combined = pa.concat_tables(tables)
     import pandas as pd
 
     codes, uniq = pd.factorize(combined["conv_id"].to_numpy(zero_copy_only=False))
@@ -140,12 +126,42 @@ def compute_conv_offsets(files: list[str], validate: bool = False):
     np.maximum.at(mx, codes, mt)
     cnt = np.zeros(len(uniq), dtype=np.int64)
     np.add.at(cnt, codes, ct)
-    table = pa.table(
+    return pa.table(
         {
             "conv_id": pa.array(uniq, pa.string()),
-            "max(turn_idx)": pa.array(mx, pa.int64()),
-            "row_count": pa.array(cnt, pa.int64()),
+            "max_turn": pa.array(mx, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
         }
+    )
+
+
+TREE_FANIN = 32  # per-file partials combined per tree-reduce task
+
+
+def compute_conv_offsets(files: list[str], validate: bool = False):
+    """Global (conv_id → first doc_id, n_turns) via parallel per-file
+    partial aggregates + a TREE reduce of the combines.
+
+    The wide input is reduced to one row per conversation; conv count ≪
+    turn count, so materializing the final table on the driver is the
+    deliberate range-partition alternative to a 10^12-row global sort
+    (SURVEY §7 hard part (a)).  Per-file partials are plain Ray tasks;
+    combines run as a fan-in-``TREE_FANIN`` reduction tree so neither
+    the driver nor any single task ever holds more than fan-in partial
+    tables at once.  Returns an arrow table sorted by conv_id."""
+    import ray
+
+    agg_remote = ray.remote(num_cpus=1)(_file_conv_agg)
+    combine_remote = ray.remote(num_cpus=1)(_combine_conv_aggs)
+    refs = [agg_remote.remote(p) for p in files]
+    while len(refs) > TREE_FANIN:
+        refs = [
+            combine_remote.remote(*refs[i : i + TREE_FANIN])
+            for i in range(0, len(refs), TREE_FANIN)
+        ]
+    combined = _combine_conv_aggs(*ray.get(refs))
+    table = combined.rename_columns(
+        ["conv_id", "max(turn_idx)", "row_count"]
     ).sort_by("conv_id")
     n_turns = pc.add(table["max(turn_idx)"], 1).cast(pa.int64())
     counts = n_turns.to_numpy()
@@ -676,7 +692,7 @@ def _empty_segment() -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def merge_bucket(group: pa.Table) -> pa.Table:
+def merge_bucket(group: pa.Table, max_chunk: int = MAX_CHUNK) -> pa.Table:
     """Merge one bucket's per-partition sub-postings into global posting
     rows, re-chunked at MAX_CHUNK docs.  Sub-postings are doc-disjoint
     (a doc lives in exactly one partition) and arrive in (term,
@@ -742,7 +758,7 @@ def merge_bucket(group: pa.Table) -> pa.Table:
     sorted_terms = uniq[uniq_order]
     chunk_starts, chunk_term, chunk_ids = [], [], []
     for ti, (s, e) in enumerate(zip(term_val_starts, term_val_ends)):
-        for ci, cs in enumerate(range(int(s), int(e), MAX_CHUNK)):
+        for ci, cs in enumerate(range(int(s), int(e), max_chunk)):
             chunk_starts.append(cs)
             chunk_term.append(ti)
             chunk_ids.append(ci)
@@ -800,20 +816,55 @@ def _split_by_bucket(path: str, buckets: int) -> list[pa.Table]:
     return out
 
 
-def _merge_bucket_task(out_path: str, *tables: pa.Table) -> int:
-    """Reduce side: merge one bucket's rows from every segment file and
-    write the merged posting rows (atomic rename; idempotent)."""
+def _merge_bucket_task(
+    out_path: str, lex_path: str, max_chunk: int, *tables: pa.Table
+) -> int:
+    """Reduce side: merge one bucket's rows from every segment file,
+    write the merged posting rows AND the bucket's lexicon slice
+    (buckets partition the term space, so the global lexicon is just
+    the concatenation — no driver-side scan over the merged index).
+    Atomic renames; idempotent."""
     _pin_arrow_threads()
     live = [t for t in tables if t.num_rows]
     if not live:
         return 0
-    merged = merge_bucket(pa.concat_tables(live))
+    merged = merge_bucket(pa.concat_tables(live), max_chunk=max_chunk)
     if merged.num_rows:
         _atomic_write_table(merged, out_path)
+        import pandas as pd
+
+        terms = merged["term"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(terms)  # rows are term-sorted already
+        df = np.zeros(len(uniq), dtype=np.int64)
+        cf = np.zeros(len(uniq), dtype=np.int64)
+        nch = np.bincount(codes, minlength=len(uniq))
+        np.add.at(df, codes, merged["df"].to_numpy())
+        np.add.at(cf, codes, merged["cf"].to_numpy())
+        _atomic_write_table(
+            pa.table(
+                {
+                    "term": pa.array(uniq, pa.string()),
+                    "df": pa.array(df, pa.int64()),
+                    "cf": pa.array(cf, pa.int64()),
+                    "n_chunks": pa.array(nch.astype(np.int64), pa.int64()),
+                    "bucket": pa.array(
+                        np.full(len(uniq), int(merged["bucket"][0].as_py())),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            lex_path,
+        )
     return merged.num_rows
 
 
-def run_merge(seg_files: list[str], out_dir: str, buckets: int) -> None:
+def run_merge(
+    seg_files: list[str],
+    out_dir: str,
+    buckets: int,
+    lex_dir: str | None = None,
+    max_chunk: int = MAX_CHUNK,
+) -> None:
     """LSM merge as an explicit two-phase Ray-task exchange.
 
     Ray Data's ``groupby("bucket").map_groups`` key-SORTS the blocks;
@@ -828,10 +879,14 @@ def run_merge(seg_files: list[str], out_dir: str, buckets: int) -> None:
     the Dataset API only where it can't express the semantics)."""
     import ray
 
+    lex_dir = lex_dir or out_dir
     todo = [
         b
         for b in range(buckets)
-        if not os.path.exists(os.path.join(out_dir, f"bucket-{b:04d}.parquet"))
+        if not (
+            os.path.exists(os.path.join(out_dir, f"bucket-{b:04d}.parquet"))
+            and os.path.exists(os.path.join(lex_dir, f"lexicon-{b:04d}.parquet"))
+        )
     ]
     if not todo:
         return
@@ -843,6 +898,8 @@ def run_merge(seg_files: list[str], out_dir: str, buckets: int) -> None:
     futs = [
         merge_remote.remote(
             os.path.join(out_dir, f"bucket-{b:04d}.parquet"),
+            os.path.join(lex_dir, f"lexicon-{b:04d}.parquet"),
+            max_chunk,
             *[p[b] for p in parts],
         )
         for b in todo
@@ -979,6 +1036,7 @@ def build_index(
     use_actor_pool: bool = False,
     pipeline: str = "local",
     spill_rows: int = DEFAULT_SPILL_ROWS,
+    max_chunk: int = MAX_CHUNK,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final meta dict.
 
@@ -1258,27 +1316,43 @@ def build_index(
     if not keep:
         shutil.rmtree(merged_tmp, ignore_errors=True)
         os.makedirs(os.path.join(merged_tmp, "postings"))
+        os.makedirs(os.path.join(merged_tmp, "lexparts"))
         _atomic_write_json(merge_ckpt, {"waves": waves})
 
     seg_files = sorted(
         glob.glob(os.path.join(out_dir, "waves", "*", "segments", "*.parquet"))
     )
     t_m0 = time.monotonic()
-    run_merge(seg_files, os.path.join(merged_tmp, "postings"), buckets)
+    run_merge(
+        seg_files,
+        os.path.join(merged_tmp, "postings"),
+        buckets,
+        lex_dir=os.path.join(merged_tmp, "lexparts"),
+        max_chunk=max_chunk,
+    )
     stage_times["merge"] = round(time.monotonic() - t_m0, 3)
 
-    import duckdb
-
-    con = duckdb.connect()
-    con.sql(
-        f"COPY (SELECT term, sum(df) AS df, sum(cf) AS cf, count(*) AS n_chunks, "
-        f"min(bucket) AS bucket FROM read_parquet('{merged_tmp}/postings/*.parquet') "
-        f"GROUP BY term ORDER BY term) TO '{merged_tmp}/lexicon.parquet' (FORMAT PARQUET)"
+    # global lexicon = sorted concat of the per-bucket slices the merge
+    # tasks already aggregated (buckets partition the term space; no
+    # scan over the merged postings is needed)
+    lex_parts = sorted(glob.glob(os.path.join(merged_tmp, "lexparts", "*.parquet")))
+    if lex_parts:
+        lex = pa.concat_tables(pq.read_table(p) for p in lex_parts).sort_by("term")
+    else:
+        lex = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "cf": pa.array([], pa.int64()),
+                "n_chunks": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+    _atomic_write_table(lex, os.path.join(merged_tmp, "lexicon.parquet"))
+    totals = (
+        int(pc.sum(lex["cf"]).as_py() or 0),
+        lex.num_rows,
     )
-    totals = con.sql(
-        f"SELECT coalesce(sum(cf), 0), count(*) FROM read_parquet('{merged_tmp}/lexicon.parquet')"
-    ).fetchone()
-    con.close()
     stage_times["lexicon"] = round(time.monotonic() - t_m0 - stage_times["merge"], 3)
     meta = {
         "n_docs": n_docs,

@@ -217,6 +217,40 @@ def test_batch_query_actor(ray_session, built, searcher, oracle):
         assert got.score.tolist() == sc_o.tolist()
 
 
+def test_hot_term_multi_chunk(ray_session, tiny_corpus, tmp_path, oracle):
+    """Hot-term skew path: with a small max_chunk the Zipf-hot terms
+    must split into multiple posting chunk rows, and the query path
+    (chunk concat + range pruning) must stay rank-identical."""
+    import duckdb
+
+    from raysearch.build import build_index
+    from raysearch.search import IndexSearcher, ShardedSearcher
+
+    out = str(tmp_path / "chunked")
+    build_index(tiny_corpus, out, mode="latin", n_partitions=2, max_chunk=32)
+    top = duckdb.sql(
+        f"SELECT term, count(*) AS n_chunks, sum(df) AS df FROM "
+        f"read_parquet('{out}/merged/postings/*.parquet') "
+        f"GROUP BY term ORDER BY df DESC LIMIT 1"
+    ).fetchone()
+    assert top[1] > 1, "hot term should span multiple chunks"
+    assert top[2] > 32
+    s = IndexSearcher(out)
+    tiny_oracle = Oracle(tiny_corpus, mode="latin")
+    for q in (str(top[0]), LEMMAS[1], f"{LEMMAS[1]} {LEMMAS[10]}"):
+        ids_e, sc_e, tot_e = s.search(q, k=10)
+        ids_o, sc_o, tot_o = tiny_oracle.search(q, k=10)
+        assert ids_e.tolist() == ids_o.tolist(), q
+        assert sc_e.tolist() == sc_o.tolist(), q
+        assert tot_e == tot_o
+    # sharded searcher across chunk boundaries
+    sh = ShardedSearcher(out, n_shards=2)
+    ids_s, sc_s, tot_s = sh.search(str(top[0]), k=10)
+    ids_1, sc_1, tot_1 = s.search(str(top[0]), k=10)
+    assert ids_s.tolist() == ids_1.tolist()
+    assert sc_s.tolist() == sc_1.tolist() and tot_s == tot_1
+
+
 def test_sharded_searcher_rank_identity(ray_session, built, searcher, oracle):
     """Doc-range shard actors + driver merge must reproduce the
     single-node ranking bit-for-bit (scores, tie-breaks, counts) for
