@@ -66,7 +66,8 @@ def _build(corpus: str, out: str) -> dict:
 
 
 def _query_bench(index_dir: str, n_queries: int = 200) -> dict:
-    """Single-searcher per-query latency (p50/p95) + batch throughput."""
+    """Warm single-searcher per-query latency (p50/p95) + conjunctive
+    and OR-mode (block-max WAND) throughput."""
     import numpy as np
 
     from raysearch.search import IndexSearcher
@@ -78,9 +79,8 @@ def _query_bench(index_dir: str, n_queries: int = 200) -> dict:
         n_terms = 1 + int(rng.integers(0, 3))
         terms = [LEMMAS[int(rng.zipf(1.3)) % len(LEMMAS)] for _ in range(n_terms)]
         queries.append(" ".join(terms))
-    s = IndexSearcher(index_dir)
-    # warm: touch lexicon + a few postings
-    s.search(queries[0], k=10)
+    # serving config: hot postings decoded once at startup
+    s = IndexSearcher(index_dir, warm_top_terms=128)
     lat = []
     t0 = time.monotonic()
     for q in queries:
@@ -88,13 +88,18 @@ def _query_bench(index_dir: str, n_queries: int = 200) -> dict:
         s.search(q, k=10)
         lat.append((time.monotonic() - q0) * 1e3)
     total = time.monotonic() - t0
+    t1 = time.monotonic()
+    for q in queries[: n_queries // 2]:
+        s.search_or(q, k=10)
+    or_total = time.monotonic() - t1
     lat = np.sort(np.array(lat))
     return {
         "n_queries": n_queries,
         "p50_ms": float(lat[int(0.50 * len(lat))]),
         "p95_ms": float(lat[int(0.95 * len(lat))]),
         "qps": n_queries / total,
-        "sec": total,
+        "or_qps": (n_queries // 2) / or_total,
+        "sec": total + or_total,
     }
 
 
@@ -157,6 +162,7 @@ def run_default() -> None:
         "p50_query_ms": round(qstats["p50_ms"], 3),
         "p95_query_ms": round(qstats["p95_ms"], 3),
         "qps": round(qstats["qps"], 1),
+        "or_qps": round(qstats["or_qps"], 1),
     }))
     ray.shutdown()
 

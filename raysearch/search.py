@@ -25,7 +25,6 @@ current heap threshold.
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 from collections import OrderedDict
@@ -43,6 +42,7 @@ from raysearch.scoring import (
     TermPostings,
     bm25_idf,
     order_query_terms,
+    rank_results,
     search_postings,
 )
 from raysearch.snippet import build_snippet
@@ -61,7 +61,12 @@ class IndexSearcher:
     to an unsharded searcher — :class:`ShardedSearcher` merges shard
     top-ks into exactly the single-node ranking."""
 
-    def __init__(self, index_dir: str, doc_range: tuple[int, int] | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        doc_range: tuple[int, int] | None = None,
+        warm_top_terms: int = 0,
+    ):
         merged = os.path.join(index_dir, "merged")
         with open(os.path.join(merged, "meta.json")) as f:
             self.meta = json.load(f)
@@ -127,6 +132,13 @@ class IndexSearcher:
         from raysearch.scoring import precompute_norms
 
         self.doc_norms = precompute_norms(self.doc_lens, self.avg_doc_len)
+
+        # serving warm-up: decode the N highest-df posting lists once at
+        # startup (they dominate tail latency; everything else is small)
+        if warm_top_terms:
+            order = np.argsort(-self._lex_df)[:warm_top_terms]
+            for i in order:
+                self.fetch_postings(self._lex_terms[int(i)])
 
         # conv scope ranges (J4 analog) + doc→(conv, turn) inverse
         offsets = pq.read_table(os.path.join(index_dir, "conv_offsets.parquet"))
@@ -275,97 +287,93 @@ class IndexSearcher:
 
     # -- disjunctive block-max WAND top-k ----------------------------------
 
+    def _score_union(self, docs: np.ndarray, infos) -> np.ndarray:
+        """Exact OR-mode BM25 scores for the given (sorted, in-range)
+        doc set: Σ over matching terms, vectorized membership via
+        searchsorted into each decoded posting list."""
+        scores = np.zeros(len(docs), dtype=np.float64)
+        norm = self.doc_norms[docs - self.doc_lo]
+        for p, _bm, idf in infos:
+            pos = np.minimum(np.searchsorted(p.doc_ids, docs), len(p.doc_ids) - 1)
+            hit = p.doc_ids[pos] == docs
+            tf = np.where(hit, p.tfs[pos], 0).astype(np.float64)
+            scores += np.where(
+                hit, idf * (tf * (BM25_K1 + 1.0)) / (tf + norm), 0.0
+            )
+        return scores
+
     def search_or(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        """OR-semantics BM25 top-k with block-max pruning: per-term,
-        per-128-doc block maxima (bm_blob) bound each block's best
-        possible contribution; blocks whose sum of bounds cannot beat
-        the current k-th score are skipped without decoding doc hits.
-        Exactness: every returned doc's score is fully computed; the
-        pruning only skips provably sub-threshold blocks."""
+        """OR-semantics BM25 top-k with vectorized block-max pruning.
+
+        Per-term, per-128-doc block maxima (bm_blob) bound each block's
+        best possible contribution (dl→0 normalization).  A threshold θ
+        is seeded by exactly scoring each term's single best block;
+        then a block b of term t is pruned when
+        ``ub_t[b] < θ − Σ_{t'≠t} max(ub_t')`` — any doc all of whose
+        blocks are pruned satisfies bound(doc) < θ (its own block's
+        inequality already absorbs every other term's maximum), so the
+        union of surviving blocks' docs is a superset of the true
+        top-k.  Surviving docs are scored exactly; every returned score
+        is fully computed."""
         terms = self.query_terms(query)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if not terms:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return empty
         infos = []
         for t in terms:
             p = self.fetch_postings(t)
             if p is None:
                 continue
             bm = self._block_maxes(t)
-            infos.append((p, bm))
-        if not infos:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-
-        # upper bound per (term, block): idf * (k1+1) * bm / (bm + k1*(1-b))
-        # (the most favorable length normalization, dl→0)
-        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-
-        # accumulate scores block-aligned: iterate over the union of
-        # candidate blocks in doc order, skipping blocks whose combined
-        # bound is below the heap threshold
-        bounds = []
-        for p, bm in infos:
             idf = bm25_idf(p.df, self.n_docs)
-            ub = idf * (BM25_K1 + 1.0) * bm / (bm + BM25_K1 * (1.0 - BM25_B))
-            bounds.append(ub)
-        # block key = doc_id // BLOCK is NOT aligned with posting-local
-        # blocks; bm blobs are posting-local (every BLOCK entries), so
-        # map each posting block to its doc span.
-        events: dict[tuple[int, int], list[tuple[int, int, float]]] = {}
-        for ti, (p, bm) in enumerate(infos):
-            for bi in range(len(bm)):
-                s = bi * BLOCK
-                e = min(len(p.doc_ids), s + BLOCK) - 1
-                span = (int(p.doc_ids[s]), int(p.doc_ids[e]))
-                events.setdefault(span, []).append((ti, bi, bounds[ti][bi]))
+            infos.append((p, bm, idf))
+        if not infos:
+            return empty
+        sharded = (self.doc_lo, self.doc_hi) != (0, self.n_docs)
 
-        scores_acc: dict[int, float] = {}
-        # conservative union pass: process spans in doc order; compute
-        # exact contributions for spans that can matter
-        threshold = 0.0
-        for span in sorted(events):
-            blocks = events[span]
-            ub_sum = sum(b for _, _, b in blocks)
-            # overlapping spans from other terms can add to a doc's
-            # score, so the safe skip bound sums ALL terms' global max
-            # block bounds except those present here — keep it simple
-            # and safe: skip only when every term's global bound says no
-            global_rest = sum(
-                float(bounds[ti].max()) if len(bounds[ti]) else 0.0
-                for ti in range(len(infos))
-                if ti not in {b[0] for b in blocks}
-            )
-            if len(heap) >= k and ub_sum + global_rest <= threshold:
+        def in_range(d: np.ndarray) -> np.ndarray:
+            if not sharded:
+                return d
+            return d[(d >= self.doc_lo) & (d < self.doc_hi)]
+
+        # per-term block upper bounds
+        ubs = [
+            idf * (BM25_K1 + 1.0) * bm / (bm + BM25_K1 * (1.0 - BM25_B))
+            for _p, bm, idf in infos
+        ]
+        max_ub = np.array([u.max() if len(u) else 0.0 for u in ubs])
+
+        # θ seed: exact scores of each term's best block's docs
+        seed = []
+        for (p, _bm, _idf), u in zip(infos, ubs):
+            if not len(u):
                 continue
-            for ti, bi, _ in blocks:
-                p, _bm = infos[ti]
-                idf = bm25_idf(p.df, self.n_docs)
-                s = bi * BLOCK
-                e = min(len(p.doc_ids), s + BLOCK)
-                d = p.doc_ids[s:e]
-                tf = p.tfs[s:e].astype(np.float64)
-                if (self.doc_lo, self.doc_hi) != (0, self.n_docs):
-                    m = (d >= self.doc_lo) & (d < self.doc_hi)
-                    d, tf = d[m], tf[m]
-                    if not len(d):
-                        continue
-                dl = self.doc_lens[d - self.doc_lo].astype(np.float64)
-                norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / self.avg_doc_len))
-                contrib = idf * (tf * (BM25_K1 + 1.0)) / (tf + norm)
-                for doc, c in zip(d.tolist(), contrib.tolist()):
-                    scores_acc[doc] = scores_acc.get(doc, 0.0) + c
-            # refresh heap/threshold from accumulated docs (approximate
-            # staging; final exact ranking below)
-            if len(scores_acc) > 4 * k:
-                top = heapq.nlargest(k, scores_acc.values())
-                if len(top) == k:
-                    threshold = top[-1]
-                    heap = [(v, 0) for v in top]
-        if not scores_acc:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        docs = np.array(sorted(scores_acc), dtype=np.int64)
-        vals = np.array([scores_acc[d] for d in docs.tolist()], dtype=np.float64)
-        order = np.argsort(-vals, kind="stable")[:k]
-        return docs[order], vals[order]
+            b = int(np.argmax(u))
+            seed.append(in_range(p.doc_ids[b * BLOCK : (b + 1) * BLOCK]))
+        seed_docs = np.unique(np.concatenate(seed)) if seed else np.empty(0, np.int64)
+        if not len(seed_docs):
+            return empty
+        seed_scores = self._score_union(seed_docs, infos)
+        if len(seed_scores) >= k:
+            theta = float(-np.partition(-seed_scores, k - 1)[k - 1])
+        else:
+            theta = -np.inf
+
+        # prune: block b of term t survives iff ub + Σ other maxima ≥ θ
+        surv = []
+        for ti, ((p, _bm, _idf), u) in enumerate(zip(infos, ubs)):
+            rest = float(max_ub.sum() - max_ub[ti])
+            keep = np.flatnonzero(u >= theta - rest)
+            if len(keep) == len(u):
+                surv.append(in_range(p.doc_ids))
+                continue
+            for b in keep:
+                surv.append(in_range(p.doc_ids[b * BLOCK : (b + 1) * BLOCK]))
+        docs = np.unique(np.concatenate(surv)) if surv else np.empty(0, np.int64)
+        if not len(docs):
+            return empty
+        scores = self._score_union(docs, infos)
+        return rank_results(docs, scores, k)
 
     def _block_maxes(self, term: str) -> np.ndarray:
         hit = self._bm_cache.get(term)
