@@ -167,11 +167,35 @@ def run_default() -> None:
     ray.shutdown()
 
 
+def _stream_ceiling_inprocess(ncpu: int) -> float:
+    """Memory-streaming tasks/s at this concurrency, measured INSIDE
+    the same process/window as the engine run it calibrates (the host's
+    deliverable throughput swings 3-6x over minutes, so ceiling and
+    engine must be sampled together to be comparable)."""
+    import numpy as np
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def mem_stream(mb):
+        a = np.arange(mb * 131072, dtype=np.int64)
+        s = 0
+        for _ in range(8):
+            s += int(a.sum())
+            a = a + 1
+        return s
+
+    ray.get([mem_stream.remote(8) for _ in range(ncpu)])  # warm
+    t0 = time.monotonic()
+    ray.get([mem_stream.remote(192) for _ in range(2 * ncpu)])
+    return 2 * ncpu / (time.monotonic() - t0)
+
+
 def run_scaling_child(ncpu: int) -> None:
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
     corpus, n_turns = _bench_corpus_dir()
+    stream_tps = _stream_ceiling_inprocess(ncpu)
     out = f"/tmp/raysearch_bench/{SF_NAME}/index_scale{ncpu}"
     t0 = time.monotonic()
     _build(corpus, out)
@@ -181,6 +205,7 @@ def run_scaling_child(ncpu: int) -> None:
         "n_turns": n_turns,
         "build_sec": round(t_build, 3),
         "turns_per_sec": round(n_turns / t_build, 1),
+        "stream_tasks_per_sec": round(stream_tps, 3),
     }))
     ray.shutdown()
 
@@ -261,6 +286,7 @@ def run_scaling() -> None:
     # levels are incomparable: interleave lo/hi twice and take the best
     # run per level (adjacent-in-time, least-contended samples)
     results = {}
+    stream_best: dict[int, float] = {}
     for ncpu in (lo, hi, lo, hi):
         env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
         p = subprocess.run(
@@ -272,6 +298,9 @@ def run_scaling() -> None:
         r = json.loads(line)
         if ncpu not in results or r["turns_per_sec"] > results[ncpu]["turns_per_sec"]:
             results[ncpu] = r
+        stream_best[ncpu] = max(
+            stream_best.get(ncpu, 0.0), r["stream_tasks_per_sec"]
+        )
     hw = _hardware_ceiling(lo, hi)
     tps_lo = results[lo]["turns_per_sec"]
     tps_hi = results[hi]["turns_per_sec"]
@@ -281,6 +310,12 @@ def run_scaling() -> None:
         n: _core_seconds(f"/tmp/raysearch_bench/{SF_NAME}/index_scale{n}")
         for n in (lo, hi)
     }
+    # normalization against the best observed streaming ceiling per
+    # level (children calibrate in-process; best-of-repeats on both
+    # sides filters the host's minute-scale throughput swings);
+    # 1.0 = the engine scales exactly as well as perfectly parallel
+    # streaming tasks do on this box
+    norm = {n: results[n]["turns_per_sec"] / stream_best[n] for n in (lo, hi)}
     print(json.dumps({
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -291,11 +326,11 @@ def run_scaling() -> None:
         "turns_per_sec": {str(n): results[n]["turns_per_sec"] for n in (lo, hi)},
         "speedup": round(speedup, 3),
         "cpu_ratio": hi / lo,
-        # what perfectly-parallel Ray tasks achieve on this box at the
-        # same two concurrency levels (virtualization ceilings): no
-        # workload can exceed these, whatever the software does
+        "stream_ceiling_inwindow": {str(n): stream_best[n] for n in (lo, hi)},
+        "efficiency_vs_streaming_ceiling": round(norm[hi] / norm[lo], 3),
+        # what perfectly-parallel Ray tasks achieve at the same two
+        # concurrency levels, sampled once after both engine runs
         "hardware_ceiling": hw,
-        "efficiency_vs_hardware": round(speedup / hw["stream"]["speedup"], 3),
         # identical per-partition work, summed task seconds: growth with
         # concurrency = host contention, not engine coordination cost
         "partition_core_seconds": {str(n): core_s[n] for n in (lo, hi)},
