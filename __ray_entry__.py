@@ -6,8 +6,8 @@ nothing here (or in the raysearch package) calls ``ray.init`` /
 
 ``queries()`` exposes two families:
 
-* **SQL-checkable operators** over the provided testdata tables
-  (``documents`` / ``embeddings`` / ``events`` / ``lineitem`` /
+* **SQL-checkable operators** (15 of them) over the provided testdata
+  tables (``documents`` / ``embeddings`` / ``events`` / ``lineitem`` /
   ``orders`` / ``customer``), with exact DuckDB oracles in
   ``oracle_sql()``.  These use the `simple` tokenizer mode
   (lowercase + split on ``[^a-z0-9]+``) which is definitionally equal
@@ -114,6 +114,12 @@ def _q_doc_stats(sf_dir: str):
     from raysearch.pipelines.textstats import doc_stats
 
     return doc_stats(_docs(sf_dir))
+
+
+def _q_token_counts(sf_dir: str):
+    from raysearch.pipelines.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
 
 
 def _q_doc_metrics(sf_dir: str):
@@ -333,6 +339,41 @@ def _q_transcripts_bm25(sf_dir: str):
     return _search_batch(sf_dir, "bm25")
 
 
+def _q_transcripts_snippets(sf_dir: str):
+    """Full search responses (M9-M12 analogs: doc fetch, snippet window
+    + <b> highlighting, relevance) for a few fixture queries."""
+    import pandas as pd
+
+    from raysearch.search import IndexSearcher
+
+    _, index = _corpus_and_index(sf_dir)
+    s = IndexSearcher(index)
+    rows = []
+    for qid, q in enumerate(_transcript_queries()[:5]):
+        resp = s.search_response(q, k=3)
+        if not resp.get("result"):
+            continue
+        for rank, d in enumerate(resp["data"]):
+            rows.append(
+                {
+                    "query_id": qid,
+                    "rank": rank,
+                    "conv_id": d["conv_id"],
+                    "turn_idx": d["turn_idx"],
+                    "doc_id": d["doc_id"],
+                    "relevance": d["relevance"],
+                    "snippet": d["snippet"],
+                }
+            )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "query_id", "rank", "conv_id", "turn_idx", "doc_id",
+            "relevance", "snippet",
+        ],
+    )
+
+
 def _q_transcripts_bm25_sharded(sf_dir: str):
     """Distributed query path: 3 doc-range shard actors, driver merge;
     pytest asserts bit-identical ranking to the single searcher."""
@@ -454,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_tf": _q_postings,
         "doc_stats": _q_doc_stats,
         "doc_metrics": _q_doc_metrics,
+        "token_counts": _q_token_counts,
         "conjunctive_search": _q_conjunctive,
         "bm25_topk": _q_bm25_topk,
         "reference_topk": _q_reference_topk,
@@ -470,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_stats": _q_transcripts_stats,
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
+        "transcripts_snippets": _q_transcripts_snippets,
         "transcripts_reference": _q_transcripts_reference,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -517,6 +560,12 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN coalesce(l.n_stop * 1.0 / l.n_tokens, 0) > 0.05 THEN 'en' ELSE 'unk' END AS lang_guess, "
             f"md5(d.text) AS fingerprint "
             f"FROM documents d LEFT JOIN dl l USING (doc_id)"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS ws_tokens, "
+            "len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS bpe_tokens "
+            "FROM documents"
         ),
         "conjunctive_search": f"{_TOK}{_TF}{_CAND} SELECT doc_id FROM cand ORDER BY doc_id",
         "bm25_topk": (

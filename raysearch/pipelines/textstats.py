@@ -182,3 +182,31 @@ def doc_metrics(ds):
     """Per-doc analysis table (token counting, quality scoring, langid
     heuristic, md5 fingerprint) — one actor-pool pass."""
     return ds.map_batches(_metrics_task, batch_format="pyarrow")
+
+
+#: GPT-2-style pre-tokenizer chunks (simplified to RE2 so the DuckDB
+#: oracle uses the IDENTICAL pattern): optional leading space + letter
+#: run | digit run | punctuation run
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_counts(ds):
+    """Per-doc token counts two ways — whitespace tokens and BPE-ish
+    pre-tokenizer chunks — in ONE vectorized Arrow regex pass per
+    column (`count_substring_regex`), no Python per row."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ws_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+                ),
+                "bpe_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], BPE_ISH_PATTERN),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")

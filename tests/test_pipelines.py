@@ -194,6 +194,28 @@ def test_term_df_and_doc_stats(docs_ds):
     assert st.avg_doc_len == st.n_tokens / 6
 
 
+def test_token_counts_hand_computed(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import token_counts
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["Hello, world 42!", "  spaced   out  "], pa.string()
+                ),
+            }
+        )
+    )
+    out = token_counts(ds).to_pandas().set_index("doc_id")
+    # "Hello, world 42!": ws = Hello, | world | 42!  → 3
+    # bpe-ish: "Hello" "," " world" " 42" "!" → 5
+    assert out.loc[0, "ws_tokens"] == 3 and out.loc[0, "bpe_tokens"] == 5
+    assert out.loc[1, "ws_tokens"] == 2 and out.loc[1, "bpe_tokens"] == 2
+
+
 def test_media_decode_stub_contract(ray_session):
     import ray.data as rd
 
