@@ -481,6 +481,7 @@ def build_partition_task(
     strip_html: bool,
     wave_tmp: str,
     spill_rows: int = DEFAULT_SPILL_ROWS,
+    read_batch_rows: int = 32768,
 ) -> pa.Table:
     """One task per input partition: stream its parquet fragments
     (record-batch granularity), tokenize with the shared per-worker
@@ -559,7 +560,7 @@ def build_partition_task(
         for path in files:
             pf = pq.ParquetFile(path)
             for rb in pf.iter_batches(
-                batch_size=32768, columns=["conv_id", "turn_idx", "text"]
+                batch_size=read_batch_rows, columns=["conv_id", "turn_idx", "text"]
             ):
                 tbl = pa.Table.from_batches([rb])
                 doc_ids, doc_len, p_row, ucodes, p_tf, uniq, _ = (
@@ -1037,6 +1038,7 @@ def build_index(
     pipeline: str = "local",
     spill_rows: int = DEFAULT_SPILL_ROWS,
     max_chunk: int = MAX_CHUNK,
+    read_batch_rows: int = 32768,
 ) -> dict:
     """Build (or resume) the inverted index; returns the final meta dict.
 
@@ -1145,6 +1147,7 @@ def build_index(
                         "strip_html": strip_html,
                         "wave_tmp": wave_tmp,
                         "spill_rows": spill_rows,
+                        "read_batch_rows": read_batch_rows,
                     },
                     batch_format="pyarrow",
                     batch_size=None,

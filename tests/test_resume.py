@@ -178,12 +178,21 @@ def test_pipelines_produce_identical_index(two_indexes):
     corpus, full, tmp = two_indexes  # `full` was built with the default
     for name, kw in (
         ("shuffle", {"pipeline": "shuffle"}),
-        ("spill", {"pipeline": "local", "spill_rows": 200}),
+        # small read batches + tiny spill budget force MULTIPLE flushes
+        # per partition (mid-stream sub-segments + final flush)
+        ("spill", {"pipeline": "local", "spill_rows": 200, "read_batch_rows": 8}),
     ):
         out = str(tmp / f"pipe_{name}")
         build_index(corpus, out, mode="latin", n_partitions=4, **kw)
         assert _postings_rows(out) == _postings_rows(full), name
         assert _lexicon_rows(out) == _lexicon_rows(full), name
+        if name == "spill":
+            for mpath in glob.glob(os.path.join(out, "waves", "*", "manifest.json")):
+                with open(mpath) as f:
+                    m = json.load(f)
+                assert all(
+                    p["n_flushes"] > 1 for p in m["per_partition"].values()
+                ), "spill did not produce multiple sub-segments"
 
 
 def test_merge_skipped_when_up_to_date(two_indexes):
