@@ -460,6 +460,35 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(ds, queries, qt["vec_id"].to_pylist(), k=ANN_K)
 
 
+def _q_ivf_recall(sf_dir: str):
+    """Recall@k of the IVF approximate path vs exact brute-force cosine
+    (the measured quality/speed trade of the ANN scale path)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raysearch.pipelines.simsearch import cosine_topk, ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
+    qt = qt.sort_by("vec_id")
+    queries = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()]
+    )
+    qids = qt["vec_id"].to_pylist()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    exact = cosine_topk(ds, queries, qids, k=ANN_K).to_pandas()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    approx = ivf_topk(ds, queries, qids, k=ANN_K).to_pandas()
+    rows = []
+    for qid in qids:
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        rows.append({"query_id": qid, "recall": len(e & a) / max(1, len(e))})
+    return pd.DataFrame(rows)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -519,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "ivf_topk": _q_ivf_topk,
+        "ivf_recall": _q_ivf_recall,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
     }
