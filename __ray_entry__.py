@@ -649,8 +649,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (SELECT user_id, ts, event_id, value, "
             "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
             "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events), "
-            "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_id FROM e) "
+            "s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM e) "
             "SELECT user_id, session_id, min(ts) AS session_start, "
             "max(ts) AS session_end, count(*) AS n_events, "
             "round(sum(value), 4) AS sum_value FROM s GROUP BY 1, 2"

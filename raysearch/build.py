@@ -941,22 +941,35 @@ def _committed_partitions(out_dir: str) -> tuple[set[int], list[str]]:
     return pids, waves
 
 
-def partition_of(out_dir: str, conv_id: str, turn_idx: int = 0) -> int:
-    """Resolve the input partition owning (conv_id, turn_idx) from the
-    build's recorded file ranges (the §3.3 'which partition owns this
-    page' lookup; IndexingServiceImpl.java:173-183 analog)."""
+def partitions_of(out_dir: str, conv_id: str) -> list[int]:
+    """ALL input partitions whose file conv ranges cover conv_id (the
+    §3.3 'which partition owns this page' lookup;
+    IndexingServiceImpl.java:173-183 analog).  A conversation's rows may
+    legally straddle file (and thus partition) boundaries — only gen.py
+    happens to keep conversations file-contiguous — so rebuild-by-conv
+    must evict EVERY covering partition, not just the first match."""
     with open(os.path.join(out_dir, "input_meta.json")) as f:
         input_meta = json.load(f)
     files = input_meta["files"]
     n_partitions = input_meta["n_partitions"]
     bounds = np.linspace(0, len(files), n_partitions + 1).astype(int)
+    pids: list[int] = []
     for fi, fr in enumerate(input_meta["file_ranges"]):
         if (fr["conv_min"] is None or fr["conv_min"] <= conv_id) and (
             fr["conv_max"] is None or conv_id <= fr["conv_max"]
         ):
             # file index → partition index (bounds are file offsets)
-            return int(np.searchsorted(bounds, fi, side="right") - 1)
-    raise KeyError(f"no input fragment covers conv_id {conv_id!r}")
+            pid = int(np.searchsorted(bounds, fi, side="right") - 1)
+            if pid not in pids:
+                pids.append(pid)
+    if not pids:
+        raise KeyError(f"no input fragment covers conv_id {conv_id!r}")
+    return pids
+
+
+def partition_of(out_dir: str, conv_id: str, turn_idx: int = 0) -> int:
+    """First covering partition (see :func:`partitions_of`)."""
+    return partitions_of(out_dir, conv_id)[0]
 
 
 def evict_partition(out_dir: str, partition_id: int) -> list[str]:
@@ -1015,11 +1028,14 @@ def rebuild_partition(
     recompute is an input partition — its segment is evicted and
     rebuilt, then the idempotent LSM merge reruns over the new wave
     set, which also restores df/cf in lexicon + meta)."""
-    if partition_id is None:
-        if conv_id is None:
-            raise ValueError("need partition_id or conv_id")
-        partition_id = partition_of(out_dir, conv_id)
-    evict_partition(out_dir, partition_id)
+    if partition_id is not None:
+        pids = [partition_id]
+    elif conv_id is not None:
+        pids = partitions_of(out_dir, conv_id)
+    else:
+        raise ValueError("need partition_id or conv_id")
+    for pid in pids:
+        evict_partition(out_dir, pid)
     return build_index(transcripts_dir, out_dir, resume=True)
 
 

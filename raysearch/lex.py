@@ -167,12 +167,14 @@ class Lexer:
         self._strip = re.compile(strip_re)
         self._ws = re.compile(r"\s+")
         self.lemma_fn = lemma_fn
-        # latin/simple alphabets strip every non-ASCII char anyway, so
-        # the cheaper ASCII lowercase kernel is result-identical there;
-        # reference (Russian) mode needs full utf8 lowering
-        self._batch_lower = (
-            pc.utf8_lower if mode == "reference" else pc.ascii_lower
-        )
+        # One lowercase kernel for every mode: the scalar path (queries,
+        # snippets, oracle) uses Python str.lower() which maps e.g.
+        # U+212A KELVIN SIGN → 'k'; pc.ascii_lower would NOT, so the
+        # same text could tokenize differently at index vs query time
+        # and break rank identity.  pc.utf8_lower matches str.lower()
+        # on the full Unicode mapping (both are utf8proc/UCD full
+        # case-folding), at ~equal vectorized cost on ASCII-heavy data.
+        self._batch_lower = pc.utf8_lower
         # per-instance memo: surface form -> lemma or None (dropped)
         self._memo: dict[str, str | None] = {}
 

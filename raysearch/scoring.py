@@ -162,7 +162,11 @@ def rank_results(
     rank-identical to the full sort."""
     if cand.size == 0:
         return cand, scores
-    if 0 <= k < cand.size:
+    if k == 0:
+        # np.partition with kth == len would raise; k=0 is a valid
+        # public search() parameter and means "no results"
+        return cand[:0], scores[:0]
+    if 0 < k < cand.size:
         kth = np.partition(scores, cand.size - k)[cand.size - k]
         idx = np.flatnonzero(scores >= kth)
         order = np.argsort(-scores[idx], kind="stable")[:k]

@@ -351,10 +351,12 @@ class IndexSearcher:
             b = int(np.argmax(u))
             seed.append(in_range(p.doc_ids[b * BLOCK : (b + 1) * BLOCK]))
         seed_docs = np.unique(np.concatenate(seed)) if seed else np.empty(0, np.int64)
-        if not len(seed_docs):
-            return empty
-        seed_scores = self._score_union(seed_docs, infos)
-        if len(seed_scores) >= k:
+        # A shard whose doc range contains none of the globally-best
+        # blocks gets an empty seed — that only means no θ bound is
+        # available, NOT that the shard has no matches; fall through
+        # with θ=-inf so every block survives and is scored exactly.
+        if len(seed_docs) >= k:
+            seed_scores = self._score_union(seed_docs, infos)
             theta = float(-np.partition(-seed_scores, k - 1)[k - 1])
         else:
             theta = -np.inf

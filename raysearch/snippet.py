@@ -57,17 +57,21 @@ def build_snippet(text: str, query_lemmas: list[str], lexer) -> str:
     if not words:
         return ""
     snippet_size = min(SNIPPET_WINDOW, len(words))
-    lemmas = list(query_lemmas)  # the reference mutates the caller's list (:60-63)
+    # getQueryPositionInText (SnippetSearch.java:56-68): `lemmaList`
+    # ALIASES the query list, so each removal also shrinks the loop
+    # bound — an n-lemma query tries only ceil(n/2) shrinking attempts
+    # and the surviving list (floor(n/2) lemmas; empty iff n==1 fails)
+    # is what isWordInQuery bolds (:99-105).  We mutate a copy with the
+    # identical loop shape instead of the caller's list.
+    lemmas = list(query_lemmas)
     pos = None
-    for _ in range(len(lemmas) or 1):
-        if lemmas:
-            pos = _find_query_window(normals, lemmas, snippet_size)
+    i = 0
+    while i < len(lemmas):
+        pos = _find_query_window(normals, lemmas, snippet_size)
         if pos is not None:
             break
-        if lemmas:
-            lemmas.pop()  # drop most frequent (df-asc order ⇒ last)
-        if not lemmas:
-            break
+        lemmas.pop()  # drop most frequent (df-asc order ⇒ last)
+        i += 1
 
     n = len(words)
     if pos is None:
@@ -84,7 +88,9 @@ def build_snippet(text: str, query_lemmas: list[str], lexer) -> str:
     lo = max(0, lo)
     hi = min(n - 1, hi)
 
-    in_query = set(lemmas or query_lemmas)
+    # reference bolds via the (mutated) query list — when every lemma
+    # was popped it bolds NOTHING (SnippetSearch.java:99-105)
+    in_query = set(lemmas)
     parts = []
     for i in range(lo, hi + 1):
         if normals[i] in in_query:
