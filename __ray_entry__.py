@@ -420,6 +420,10 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_embedding_near_dup(sf_dir: str):
+    """LSH path at the threshold the synthetic embeddings actually
+    reach (0.4), with 8 hyperplane tables + Hamming-1 multi-probe for
+    recall; verified exactly inside buckets (no false positives), so
+    its rows are a subset of embedding_near_dup_exact's green row."""
     import ray.data as rd
 
     from raysearch.pipelines.dedup import embedding_near_dup
@@ -427,7 +431,70 @@ def _q_embedding_near_dup(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    return embedding_near_dup(ds, threshold=0.9, n_planes=6)
+    return embedding_near_dup(ds, threshold=0.4, n_planes=4, n_tables=8, multiprobe=1)
+
+
+def _q_near_dup_recall(sf_dir: str):
+    """Recall of the embedding LSH path vs the exact pair set at the
+    same threshold (the ivf_recall pattern for the dedup family)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import embedding_near_dup
+
+    def pairs(n_planes, n_tables, multiprobe):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        out = embedding_near_dup(
+            ds, threshold=0.4, n_planes=n_planes, n_tables=n_tables,
+            multiprobe=multiprobe,
+        ).to_pandas()
+        return set(zip(out.vec_a, out.vec_b))
+
+    exact = pairs(0, 1, 0)
+    lsh = pairs(4, 8, 1)
+    return pd.DataFrame(
+        [
+            {
+                "n_exact": len(exact),
+                "n_lsh": len(lsh),
+                "false_positives": len(lsh - exact),
+                "recall": round(len(lsh & exact) / max(1, len(exact)), 4),
+            }
+        ]
+    )
+
+
+def _q_jaccard_pairs_exact(sf_dir: str):
+    from raysearch.pipelines.dedup import jaccard_pairs_exact
+
+    return jaccard_pairs_exact(_docs(sf_dir), threshold=0.6, shingle=3)
+
+
+def _q_minhash_recall(sf_dir: str):
+    """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
+    the same threshold: recall + precision in one row (precision is 1.0
+    by construction — verification is exact)."""
+    import pandas as pd
+
+    from raysearch.pipelines.dedup import jaccard_pairs_exact, minhash_lsh_pairs
+
+    exact = jaccard_pairs_exact(_docs(sf_dir), threshold=0.6).to_pandas()
+    lsh = minhash_lsh_pairs(_docs(sf_dir), threshold=0.6).to_pandas()
+    e = set(zip(exact.doc_a, exact.doc_b))
+    l = set(zip(lsh.doc_a, lsh.doc_b))
+    return pd.DataFrame(
+        [
+            {
+                "n_exact": len(e),
+                "n_lsh": len(l),
+                "false_positives": len(l - e),
+                "recall": round(len(l & e) / max(1, len(e)), 4),
+            }
+        ]
+    )
 
 
 def _q_embedding_near_dup_exact(sf_dir: str):
@@ -544,9 +611,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_snippets": _q_transcripts_snippets,
         "transcripts_reference": _q_transcripts_reference,
         "minhash_pairs": _q_minhash_pairs,
+        "jaccard_pairs_exact": _q_jaccard_pairs_exact,
+        "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
+        "near_dup_recall": _q_near_dup_recall,
         "ivf_topk": _q_ivf_topk,
         "ivf_recall": _q_ivf_recall,
         "media_features": _q_media_features,
@@ -631,6 +701,18 @@ def oracle_sql() -> dict[str, str]:
             f"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank "
             f"FROM scored) "
             f"SELECT query_id, rank, vec_id, score FROM ranked WHERE rank < {ANN_K}"
+        ),
+        "jaccard_pairs_exact": (
+            "WITH arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle "
+            "FROM arr, UNNEST(range(1, len(toks)-1)) AS t(i) WHERE len(toks) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6"
         ),
         "embedding_near_dup_exact": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -1,27 +1,40 @@
 """Deduplication family over a (doc_id, text) / (vec_id, embedding) table.
 
-Five dedup strategies, each Ray-Data-first (the general pattern the
+Six dedup strategies, each Ray-Data-first (the general pattern the
 reference only hints at with its exact URL/page dedup, D1/D2 in SURVEY
 §2.7 — here generalized to content dedup at corpus scale):
 
-* exact_dedup       — md5(text) → groupby(hash) → keep min doc_id.
-* minhash_lsh_pairs — word-shingle MinHash signatures (vectorized
+* exact_dedup         — md5(text) → groupby(hash) → keep min doc_id.
+* minhash_lsh_pairs   — word-shingle MinHash signatures (vectorized
   universal hashing), banded LSH → candidate pairs via one groupby →
-  exact Jaccard verification.  The canonical near-dup path.
-* simhash_pairs     — 64-bit SimHash over token multiset, 4×16-bit
-  band blocking, Hamming-distance verification.
-* ngram_jaccard     — character-n-gram Jaccard verification for a
-  candidate pair list (the verifier used after any blocking scheme).
-* embedding_near_dup — cosine ≥ threshold pairs over an embedding
-  column, LSH-bucketed by random-hyperplane sign bits with exact
-  verification inside buckets.
+  exact shingle-Jaccard verification as a distributed hash join (no
+  driver materialization).  The canonical near-dup path.
+* jaccard_pairs_exact — exact all-pairs word-shingle Jaccard via a
+  groupby(shingle) co-occurrence count.  Quadratic in per-shingle df:
+  this is the VERIFICATION/oracle operator (SQL-expressible, used by
+  the driver gate and the minhash_recall measurement), not the scale
+  path — minhash_lsh_pairs is.
+* simhash_pairs       — 64-bit SimHash over the token multiset,
+  4×16-bit band blocking, vectorized Hamming verification.
+* ngram_jaccard       — character-n-gram Jaccard for one pair (the
+  scalar verification primitive).
+* embedding_near_dup  — cosine ≥ threshold pairs over an embedding
+  column; multi-table random-hyperplane LSH with optional multi-probe
+  (Hamming-1 bucket probes) and chunked exact verification inside
+  buckets.
 
 All hashing is seeded/deterministic (no builtin ``hash``); signatures
-are computed vectorized per batch; the only wide steps are
-groupby(bucket-key) shuffles over small signature rows, never over raw
-text.  Candidate verification rereads only candidate docs (broadcast
-of the candidate text map when small; at scale this becomes a
-hash-partitioned join on doc_id).
+are computed vectorized per batch; the wide steps are groupby /
+hash-join shuffles over signature or id rows, never over raw text.
+
+Skew guard: LSH band buckets follow the corpus duplicate distribution —
+boilerplate-heavy corpora produce giant near-identical buckets.  Pair
+emission caps all-pairs enumeration at ``MAX_BUCKET_IDS`` ids per
+bucket; larger buckets emit STAR edges to the bucket's min doc_id
+(n−1 edges instead of n(n−1)/2).  A star keeps every member connected
+to its cluster for connected-components dedup while bounding both the
+emit cost and the verification fan-out; the full pair set within a
+mega-bucket is recoverable transitively after verification.
 """
 
 from __future__ import annotations
@@ -35,6 +48,9 @@ import pyarrow as pa
 from raysearch.lex import Lexer
 
 MERSENNE = (1 << 61) - 1
+
+#: buckets with more distinct ids than this emit star edges (skew guard)
+MAX_BUCKET_IDS = 512
 
 
 def _stable_u64(values: list[str]) -> np.ndarray:
@@ -53,6 +69,27 @@ def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]
     a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.uint64)
     b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.uint64)
     return a, b
+
+
+def _emit_pairs_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized pair emission over sorted-unique ids with the hot-
+    bucket star fallback (module docstring)."""
+    n = len(ids)
+    if n < 2:
+        e = np.empty(0, dtype=ids.dtype)
+        return e, e
+    if n > MAX_BUCKET_IDS:
+        return np.full(n - 1, ids[0], dtype=ids.dtype), ids[1:]
+    ii, jj = np.triu_indices(n, k=1)
+    return ids[ii], ids[jj]
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +121,7 @@ def exact_dedup(ds):
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH
+# shared word-shingle hashing (minhash signatures + verification sets)
 # ---------------------------------------------------------------------------
 
 
@@ -99,11 +136,66 @@ def _mix_step(acc: np.ndarray, nxt: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+def _uniq_token_hashes(memo: dict, uniq: np.ndarray) -> np.ndarray:
+    out = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        h = memo.get(t)
+        if h is None:
+            h = memo[t] = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+            )
+        out[i] = h
+    return out
+
+
+def _shingle_hash_arrays(
+    lexer: Lexer, memo: dict, batch: pa.Table, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One uint64 hash per word-k-shingle of each row: returns
+    ``(sh_parent, sh)`` with sh_parent the owning batch-row index
+    (nondecreasing).  Rolling k-gram integer mixing over per-UNIQUE-
+    token stable hashes — no per-shingle string building.  Docs with
+    1..k-1 tokens contribute ONE shingle over all their tokens; empty
+    docs contribute none."""
+    parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+    if not len(codes):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    th = _uniq_token_hashes(memo, uniq)[codes]
+    n = len(th)
+    row_starts = np.searchsorted(parent, np.arange(batch.num_rows))
+    row_counts = np.diff(np.concatenate((row_starts, [n])))
+
+    if n >= k:
+        m = n - k + 1
+        sh = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            sh = _mix_step(sh, th[j : j + m])
+        valid = parent[:m] == parent[k - 1 :]
+        sh_parent = parent[:m][valid]
+        sh = sh[valid]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+        sh_parent = np.empty(0, dtype=np.int64)
+    short_rows = np.flatnonzero((row_counts > 0) & (row_counts < k))
+    if len(short_rows):
+        extra = []
+        for r in short_rows:
+            s, c = row_starts[r], row_counts[r]
+            acc = np.zeros(1, dtype=np.uint64)
+            for j in range(int(c)):
+                acc = _mix_step(acc, th[s + j : s + j + 1])
+            extra.append(acc[0])
+        sh = np.concatenate((sh, np.array(extra, dtype=np.uint64)))
+        sh_parent = np.concatenate((sh_parent, short_rows))
+        order = np.argsort(sh_parent, kind="stable")
+        sh, sh_parent = sh[order], sh_parent[order]
+    return sh_parent.astype(np.int64, copy=False), sh
+
+
 class _MinHashSigs:
     """Per-batch: word shingles → n_perm MinHash values → banded rows
-    (doc_id, band, band_hash).  Fully vectorized: per-UNIQUE-token
-    stable hashes, rolling k-gram combination via integer mixing (no
-    per-shingle string building or hashlib), permutations as one
+    (doc_id, band, band_hash).  Fully vectorized: shingle hashes from
+    :func:`_shingle_hash_arrays`, permutations as one
     (n_shingle × n_perm) broadcast, per-doc minima via
     np.minimum.reduceat, band keys by vectorized mixing."""
 
@@ -114,63 +206,11 @@ class _MinHashSigs:
         self.a, self.b = _minhash_params(n_perm)
         self._tok_hash_memo: dict[str, int] = {}
 
-    def _uniq_hashes(self, uniq: np.ndarray) -> np.ndarray:
-        memo = self._tok_hash_memo
-        out = np.empty(len(uniq), dtype=np.uint64)
-        for i, t in enumerate(uniq):
-            h = memo.get(t)
-            if h is None:
-                h = memo[t] = int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-                )
-            out[i] = h
-        return out
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        parent, codes, uniq = self.lexer.token_parent_codes(batch["text"])
-        k = self.shingle
-        if not len(codes):
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "band": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.uint64()),
-                }
-            )
-        th = self._uniq_hashes(uniq)[codes]
-        n = len(th)
-        # token counts per row (docs ordered; parent nondecreasing)
-        row_starts = np.searchsorted(parent, np.arange(batch.num_rows))
-        row_counts = np.diff(np.concatenate((row_starts, [n])))
-
-        # rolling k-gram mix at positions whose full window stays in-doc
-        if n >= k:
-            m = n - k + 1
-            sh = np.zeros(m, dtype=np.uint64)
-            for j in range(k):
-                sh = _mix_step(sh, th[j : j + m])
-            valid = parent[:m] == parent[k - 1 :]
-            sh_parent = parent[:m][valid]
-            sh = sh[valid]
-        else:
-            sh = np.empty(0, dtype=np.uint64)
-            sh_parent = np.empty(0, dtype=np.int64)
-        # short docs (1..k-1 tokens): one shingle over all their tokens
-        short_rows = np.flatnonzero((row_counts > 0) & (row_counts < k))
-        if len(short_rows):
-            extra = []
-            for r in short_rows:
-                s, c = row_starts[r], row_counts[r]
-                acc = np.zeros(1, dtype=np.uint64)
-                for j in range(int(c)):
-                    acc = _mix_step(acc, th[s + j : s + j + 1])
-                extra.append(acc[0])
-            sh = np.concatenate((sh, np.array(extra, dtype=np.uint64)))
-            sh_parent = np.concatenate((sh_parent, short_rows))
-            order = np.argsort(sh_parent, kind="stable")
-            sh, sh_parent = sh[order], sh_parent[order]
-
+        sh_parent, sh = _shingle_hash_arrays(
+            self.lexer, self._tok_hash_memo, batch, self.shingle
+        )
         if not len(sh):
             return pa.table(
                 {
@@ -205,17 +245,41 @@ class _MinHashSigs:
         )
 
 
-def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(group["doc_id"].tolist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+class _ShingleSets:
+    """Per-batch: (doc_id, text) → (doc_id, shingles) where shingles is
+    the doc's SORTED-UNIQUE uint64 shingle-hash set packed into one
+    BINARY blob (little-endian uint64s — binary survives the hash-join
+    exchange; Arrow joins reject list payload columns).  Jaccard over
+    these hash sets equals Jaccard over the string shingles absent
+    64-bit collisions (deterministic blake2b + splitmix)."""
+
+    def __init__(self, shingle: int = 3):
+        self.lexer = Lexer("simple")
+        self.shingle = shingle
+        self._memo: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh_parent, sh = _shingle_hash_arrays(self.lexer, self._memo, batch, self.shingle)
+        nrows = batch.num_rows
+        if len(sh):
+            order = np.lexsort((sh, sh_parent))
+            p, v = sh_parent[order], sh[order]
+            keep = np.concatenate(([True], (p[1:] != p[:-1]) | (v[1:] != v[:-1])))
+            p, v = p[keep], v[keep]
+        else:
+            p = np.empty(0, dtype=np.int64)
+            v = np.empty(0, dtype=np.uint64)
+        counts = np.bincount(p, minlength=nrows) if nrows else np.empty(0, np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64) * 8
+        arr = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            nrows,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(v.tobytes())],
+        )
+        return pa.table({"doc_id": batch["doc_id"], "shingles": arr})
 
 
-_SIG_CACHE: dict[tuple, object] = {}
+_SIG_CACHE: dict[tuple | str, object] = {}
 
 
 def _minhash_task(batch: pa.Table, *, n_perm: int, bands: int, shingle: int):
@@ -226,6 +290,14 @@ def _minhash_task(batch: pa.Table, *, n_perm: int, bands: int, shingle: int):
     return inst(batch)
 
 
+def _shingle_set_task(batch: pa.Table, *, shingle: int):
+    key = ("shingles", shingle)
+    inst = _SIG_CACHE.get(key)
+    if inst is None:
+        inst = _SIG_CACHE[key] = _ShingleSets(shingle)
+    return inst(batch)
+
+
 def _simhash_task(batch: pa.Table):
     inst = _SIG_CACHE.get("simhash")
     if inst is None:
@@ -233,8 +305,20 @@ def _simhash_task(batch: pa.Table):
     return inst(batch)
 
 
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
+    ids = np.unique(group["doc_id"].to_numpy())
+    a, b = _emit_pairs_ids(ids)
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
 def minhash_candidates(ds, n_perm: int = 64, bands: int = 16, shingle: int = 3):
-    """documents → candidate near-dup pairs (doc_a < doc_b), deduped."""
+    """documents → candidate near-dup pairs (doc_a < doc_b), deduped;
+    hot band-buckets emit star edges (module docstring skew guard)."""
     sigs = ds.map_batches(
         _minhash_task,
         fn_kwargs={"n_perm": n_perm, "bands": bands, "shingle": shingle},
@@ -255,53 +339,207 @@ def _jaccard(sa: set, sb: set) -> float:
     return len(sa & sb) / u if u else 0.0
 
 
-def minhash_lsh_pairs(ds, threshold: float = 0.6, **kw):
-    """Candidates → exact shingle-Jaccard verification ≥ threshold.
+def _blob_col_to_sets(col) -> list[np.ndarray]:
+    """binary column of packed uint64 blobs → list of uint64 arrays."""
+    return [
+        np.frombuffer(b, dtype=np.uint64) if b else np.empty(0, np.uint64)
+        for b in col.to_pylist()
+    ]
 
-    Verification broadcasts the candidate doc texts (small side) via
-    ray.put and checks pairs inside map_batches — no text shuffle."""
-    import ray
 
-    cands = minhash_candidates(ds, **kw)
-    cand_tbl = cands.to_pandas()
-    if cand_tbl.empty:
-        import ray.data as rd
+def _rename_cols(ds, mapping: dict):
+    """Schema-only rename as an Arrow map (Dataset.rename_columns fails
+    on pandas-backed aggregate blocks in Ray 2.49)."""
 
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    needed = set(cand_tbl.doc_a) | set(cand_tbl.doc_b)
-    texts = {}
-    shingle = kw.get("shingle", 3)
-    lexer = Lexer("simple")
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            if d in needed:
-                toks = lexer.tokenize(t)
-                texts[d] = set(
-                    " ".join(toks[i : i + shingle])
-                    for i in range(max(1, len(toks) - shingle + 1))
-                )
-    texts_ref = ray.put(texts)
+    def fn(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(c, c) for c in b.column_names])
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        tx = ray.get(texts_ref)
-        jac = [
-            _jaccard(tx.get(a, set()), tx.get(b, set()))
-            for a, b in zip(batch.doc_a, batch.doc_b)
-        ]
-        batch = batch.assign(jaccard=np.round(jac, 4))
-        return batch[batch.jaccard >= threshold][["doc_a", "doc_b", "jaccard"]]
+    return ds.map_batches(fn, batch_format="pyarrow")
 
+
+def _empty_pairs_ds():
     import ray.data as rd
 
-    return rd.from_pandas(cand_tbl).map_batches(verify, batch_format="pandas")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    ds, threshold: float = 0.6, join_partitions: int = 8, **kw
+):
+    """Candidates → exact shingle-Jaccard ≥ threshold, fully distributed.
+
+    Verification plan (round-2 rework; round 1 collected candidate
+    texts on the driver):
+
+    1. ``minhash_candidates`` → (doc_a, doc_b) id pairs (materialized —
+       ids only, the smallest dataset in the job);
+    2. a second streaming pass computes per-doc sorted-unique 64-bit
+       shingle-hash sets (:class:`_ShingleSets`);
+    3. a ``left_semi`` hash join prunes those sets to candidate docs;
+    4. two inner hash joins attach each pair's two sets;
+    5. a vectorized map computes exact Jaccard over the hash sets and
+       filters ≥ threshold.
+
+    Only id pairs and candidate shingle sets shuffle; raw text never
+    leaves the tokenize stage and nothing scales with corpus size on
+    the driver.  ``join_partitions`` sizes the hash-join exchange —
+    raise it proportionally to cluster size at scale."""
+    cands = minhash_candidates(ds, **kw).materialize()
+    if cands.count() == 0:
+        return _empty_pairs_ds()
+    shingle = kw.get("shingle", 3)
+    sh = ds.map_batches(
+        _shingle_set_task, fn_kwargs={"shingle": shingle}, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    ids = (
+        _rename_cols(cands.select_columns(["doc_a"]), {"doc_a": "doc_id"})
+        .union(_rename_cols(cands.select_columns(["doc_b"]), {"doc_b": "doc_id"}))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_id"])
+    )
+    cand_sh = sh.join(
+        ids, "left_semi", num_partitions=join_partitions, on=("doc_id",)
+    ).materialize()
+    j = cands.join(
+        _rename_cols(cand_sh, {"doc_id": "doc_a", "shingles": "sh_a"}),
+        "inner",
+        num_partitions=join_partitions,
+        on=("doc_a",),
+    ).join(
+        _rename_cols(cand_sh, {"doc_id": "doc_b", "shingles": "sh_b"}),
+        "inner",
+        num_partitions=join_partitions,
+        on=("doc_b",),
+    )
+
+    from raysearch.util import round_half_away
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sets_a = _blob_col_to_sets(batch["sh_a"])
+        sets_b = _blob_col_to_sets(batch["sh_b"])
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa, sb = sets_a[i], sets_b[i]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = (inter / union) if union else 1.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(round_half_away(jac[keep], 4), pa.float64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs shingle Jaccard (the verification oracle)
+# ---------------------------------------------------------------------------
+
+
+class _DistinctShingleStrings:
+    """Per-batch: (doc_id, text) → distinct (doc_id, shingle-STRING)
+    rows of full word-k-shingles (docs with <k tokens contribute none —
+    matches the SQL oracle's definition; the minhash path's short-doc
+    special case is deliberately absent here)."""
+
+    def __init__(self, shingle: int = 3):
+        self.lexer = Lexer("simple")
+        self.shingle = shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parent, codes, uniq = self.lexer.token_parent_codes(batch["text"])
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        k = self.shingle
+        out_doc: list[int] = []
+        out_sh: list[str] = []
+        if len(codes):
+            toks = uniq[codes]
+            starts = np.searchsorted(parent, np.arange(batch.num_rows))
+            bounds = np.concatenate((starts, [len(codes)]))
+            for r in range(batch.num_rows):
+                s, e = int(bounds[r]), int(bounds[r + 1])
+                if e - s < k:
+                    continue
+                seen = {
+                    " ".join(toks[i : i + k]) for i in range(s, e - k + 1)
+                }
+                out_doc.extend([int(doc_ids[r])] * len(seen))
+                out_sh.extend(seen)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "shingle": pa.array(out_sh, pa.string()),
+            }
+        )
+
+
+def jaccard_pairs_exact(ds, threshold: float = 0.6, shingle: int = 3):
+    """EXACT all-pairs word-shingle Jaccard ≥ threshold.
+
+    Plan: distinct (doc_id, shingle) rows → set sizes →
+    groupby(shingle) emits co-occurring doc pairs (all pairs — no star
+    fallback, exactness is the point) → groupby(pair) counts the
+    intersection → |A∩B| / (|A|+|B|−|A∩B|).
+
+    Quadratic in per-shingle document frequency: this is the
+    verification-scale oracle for the minhash path (and the driver
+    gate's SQL-checkable dedup row), NOT the 100 TB path.  Set sizes
+    are broadcast via ray.put (one int per doc with ≥k tokens)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    tok = ds.map_batches(
+        _DistinctShingleStrings(shingle), batch_format="pyarrow"
+    ).materialize()
+    sizes_pdf = tok.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    sizes_ref = ray.put(
+        dict(zip(sizes_pdf["doc_id"].astype(np.int64), sizes_pdf["n"].astype(np.int64)))
+    )
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+    inter = (
+        tok.groupby("shingle")
+        .map_groups(emit, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_common"))
+    )
+
+    from raysearch.util import round_half_away
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        sizes = ray.get(sizes_ref)
+        na = batch["doc_a"].map(sizes).to_numpy(dtype=np.float64)
+        nb = batch["doc_b"].map(sizes).to_numpy(dtype=np.float64)
+        i = batch["n_common"].to_numpy(dtype=np.float64)
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        out = batch.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["jaccard"] = round_half_away(jac[keep], 4)
+        return out
+
+    return inter.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -369,20 +607,28 @@ class _SimHash:
 
 
 def simhash_pairs(ds, max_hamming: int = 3):
-    """documents → (doc_a, doc_b, hamming) pairs with distance ≤ max."""
+    """documents → (doc_a, doc_b, hamming) pairs with distance ≤ max.
+
+    Pair generation is vectorized (triu indices + table-lookup popcount)
+    with the star fallback on hot buckets — no per-pair Python loop."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group.doc_id, group.simhash)))
-        a, b, h = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = int(rows[i][1]) ^ int(rows[j][1])
-                dist = bin(d).count("1")
-                if dist <= max_hamming:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    h.append(dist)
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+        sub = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = sub["doc_id"].to_numpy()
+        sims = sub["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        if n > MAX_BUCKET_IDS:
+            ai = np.zeros(n - 1, dtype=np.int64)
+            bi = np.arange(1, n, dtype=np.int64)
+        else:
+            ai, bi = np.triu_indices(n, k=1)
+        dist = _popcount64(sims[ai] ^ sims[bi])
+        keep = dist <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]], "hamming": dist[keep]}
+        )
 
     sigs = ds.map_batches(_simhash_task, batch_format="pyarrow")
     cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
@@ -408,50 +654,99 @@ def char_ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+_VERIFY_CHUNK = 2048  # rows per matmul chunk inside one bucket
 
-def embedding_near_dup(ds, threshold: float = 0.95, n_planes: int = 8, seed: int = 11):
+
+def embedding_near_dup(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+    n_tables: int = 1,
+    multiprobe: int = 0,
+):
     """(vec_id, embedding) → near-dup pairs by cosine ≥ threshold.
 
-    Scale path: random-hyperplane sign buckets (LSH) shuffle only
-    (bucket, vec_id, vector) rows; exact cosine verification runs
-    inside each bucket.  n_planes=0 degenerates to one bucket
-    (brute force) — used to measure recall in tests."""
-    import ray.data as rd
+    Scale path: random-hyperplane sign-bucket LSH.  Recall knobs for
+    lower thresholds (wider angles):
+
+    * ``n_tables`` independent hyperplane tables (union of candidates
+      — the standard L-tables construction: per-table miss rates
+      multiply);
+    * ``multiprobe=1`` additionally probes every Hamming-1 neighbor
+      bucket (each vector lands in 1+n_planes buckets per table), so a
+      pair is blocked together whenever its per-table codes differ in
+      ≤2 planes.
+
+    Only (bucket, vec_id, vector) rows shuffle; exact cosine
+    verification runs inside each bucket with CHUNKED matmuls
+    (``_VERIFY_CHUNK`` rows at a time) so a dense mega-bucket bounds
+    memory, not correctness; duplicate discoveries across tables/probes
+    collapse in the final pair groupby.  n_planes=0 degenerates to one
+    bucket (brute force) — the recall baseline."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         emb = np.stack(
             [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()]
         )
-        if n_planes:
-            dim = emb.shape[1]
-            rng = np.random.Generator(np.random.PCG64(seed))
-            planes = rng.standard_normal((dim, n_planes))
-            signs = (emb @ planes) > 0
-            bucket = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+        n = len(emb)
+        if not n_planes:
+            bucket = np.zeros(n, dtype=np.int64)
+            reps = 1
+            out_bucket = bucket
+            idx = np.arange(n)
         else:
-            bucket = np.zeros(len(emb), dtype=np.int64)
+            dim = emb.shape[1]
+            codes = []
+            for t in range(max(1, n_tables)):
+                rng = np.random.Generator(np.random.PCG64(seed + 7919 * t))
+                planes = rng.standard_normal((dim, n_planes))
+                signs = (emb @ planes) > 0
+                code = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+                base = np.int64(t) << np.int64(n_planes + 1)
+                codes.append(base + code)
+                if multiprobe:
+                    for p in range(n_planes):
+                        codes.append(base + (code ^ (1 << p)))
+            reps = len(codes)
+            out_bucket = np.concatenate(codes)
+            idx = np.tile(np.arange(n), reps)
         return pa.table(
             {
-                "bucket": pa.array(bucket, pa.int64()),
-                "vec_id": batch["vec_id"],
-                "embedding": batch["embedding"],
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "vec_id": batch["vec_id"].take(pa.array(idx)),
+                "embedding": batch["embedding"].take(pa.array(idx)),
             }
         )
 
+    from raysearch.util import round_half_away
+
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        emb = np.stack([np.asarray(v, dtype=np.float64) for v in group["embedding"]])
-        ids = group["vec_id"].to_numpy()
+        sub = group.drop_duplicates("vec_id")
+        emb = np.stack([np.asarray(v, dtype=np.float64) for v in sub["embedding"]])
+        ids = sub["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids, emb = ids[order], emb[order]
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         unit = emb / norms[:, None]
-        sim = unit @ unit.T
-        ii, jj = np.where(np.triu(sim >= threshold, k=1))
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
-        from raysearch.util import round_half_away
-
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for c0 in range(0, n, _VERIFY_CHUNK):
+            c1 = min(n, c0 + _VERIFY_CHUNK)
+            sim = unit[c0:c1] @ unit.T  # (chunk, n)
+            ii, jj = np.where(sim >= threshold)
+            keep = (ii + c0) < jj  # global upper triangle
+            out_a.append(ids[ii[keep] + c0])
+            out_b.append(ids[jj[keep]])
+            out_c.append(sim[ii[keep], jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        c = np.concatenate(out_c)
         return pd.DataFrame(
-            {"vec_a": a, "vec_b": b, "cosine": round_half_away(sim[ii, jj], 4)}
+            {"vec_a": a, "vec_b": b, "cosine": round_half_away(c, 4)}
         )
 
     pairs = (

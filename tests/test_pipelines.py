@@ -259,3 +259,134 @@ def test_frame_sampling_arithmetic(ray_session):
     for mid, dur in durs.items():
         frames = out[out.media_id == mid].frame_ms.tolist()
         assert frames == list(range(0, dur, 1000))
+
+
+def test_jaccard_pairs_exact_vs_bruteforce(docs_ds):
+    """Distributed exact all-pairs shingle Jaccard == in-process brute
+    force (full 3-shingles only, <k-token docs contribute none)."""
+    from raysearch.pipelines.dedup import jaccard_pairs_exact
+
+    texts = {
+        d: t
+        for d, t in zip(
+            *[
+                docs_ds.to_pandas()[c].tolist()
+                for c in ("doc_id", "text")
+            ]
+        )
+    }
+
+    def shingles(t):
+        toks = [w for w in t.lower().split() if w]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    want = {}
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = shingles(texts[ids[i]]), shingles(texts[ids[j]])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter:
+                jac = inter / (len(sa) + len(sb) - inter)
+                if jac >= 0.3:
+                    want[(ids[i], ids[j])] = round(jac, 4)
+
+    out = jaccard_pairs_exact(docs_ds, threshold=0.3).to_pandas()
+    got = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(out.doc_a, out.doc_b, out.jaccard)
+    }
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0
+
+
+def test_minhash_recall_against_exact(docs_ds):
+    """LSH near-dup pairs must recover the exact pairs at the same
+    threshold on this small corpus (no false positives possible —
+    verification is exact)."""
+    from raysearch.pipelines.dedup import jaccard_pairs_exact, minhash_lsh_pairs
+
+    exact = jaccard_pairs_exact(docs_ds, threshold=0.5).to_pandas()
+    lsh = minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+    e = set(zip(exact.doc_a, exact.doc_b))
+    l = set(zip(lsh.doc_a, lsh.doc_b))
+    assert e, "fixture must contain near-dup pairs"
+    assert l <= e or (l - e) == set()  # precision 1 on full-shingle docs
+    assert len(e & l) / len(e) >= 0.99
+
+
+def test_hot_bucket_star_fallback(ray_session):
+    """A duplicate-heavy corpus (1500 copies of one text) must emit
+    O(n) star edges, not O(n^2) pairs, and still connect every copy to
+    the representative with jaccard 1.0."""
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import (
+        MAX_BUCKET_IDS,
+        minhash_candidates,
+        minhash_lsh_pairs,
+    )
+
+    n = MAX_BUCKET_IDS + 200
+    texts = ["exact duplicate text about ray data streaming engines"] * n
+    texts += ["one completely unrelated document"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    cands = minhash_candidates(ds).to_pandas()
+    # star: n-1 edges, all anchored at doc 0 (bucket min)
+    assert len(cands) == n - 1
+    assert (cands.doc_a == 0).all()
+    out = minhash_lsh_pairs(ds, threshold=0.9).to_pandas()
+    assert len(out) == n - 1 and (out.jaccard == 1.0).all()
+    assert set(out.doc_b) == set(range(1, n))
+
+
+def test_simhash_hot_bucket_bounded(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import MAX_BUCKET_IDS, simhash_pairs
+
+    n = MAX_BUCKET_IDS + 100
+    texts = ["identical content words for simhash"] * n
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert len(out) == n - 1  # star edges only
+    assert (out.hamming == 0).all() and (out.doc_a == 0).all()
+
+
+def test_embedding_multi_table_multiprobe_recall(vec_ds):
+    """Multi-table + multi-probe LSH at a low threshold must recover
+    most of the exact pair set (single-table misses wide-angle pairs)."""
+    from raysearch.pipelines.dedup import embedding_near_dup
+
+    ds, vecs = vec_ds
+    exact = embedding_near_dup(ds, threshold=0.4, n_planes=0).to_pandas()
+    want = set(zip(exact.vec_a, exact.vec_b))
+    assert want, "fixture has cos>=0.4 pairs"
+    lsh = embedding_near_dup(
+        ds, threshold=0.4, n_planes=4, n_tables=8, multiprobe=1
+    ).to_pandas()
+    got = set(zip(lsh.vec_a, lsh.vec_b))
+    assert got <= want  # exact in-bucket verify → no false positives
+    assert len(got & want) / len(want) >= 0.8
+    # cosines of recovered pairs match the exact values
+    em = {(a, b): c for a, b, c in zip(exact.vec_a, exact.vec_b, exact.cosine)}
+    for a, b, c in zip(lsh.vec_a, lsh.vec_b, lsh.cosine):
+        assert em[(a, b)] == c
