@@ -510,12 +510,27 @@ def _q_embedding_near_dup_exact(sf_dir: str):
     return embedding_near_dup(ds, threshold=0.4, n_planes=0)
 
 
-def _q_ivf_topk(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Build (once, cached on disk) the cell-partitioned IVF index for
+    this scale's embeddings table."""
     import ray.data as rd
 
-    from raysearch.pipelines.simsearch import ivf_topk
+    from raysearch.pipelines.simsearch import build_ivf_index
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/raysearch_entry/{name}/ivf"
+    if not os.path.exists(os.path.join(out, "centroids.json")):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        build_ivf_index(ds, out, nlist=16)
+    return out
+
+
+def _ann_queries(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(path, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
@@ -523,31 +538,34 @@ def _q_ivf_topk(sf_dir: str):
     queries = np.stack(
         [np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()]
     )
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    return ivf_topk(ds, queries, qt["vec_id"].to_pylist(), k=ANN_K)
+    return queries, qt["vec_id"].to_pylist()
+
+
+def _q_ivf_topk(sf_dir: str):
+    """IVF ANN through the PERSISTED cell-partitioned index: the read
+    touches only the queries' probed cells (nprobe/nlist of the
+    files), not a masked full scan."""
+    from raysearch.pipelines.simsearch import ivf_topk_indexed
+
+    queries, qids = _ann_queries(sf_dir)
+    return ivf_topk_indexed(_ivf_index_dir(sf_dir), queries, qids, k=ANN_K)
 
 
 def _q_ivf_recall(sf_dir: str):
     """Recall@k of the IVF approximate path vs exact brute-force cosine
     (the measured quality/speed trade of the ANN scale path)."""
-    import numpy as np
     import pandas as pd
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from raysearch.pipelines.simsearch import cosine_topk, ivf_topk
+    from raysearch.pipelines.simsearch import cosine_topk, ivf_topk_indexed
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
-    qt = qt.sort_by("vec_id")
-    queries = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()]
-    )
-    qids = qt["vec_id"].to_pylist()
+    queries, qids = _ann_queries(sf_dir)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     exact = cosine_topk(ds, queries, qids, k=ANN_K).to_pandas()
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    approx = ivf_topk(ds, queries, qids, k=ANN_K).to_pandas()
+    approx = ivf_topk_indexed(
+        _ivf_index_dir(sf_dir), queries, qids, k=ANN_K
+    ).to_pandas()
     rows = []
     for qid in qids:
         e = set(exact[exact.query_id == qid].vec_id)

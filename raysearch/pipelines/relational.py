@@ -63,34 +63,34 @@ def revenue_by_flag(lineitem):
 
 
 def top_customers(orders, customer, k: int = 10):
-    """Top-k customers by total order value: broadcast the customer
-    dimension once, join inside map_batches (no shuffle join), then one
-    small groupby + driver-side top-k."""
-    import ray
+    """Top-k customers by total order value: groupby-aggregate on the
+    fact side only, Dataset-level ``sort(...).limit(k)`` for the
+    reduce (the per-customer aggregate never lands on the driver), then
+    the customer name attached to just the k winners from the broadcast
+    dimension side — the J4 large⋈small pattern with the join deferred
+    past the top-k so it touches k rows, not |customers|."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    cust_pdf = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust_pdf.c_custkey, cust_pdf.c_name)))
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    )
 
-    def attach_name(batch: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(cust_ref)
-        batch = batch[["o_custkey", "o_totalprice"]].copy()
-        batch["c_name"] = batch["o_custkey"].map(names)
+    def round_spend(batch: pd.DataFrame) -> pd.DataFrame:
+        # round BEFORE the sort so ordering matches the SQL oracle's
+        # ORDER BY round(...) DESC, o_custkey
+        batch["total_spent"] = round_half_away(batch["total_spent"].to_numpy(), 2)
         return batch
 
-    agg = (
-        orders.map_batches(attach_name, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders"))
+    top = (
+        agg.map_batches(round_spend, batch_format="pandas")
+        .sort(["total_spent", "o_custkey"], descending=[True, False])
+        .limit(k)
     )
-    pdf = agg.to_pandas()
+    pdf = top.to_pandas()  # k rows
+    cust_pdf = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
     names = dict(zip(cust_pdf.c_custkey, cust_pdf.c_name))
     pdf["c_name"] = pdf["o_custkey"].map(names)
-    pdf["total_spent"] = round_half_away(pdf["total_spent"].to_numpy(), 2)
-    pdf = pdf.sort_values(
-        ["total_spent", "o_custkey"], ascending=[False, True]
-    ).head(k)
     return rd.from_pandas(
         pdf[["o_custkey", "c_name", "total_spent", "n_orders"]].reset_index(drop=True)
     )

@@ -390,3 +390,34 @@ def test_embedding_multi_table_multiprobe_recall(vec_ds):
     em = {(a, b): c for a, b, c in zip(exact.vec_a, exact.vec_b, exact.cosine)}
     for a, b, c in zip(lsh.vec_a, lsh.vec_b, lsh.cosine):
         assert em[(a, b)] == c
+
+
+def test_ivf_indexed_matches_inpass_and_prunes(vec_ds, tmp_path):
+    """The persisted cell-partitioned IVF index must (a) return the
+    same results as the in-pass ivf_topk (same centroids/probes), and
+    (b) physically read only the probed cells' files."""
+    import os
+
+    from raysearch.pipelines.simsearch import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    ds, vecs = vec_ds
+    out = str(tmp_path / "ivf")
+    cent = build_ivf_index(ds, out, nlist=4)
+    assert cent.shape[0] <= 4
+    cells_on_disk = sorted(
+        d for d in os.listdir(out) if d.startswith("cell=")
+    )
+    assert len(cells_on_disk) >= 2  # vectors actually spread over cells
+
+    queries = vecs[:3]
+    a = ivf_topk_indexed(out, queries, [0, 1, 2], k=5, nprobe=2).to_pandas()
+    b = ivf_topk(ds, queries, [0, 1, 2], k=5, nlist=4, nprobe=2).to_pandas()
+    pa_ = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pb_ = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert pa_[["query_id", "rank", "vec_id", "score"]].equals(
+        pb_[["query_id", "rank", "vec_id", "score"]]
+    )
