@@ -66,6 +66,7 @@ class IndexSearcher:
         index_dir: str,
         doc_range: tuple[int, int] | None = None,
         warm_top_terms: int = 0,
+        lazy_lexicon: bool = False,
     ):
         merged = os.path.join(index_dir, "merged")
         with open(os.path.join(merged, "meta.json")) as f:
@@ -74,29 +75,68 @@ class IndexSearcher:
         self.lexer = Lexer(self.mode)
         self.n_docs = self.meta["n_docs"]
         self.avg_doc_len = self.meta["avg_doc_len"]
+        self.buckets = int(self.meta.get("buckets", 1))
         self.doc_lo, self.doc_hi = doc_range if doc_range else (0, self.n_docs)
 
-        lex_table = pq.read_table(os.path.join(merged, "lexicon.parquet"))
-        self._lex_terms = lex_table["term"].to_pylist()
-        self._lex_df = lex_table["df"].to_numpy()
-        self._lex_index = {t: i for i, t in enumerate(self._lex_terms)}
+        self._post_dir = post_dir = os.path.join(merged, "postings")
+        loc_dir = os.path.join(merged, "termlocs")
+        lexparts_dir = os.path.join(merged, "lexparts")
+        import glob as _glob
 
-        # Exact posting locator: term → [(file, row_group), ...].  Terms
-        # are bucketed by HASH, so parquet min/max stats cannot prune
-        # (every row group spans the alphabet); instead scan just the
-        # `term` column once at startup (lexicon-scale metadata, same
-        # order of memory as the lexicon dict itself).
+        loc_files = sorted(_glob.glob(os.path.join(loc_dir, "termloc-*.parquet")))
+
+        # Lexicon + posting locator, three regimes:
+        #
+        # * lazy (shard actors): NOTHING vocab-scale is loaded — a
+        #   term's df and its (file, row_group) locations are point-read
+        #   from the per-bucket lexicon/locator slices the merge wrote
+        #   (term → bucket is a hash, so the owning slice is known
+        #   without any lookup); slices are LRU-cached per bucket, so
+        #   per-actor memory is O(cached_buckets × vocab/buckets), flat
+        #   in global vocabulary as bucket count scales with it.
+        # * full + sidecar: load the merge-written term→row-group
+        #   locator (one small parquet per bucket) — startup does ZERO
+        #   posting-file reads (round 1 scanned the term column of
+        #   every posting row group here).
+        # * full, no sidecar (old index layout): fall back to the scan.
+        self._lazy = bool(lazy_lexicon and loc_files)
         self._term_locs: dict[str, list[tuple[str, int]]] = {}
-        post_dir = os.path.join(merged, "postings")
-        for fname in sorted(os.listdir(post_dir)):
-            if not fname.endswith(".parquet"):
-                continue
-            path = os.path.join(post_dir, fname)
-            pf = pq.ParquetFile(path)
-            for rg in range(pf.metadata.num_row_groups):
-                tcol = pf.read_row_group(rg, columns=["term"])
-                for term in pc.unique(tcol["term"]).to_pylist():
-                    self._term_locs.setdefault(term, []).append((path, rg))
+        self._lex_index: dict[str, int] = {}
+        self._lex_terms: list[str] = []
+        self._lex_df = np.empty(0, dtype=np.int64)
+        if self._lazy:
+            self._lexparts_dir = lexparts_dir
+            self._loc_dir = loc_dir
+            self._bucket_cache: OrderedDict[
+                int, tuple[dict, dict]
+            ] = OrderedDict()
+            self._bucket_cache_max = int(
+                os.environ.get("RAYSEARCH_LAZY_BUCKETS", "64")
+            )
+        else:
+            lex_table = pq.read_table(os.path.join(merged, "lexicon.parquet"))
+            self._lex_terms = lex_table["term"].to_pylist()
+            self._lex_df = lex_table["df"].to_numpy()
+            self._lex_index = {t: i for i, t in enumerate(self._lex_terms)}
+            if loc_files:
+                for lf in loc_files:
+                    b = os.path.basename(lf)[len("termloc-") : -len(".parquet")]
+                    path = os.path.join(post_dir, f"bucket-{b}.parquet")
+                    lt = pq.read_table(lf)
+                    for term, rg in zip(
+                        lt["term"].to_pylist(), lt["row_group"].to_pylist()
+                    ):
+                        self._term_locs.setdefault(term, []).append((path, int(rg)))
+            else:
+                for fname in sorted(os.listdir(post_dir)):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    path = os.path.join(post_dir, fname)
+                    pf = pq.ParquetFile(path)
+                    for rg in range(pf.metadata.num_row_groups):
+                        tcol = pf.read_row_group(rg, columns=["term"])
+                        for term in pc.unique(tcol["term"]).to_pylist():
+                            self._term_locs.setdefault(term, []).append((path, rg))
         self._pf_cache: dict[str, pq.ParquetFile] = {}
         # LRU caches: repeated queries share terms (Zipf), so decoded
         # postings and raw row groups are kept hot.  Byte-bounded so a
@@ -135,7 +175,7 @@ class IndexSearcher:
 
         # serving warm-up: decode the N highest-df posting lists once at
         # startup (they dominate tail latency; everything else is small)
-        if warm_top_terms:
+        if warm_top_terms and not self._lazy:
             order = np.argsort(-self._lex_df)[:warm_top_terms]
             for i in order:
                 self.fetch_postings(self._lex_terms[int(i)])
@@ -148,6 +188,48 @@ class IndexSearcher:
         self._conv_index = {c: i for i, c in enumerate(self._conv_ids)}
         with open(os.path.join(index_dir, "input_meta.json")) as f:
             self._input_meta = json.load(f)
+
+    # -- lexicon access (lazy per-bucket slices vs full dicts) -------------
+
+    def _bucket_maps(self, b: int) -> tuple[dict, dict]:
+        """(term→df, term→[(file, rg)]) for one bucket, LRU-cached."""
+        hit = self._bucket_cache.get(b)
+        if hit is not None:
+            self._bucket_cache.move_to_end(b)
+            return hit
+        dfs: dict[str, int] = {}
+        locs: dict[str, list[tuple[str, int]]] = {}
+        lex_path = os.path.join(self._lexparts_dir, f"lexicon-{b:04d}.parquet")
+        if os.path.exists(lex_path):
+            lt = pq.read_table(lex_path, columns=["term", "df"])
+            dfs = dict(zip(lt["term"].to_pylist(), lt["df"].to_pylist()))
+            post_path = os.path.join(self._post_dir, f"bucket-{b:04d}.parquet")
+            ll = pq.read_table(
+                os.path.join(self._loc_dir, f"termloc-{b:04d}.parquet")
+            )
+            for term, rg in zip(ll["term"].to_pylist(), ll["row_group"].to_pylist()):
+                locs.setdefault(term, []).append((post_path, int(rg)))
+        out = (dfs, locs)
+        self._bucket_cache[b] = out
+        while len(self._bucket_cache) > self._bucket_cache_max:
+            self._bucket_cache.popitem(last=False)
+        return out
+
+    def _df_of(self, term: str) -> int | None:
+        if self._lazy:
+            from raysearch.build import term_bucket
+
+            df = self._bucket_maps(term_bucket(term, self.buckets))[0].get(term)
+            return None if df is None else int(df)
+        idx = self._lex_index.get(term)
+        return None if idx is None else int(self._lex_df[idx])
+
+    def _locs_of(self, term: str) -> list[tuple[str, int]] | None:
+        if self._lazy:
+            from raysearch.build import term_bucket
+
+            return self._bucket_maps(term_bucket(term, self.buckets))[1].get(term)
+        return self._term_locs.get(term)
 
     # -- posting fetch (J1 analog) ----------------------------------------
 
@@ -170,7 +252,7 @@ class IndexSearcher:
         """All posting-chunk rows for a term (exact-located row groups);
         a shard searcher additionally prunes chunks wholly outside its
         doc range via the first_doc/last_doc chunk metadata."""
-        locs = self._term_locs.get(term)
+        locs = self._locs_of(term)
         if not locs:
             return None
         sharded = (self.doc_lo, self.doc_hi) != (0, self.n_docs)
@@ -194,14 +276,13 @@ class IndexSearcher:
         return pa.concat_tables(found)
 
     def fetch_postings(self, term: str) -> TermPostings | None:
-        idx = self._lex_index.get(term)
-        if idx is None:
+        df = self._df_of(term)
+        if df is None:
             return None
         hit = self._term_cache.get(term)
         if hit is not None:
             self._term_cache.move_to_end(term)
             return hit
-        df = int(self._lex_df[idx])
         rows = self._term_rows(term)
         if rows is None:
             return None
@@ -228,11 +309,11 @@ class IndexSearcher:
 
     def query_terms(self, query: str) -> list[str]:
         lemmas = self.lexer.split_to_lemmas(query)
-        found = [
-            (t, int(self._lex_df[self._lex_index[t]]))
-            for t in lemmas
-            if t in self._lex_index
-        ]
+        found = []
+        for t in lemmas:
+            df = self._df_of(t)
+            if df is not None:
+                found.append((t, df))
         return order_query_terms(found, self.n_docs)
 
     def conv_range(self, conv_id: str) -> tuple[int, int] | None:
@@ -507,7 +588,9 @@ class _ShardSearch:
     """Ray-actor payload: one doc-range shard of the index."""
 
     def __init__(self, index_dir: str, doc_range: tuple[int, int]):
-        self.s = IndexSearcher(index_dir, doc_range=doc_range)
+        # lazy lexicon: shard actors hold NO vocab-scale state — per-
+        # bucket lexicon/locator slices are point-read + LRU-cached
+        self.s = IndexSearcher(index_dir, doc_range=doc_range, lazy_lexicon=True)
 
     def search(self, query: str, k: int, scope, scorer: str):
         ids, scores, total = self.s.search(query, k=k, scope=scope, scorer=scorer)

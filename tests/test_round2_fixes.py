@@ -158,3 +158,49 @@ def test_partitions_of_straddling_conv(tmp_path):
     assert partition_of(str(out), "conv-009") == 0
     with pytest.raises(KeyError):
         partitions_of(str(out), "conv-999")
+
+
+def test_termloc_sidecar_matches_scan(built):
+    """The merge-written term→row-group locator must equal the startup
+    scan's locator exactly (same files, same row groups), and startup
+    must not read any posting file when the sidecar exists."""
+    import glob
+    import shutil
+
+    from raysearch.search import IndexSearcher
+
+    _, index = built
+    merged = os.path.join(index, "merged")
+    assert glob.glob(os.path.join(merged, "termlocs", "termloc-*.parquet"))
+    s_sidecar = IndexSearcher(index)
+
+    # force the scan fallback by hiding the sidecar
+    hid = os.path.join(merged, "_hidden_termlocs")
+    shutil.move(os.path.join(merged, "termlocs"), hid)
+    try:
+        s_scan = IndexSearcher(index)
+    finally:
+        shutil.move(hid, os.path.join(merged, "termlocs"))
+    assert s_sidecar._term_locs == s_scan._term_locs
+
+
+def test_lazy_lexicon_shard_state_and_identity(built):
+    """lazy_lexicon searchers hold no vocab-scale dicts and return
+    bit-identical results to the full searcher."""
+    from raysearch.search import IndexSearcher
+
+    _, index = built
+    full = IndexSearcher(index)
+    lazy = IndexSearcher(index, lazy_lexicon=True)
+    assert lazy._lazy
+    assert not lazy._lex_index and not lazy._term_locs  # nothing global
+    for q in (LEMMAS[10], f"{LEMMAS[10]} {LEMMAS[100]}", LEMMAS[1], "unknownzz"):
+        i1, s1, t1 = full.search(q, k=10)
+        i2, s2, t2 = lazy.search(q, k=10)
+        assert i1.tolist() == i2.tolist()
+        assert s1.tolist() == s2.tolist() and t1 == t2
+        o1 = full.search_or(q, k=10)
+        o2 = lazy.search_or(q, k=10)
+        assert o1[0].tolist() == o2[0].tolist()
+    # bucket cache is bounded
+    assert len(lazy._bucket_cache) <= lazy._bucket_cache_max
