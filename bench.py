@@ -143,6 +143,18 @@ def run_default() -> None:
     t_build = time.monotonic() - t0
     timings["index_build"] = t_build
 
+    # searcher startup (VERDICT #7: merge-written term-locator sidecar
+    # replaces the posting-file term scan; lazy = shard-actor mode that
+    # loads nothing vocab-scale)
+    from raysearch.search import IndexSearcher
+
+    t0 = time.monotonic()
+    IndexSearcher(out)
+    timings["searcher_startup"] = time.monotonic() - t0
+    t0 = time.monotonic()
+    IndexSearcher(out, lazy_lexicon=True)
+    timings["searcher_startup_lazy"] = time.monotonic() - t0
+
     t0 = time.monotonic()
     qstats = _query_bench(os.path.join(out))
     timings["query_batch"] = qstats["sec"]

@@ -371,6 +371,11 @@ def _empty_pairs_ds():
     )
 
 
+#: candidate pair counts up to this broadcast their id set instead of
+#: running a semi-join (≤ ~2 ids/pair × 8 B ≈ 160 MB object at the cap)
+BROADCAST_ID_LIMIT = 10_000_000
+
+
 def minhash_lsh_pairs(
     ds, threshold: float = 0.6, join_partitions: int = 8, **kw
 ):
@@ -382,35 +387,59 @@ def minhash_lsh_pairs(
     1. ``minhash_candidates`` → (doc_a, doc_b) id pairs (materialized —
        ids only, the smallest dataset in the job);
     2. a second streaming pass computes per-doc sorted-unique 64-bit
-       shingle-hash sets (:class:`_ShingleSets`);
-    3. a ``left_semi`` hash join prunes those sets to candidate docs;
-    4. two inner hash joins attach each pair's two sets;
-    5. a vectorized map computes exact Jaccard over the hash sets and
+       shingle-hash sets (:class:`_ShingleSets`), pruned to candidate
+       docs — via a BROADCAST id set inside the same map when the
+       candidate count is ≤ ``BROADCAST_ID_LIMIT`` (no shuffle of the
+       corpus-sized shingle stream at all), else via a ``left_semi``
+       hash join;
+    3. two inner hash joins attach each pair's two sets;
+    4. a vectorized map computes exact Jaccard over the hash sets and
        filters ≥ threshold.
 
     Only id pairs and candidate shingle sets shuffle; raw text never
-    leaves the tokenize stage and nothing scales with corpus size on
-    the driver.  ``join_partitions`` sizes the hash-join exchange —
-    raise it proportionally to cluster size at scale."""
+    leaves the tokenize stage and nothing unbounded lands on the
+    driver.  ``join_partitions`` sizes the hash-join exchange — raise
+    it proportionally to cluster size at scale."""
+    import ray
+
     cands = minhash_candidates(ds, **kw).materialize()
-    if cands.count() == 0:
+    n_cands = cands.count()
+    if n_cands == 0:
         return _empty_pairs_ds()
     shingle = kw.get("shingle", 3)
     sh = ds.map_batches(
         _shingle_set_task, fn_kwargs={"shingle": shingle}, batch_format="pyarrow"
     )
-    from ray.data.aggregate import Count
+    if n_cands <= BROADCAST_ID_LIMIT:
+        pair_pdf = cands.select_columns(["doc_a", "doc_b"]).to_pandas()
+        id_arr = np.unique(
+            np.concatenate(
+                (pair_pdf["doc_a"].to_numpy(), pair_pdf["doc_b"].to_numpy())
+            )
+        )
+        ids_ref = ray.put(id_arr)
 
-    ids = (
-        _rename_cols(cands.select_columns(["doc_a"]), {"doc_a": "doc_id"})
-        .union(_rename_cols(cands.select_columns(["doc_b"]), {"doc_b": "doc_id"}))
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_id"])
-    )
-    cand_sh = sh.join(
-        ids, "left_semi", num_partitions=join_partitions, on=("doc_id",)
-    ).materialize()
+        def keep_cands(batch: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)  # sorted
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(wanted, d)
+            pos[pos >= len(wanted)] = len(wanted) - 1
+            return batch.filter(pa.array(wanted[pos] == d))
+
+        cand_sh = sh.map_batches(keep_cands, batch_format="pyarrow").materialize()
+    else:
+        from ray.data.aggregate import Count
+
+        ids = (
+            _rename_cols(cands.select_columns(["doc_a"]), {"doc_a": "doc_id"})
+            .union(_rename_cols(cands.select_columns(["doc_b"]), {"doc_b": "doc_id"}))
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["doc_id"])
+        )
+        cand_sh = sh.join(
+            ids, "left_semi", num_partitions=join_partitions, on=("doc_id",)
+        ).materialize()
     j = cands.join(
         _rename_cols(cand_sh, {"doc_id": "doc_a", "shingles": "sh_a"}),
         "inner",
