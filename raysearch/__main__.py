@@ -74,6 +74,18 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--partition", type=int, default=None)
     g.add_argument("--conv", default=None)
 
+    v = sub.add_parser(
+        "serve", help="HTTP API server (ApiController.java:28-52 analog)"
+    )
+    v.add_argument("--index", required=True)
+    v.add_argument("--input", default=None)
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--mode", default="latin", choices=["latin", "reference", "simple"])
+    v.add_argument("--partitions", type=int, default=None)
+    v.add_argument("--fresh", action="store_true",
+                   help="startIndexing rebuilds from scratch (S8 analog) "
+                        "instead of resuming committed waves")
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -120,6 +132,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(meta, default=str))
         if owns:
             ray.shutdown()
+    elif args.cmd == "serve":
+        from raysearch.serve import main_serve
+
+        return main_serve(args)
     return 0
 
 

@@ -1,0 +1,312 @@
+"""Long-lived HTTP serving surface — the analog of the reference's REST
+API (controllers/ApiController.java:28-52):
+
+* ``GET  /api/statistics``    → index totals + per-conversation detail
+  (dto/statistics/StatisticsResponse.java:6-8 shape: ``{result,
+  statistics: {total, detailed}}``; TotalStatistics.java:7-10 fields
+  sites/pages/lemmas/indexing map to conversations/turns/terms/
+  is_indexing).
+* ``GET  /api/startIndexing`` → full build of the configured input as a
+  BACKGROUND subprocess (IndexingServiceImpl.java:42-51: reject when
+  already running with the reference's exact error string).
+* ``GET  /api/stopIndexing``  → terminate the running build
+  (IndexingServiceImpl.java:53-78 ``shutdownNow`` analog).  The wave
+  manifests make this safe: committed waves survive, the next
+  startIndexing resumes from them — which is the stop feature's whole
+  value here, vs the reference marking every site FAILED.
+* ``POST /api/indexConv?conv_id=`` → partition-scoped rebuild of the
+  conversation (the /api/indexPage analog,
+  IndexingServiceImpl.java:137-152, including the out-of-scope error).
+* ``GET  /api/search?query=&offset=&limit=&site=`` → top-k search
+  (``site`` = conv scope, SearchServiceImpl.java:33-54).
+
+The server process itself never calls ``ray.init``: queries are served
+in-process from an :class:`IndexSearcher` (reloaded when the merged
+index changes on disk), and build/rebuild run as ``python -m raysearch``
+subprocesses that own their Ray session — the serve process is the
+``ray job submit`` driver box, not a Ray worker.
+
+Documented divergences from the reference:
+
+* startIndexing RESUMES from committed waves by default instead of the
+  reference's delete-everything re-crawl (S8's destructive re-init is
+  expressed here as "point --out at a fresh directory", or pass
+  ``fresh=True``);
+* DetailedStatisticsItem's per-site ``lemmas`` count has no cheap
+  per-conversation analog under a single global lexicon (J5 note in
+  SURVEY §2.4) — the per-conv detail reports ``tokens`` (sum of doc
+  lengths, exact) instead, and the global term count is in ``total``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+ALREADY_RUNNING_ERROR = "Индексация уже запущена"
+NOT_RUNNING_ERROR = "Индексация не запущена"
+OUT_OF_SCOPE_ERROR = (
+    "Данная страница находится за пределами сайтов, "
+    "указанных в конфигурационном файле"
+)
+STOPPED_BY_USER_ERROR = "Индексация остановлена пользователем"
+
+
+class EngineServer:
+    """State + handlers behind the HTTP routes (one per process; build
+    subprocess tracked so start/stop/indexConv serialize like the
+    reference's global run flag, IndexingServiceImpl.java:38)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        input_dir: str | None = None,
+        mode: str = "latin",
+        n_partitions: int | None = None,
+        fresh: bool = False,
+        detail_limit: int = 100,
+        num_cpus: int | None = None,
+    ):
+        self.index_dir = index_dir
+        self.input_dir = input_dir
+        self.mode = mode
+        self.n_partitions = n_partitions
+        self.fresh = fresh
+        self.detail_limit = detail_limit
+        self.num_cpus = num_cpus
+        self._proc: subprocess.Popen | None = None
+        self._lock = threading.Lock()
+        self._last_error: str | None = None
+        self._searcher = None
+        self._searcher_mtime: float | None = None
+
+    # -- searcher lifecycle -------------------------------------------------
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.index_dir, "merged", "meta.json")
+
+    def get_searcher(self):
+        """Serve from one IndexSearcher; reload when the merged index
+        was replaced on disk (atomic rename ⇒ mtime change)."""
+        from raysearch.search import IndexSearcher
+
+        mp = self._meta_path()
+        if not os.path.exists(mp):
+            return None
+        mtime = os.path.getmtime(mp)
+        with self._lock:
+            if self._searcher is None or mtime != self._searcher_mtime:
+                self._searcher = IndexSearcher(self.index_dir)
+                self._searcher_mtime = mtime
+            return self._searcher
+
+    def _build_running(self) -> bool:
+        return self._proc is not None and self._proc.poll() is None
+
+    # -- routes -------------------------------------------------------------
+
+    def statistics(self) -> dict:
+        from raysearch.stats_api import index_stats
+
+        indexing = self._build_running()
+        if not os.path.exists(os.path.join(self.index_dir, "input_meta.json")):
+            return {
+                "result": True,
+                "statistics": {
+                    "total": {
+                        "sites": 0, "pages": 0, "lemmas": 0,
+                        "indexing": indexing,
+                    },
+                    "detailed": [],
+                },
+            }
+        st = index_stats(self.index_dir)
+        detailed = []
+        s = self.get_searcher()
+        if s is not None:
+            status_time = int(os.path.getmtime(self._meta_path()) * 1000)
+            offs = s._conv_offsets
+            turns = s._conv_turns
+            # per-conv token totals: one reduceat over the doc-length
+            # array at conv boundaries (exact, no input scan)
+            tok = (
+                np.add.reduceat(s.doc_lens, offs)
+                if len(offs)
+                else np.empty(0, np.int64)
+            )
+            for i, conv in enumerate(s._conv_ids[: self.detail_limit]):
+                detailed.append(
+                    {
+                        "url": conv,
+                        "name": conv,
+                        "status": "INDEXED",
+                        "statusTime": status_time,
+                        "error": self._last_error or "",
+                        "pages": int(turns[i]),
+                        "tokens": int(tok[i]),
+                    }
+                )
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": len(s._conv_ids) if s is not None else 0,
+                    "pages": st["total"]["docs"],
+                    "lemmas": st["total"]["terms"] or 0,
+                    "indexing": indexing or bool(st["total"]["is_indexing"]),
+                },
+                "detailed": detailed,
+            },
+        }
+
+    def _spawn(self, args: list[str]) -> subprocess.Popen:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return subprocess.Popen(
+            [sys.executable, "-m", "raysearch", *args],
+            cwd=repo_root,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def start_indexing(self) -> dict:
+        with self._lock:
+            if self._build_running():
+                return {"result": False, "error": ALREADY_RUNNING_ERROR}
+            if not self.input_dir:
+                return {"result": False, "error": "no input_dir configured"}
+            args = ["build", "--input", self.input_dir, "--out", self.index_dir,
+                    "--mode", self.mode]
+            if self.n_partitions:
+                args += ["--partitions", str(self.n_partitions)]
+            if self.fresh:
+                args += ["--no-resume"]
+            if self.num_cpus:
+                args = ["--num-cpus", str(self.num_cpus)] + args
+            self._last_error = None
+            self._proc = self._spawn(args)
+            return {"result": True}
+
+    def stop_indexing(self) -> dict:
+        with self._lock:
+            if not self._build_running():
+                return {"result": False, "error": NOT_RUNNING_ERROR}
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
+            self._last_error = STOPPED_BY_USER_ERROR
+            return {"result": True}
+
+    def index_conv(self, conv_id: str | None) -> dict:
+        if not conv_id:
+            return {"result": False, "error": OUT_OF_SCOPE_ERROR}
+        s = self.get_searcher()
+        if s is None or s.conv_range(conv_id) is None:
+            return {"result": False, "error": OUT_OF_SCOPE_ERROR}
+        with self._lock:
+            if self._build_running():
+                return {"result": False, "error": ALREADY_RUNNING_ERROR}
+            if not self.input_dir:
+                return {"result": False, "error": "no input_dir configured"}
+            args = ["rebuild", "--input", self.input_dir,
+                    "--index", self.index_dir, "--conv", conv_id]
+            if self.num_cpus:
+                args = ["--num-cpus", str(self.num_cpus)] + args
+            self._proc = self._spawn(args)
+        # the reference's indexPage waits for the single page
+        # (IndexingServiceImpl.java:173-183); mirror that synchronously
+        rc = self._proc.wait()
+        return {"result": rc == 0} if rc == 0 else {
+            "result": False, "error": f"rebuild failed (exit {rc})"
+        }
+
+    def search(self, query: str, offset: int, limit: int, site: str | None) -> dict:
+        s = self.get_searcher()
+        if s is None:
+            return {"result": False, "error": "index not built"}
+        return s.search_response(query, k=limit, offset=offset, scope=site or None)
+
+
+def make_handler(engine: EngineServer):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, payload: dict) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            if u.path == "/api/statistics":
+                self._send(engine.statistics())
+            elif u.path == "/api/startIndexing":
+                self._send(engine.start_indexing())
+            elif u.path == "/api/stopIndexing":
+                self._send(engine.stop_indexing())
+            elif u.path == "/api/search":
+                self._send(
+                    engine.search(
+                        q.get("query", [""])[0],
+                        int(q.get("offset", ["0"])[0]),
+                        int(q.get("limit", ["10"])[0]),
+                        q.get("site", [None])[0],
+                    )
+                )
+            else:
+                self._send({"result": False, "error": f"unknown path {u.path}"})
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            length = int(self.headers.get("Content-Length") or 0)
+            if length:
+                body = parse_qs(self.rfile.read(length).decode("utf-8"))
+                for k, v in body.items():
+                    q.setdefault(k, v)
+            if u.path == "/api/indexConv":
+                self._send(engine.index_conv(q.get("conv_id", [None])[0]))
+            else:
+                self._send({"result": False, "error": f"unknown path {u.path}"})
+
+    return Handler
+
+
+def serve(engine: EngineServer, port: int = 8080) -> ThreadingHTTPServer:
+    """Bind and return the server (caller runs serve_forever / shuts
+    down — tests run it on an ephemeral port in a thread)."""
+    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(engine))
+
+
+def main_serve(args) -> int:
+    engine = EngineServer(
+        index_dir=args.index,
+        input_dir=args.input,
+        mode=args.mode,
+        n_partitions=args.partitions,
+        fresh=args.fresh,
+        num_cpus=args.num_cpus,
+    )
+    httpd = serve(engine, port=args.port)
+    print(json.dumps({"serving": True, "port": httpd.server_address[1]}))
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+    return 0
