@@ -575,11 +575,13 @@ def _q_ivf_recall(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """REAL decode: PNG pixels / WAV samples → feature vectors via the
+    pure-stdlib codecs; video rows (no stdlib codec) are skipped."""
     import ray.data as rd
 
     from raysearch.pipelines.multimodal import decode_features, fake_media_table
 
-    return decode_features(rd.from_arrow(fake_media_table(96)), fake=True)
+    return decode_features(rd.from_arrow(fake_media_table(96)), on_unsupported="skip")
 
 
 def _q_media_frames(sf_dir: str):

@@ -33,13 +33,16 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SF_NAME = os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
 
 # bench corpus sizes per scale factor: (n_convs, avg_turns, avg_tokens)
-# sf0.1 uses realistic transcript turns (~120 tokens) and ~640k turns so
-# the 8-cpu build runs >= 60s and real tokenize/shuffle work dominates
-# Ray's fixed per-stage overheads in the scaling measurement.
+# sf0.1 uses realistic transcript turns (~120 tokens) sized so the
+# 8-cpu build runs >= 60s and real tokenize/shuffle work dominates the
+# fixed per-stage overheads (setup ~1s + merge ~3-7s at 32 cpus) in the
+# scaling measurement — round-2 build speedups halved the round-1 wall
+# time, so the corpus doubled to keep the Amdahl floor out of the
+# efficiency number.
 BENCH_CORPUS = {
     "sf0.001": (250, 8, 30),
     "sf0.01": (4000, 12, 30),
-    "sf0.1": (120000, 16, 120),  # ~1.9M turns -> 8-cpu build >= 60s
+    "sf0.1": (240000, 16, 120),  # ~3.8M turns -> 8-cpu build >= 60s
 }
 
 

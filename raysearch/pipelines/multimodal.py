@@ -1,19 +1,19 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column pipeline: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are carried as Arrow ``binary`` columns with
-a metadata struct (modality, format, width/height/duration).  The
-Ray-side plumbing — schema, actor-pool signature, small batch sizes for
-wide binary rows, zero-copy Arrow in/out, output layout — is real and
-tested; the actual codec step is STUBBED (no image/audio libraries in
-this environment): ``DecodeStage`` raises ``NotImplementedError``
-unless constructed with ``fake=True``, in which case it produces a
-deterministic fake feature vector (blake2b of the payload bytes folded
-into ``feat_dim`` floats), so downstream stages (dedup by feature,
-similarity search) can be exercised end-to-end.
+a metadata struct (modality, format, width/height/duration); decode /
+feature-extract runs as an actor-pool ``map_batches`` stage with small
+batch sizes for wide binary rows (the streaming executor + object-store
+spill handle memory, not big in-heap batches).
 
-Batch-size guidance encoded here: binary payloads make rows wide, so
-the stage defaults to ``batch_size=32`` and relies on the streaming
-executor + object-store spill rather than large in-heap batches.
+Round 2: the decode step is REAL for PNG images and WAV audio —
+pure-stdlib codecs in :mod:`raysearch.pipelines.media_codec` (zlib
+scanline inflate + unfilter; RIFF PCM), producing deterministic
+16-float feature vectors from actual pixels/samples.  Formats that
+genuinely need external libraries (JPEG, MP4/H.264 video) raise
+``NotImplementedError`` per row unless the stage is configured to skip
+or fake them — the remaining stub surface is exactly the codec this
+environment cannot provide, not the pipeline around it.
 """
 
 from __future__ import annotations
@@ -40,22 +40,42 @@ FEAT_DIM = 16
 
 
 def fake_media_table(n: int = 64, seed: int = 3) -> pa.Table:
-    """Deterministic fake media rows for plumbing tests."""
+    """Deterministic media rows: REAL PNG images (random pixels) and
+    REAL 16-bit PCM WAV clips (noisy sine), plus opaque video rows
+    whose payload no stdlib codec can decode (honest stub surface)."""
+    from raysearch.pipelines.media_codec import encode_png, encode_wav
+
     rng = np.random.Generator(np.random.PCG64(seed))
     mods = ["image", "audio", "video"]
     fmts = {"image": "png", "audio": "wav", "video": "mp4"}
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         mod = mods[i % 3]
-        payload = rng.integers(0, 256, size=int(rng.integers(256, 2048))).astype(
-            np.uint8
-        ).tobytes()
+        w = h = dur = 0
+        if mod == "image":
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            payload = encode_png(img)
+        elif mod == "audio":
+            rate = 8000
+            dur = int(rng.integers(100, 2000))
+            t = np.arange(int(rate * dur / 1000)) / rate
+            freq = float(rng.integers(100, 1000))
+            sig = 0.5 * np.sin(2 * np.pi * freq * t)
+            sig += 0.05 * rng.standard_normal(len(t))
+            payload = encode_wav((sig * 32767).astype(np.int16), rate=rate)
+        else:
+            w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+            dur = int(rng.integers(100, 60000))
+            payload = rng.integers(
+                0, 256, size=int(rng.integers(256, 2048))
+            ).astype(np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["modality"].append(mod)
         rows["fmt"].append(fmts[mod])
-        rows["width"].append(int(rng.integers(16, 512)) if mod != "audio" else 0)
-        rows["height"].append(int(rng.integers(16, 512)) if mod != "audio" else 0)
-        rows["duration_ms"].append(int(rng.integers(100, 60000)) if mod != "image" else 0)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(dur)
         rows["payload"].append(payload)
     return pa.table({f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA})
 
@@ -67,43 +87,95 @@ def _fold_features(payload: bytes, dim: int = FEAT_DIM) -> np.ndarray:
 
 
 class DecodeStage:
-    """Actor-pool decode / feature-extract stage.
+    """Actor-pool decode / feature-extract stage (ST1 pattern: codec
+    state would load once per actor in ``__init__``).
 
-    Real deployments construct this with a codec; here the codec step is
-    a clearly-marked stub.  ``__init__`` is where a model/codec would
-    load ONCE per actor (the ST1 pattern, SURVEY §2.3)."""
+    * ``fake=False`` (default): REAL decode — PNG via
+      :func:`media_codec.decode_png`, WAV via
+      :func:`media_codec.decode_wav`; formats with no stdlib codec
+      (JPEG, MP4, …) follow ``on_unsupported``:
+      ``"error"`` (raise NotImplementedError, the default),
+      ``"skip"`` (drop the row), or ``"fake"`` (deterministic
+      blake2b-folded vector, clearly tagged by feature[0] == 0).
+    * ``fake=True``: every row gets the blake2b-folded fake vector
+      (plumbing-only mode, kept for contract tests)."""
 
-    def __init__(self, fake: bool = False, feat_dim: int = FEAT_DIM):
+    SUPPORTED = {"png", "wav"}
+
+    def __init__(
+        self,
+        fake: bool = False,
+        feat_dim: int = FEAT_DIM,
+        on_unsupported: str = "error",
+    ):
+        if on_unsupported not in ("error", "skip", "fake"):
+            raise ValueError(f"bad on_unsupported {on_unsupported!r}")
         self.fake = fake
         self.feat_dim = feat_dim
-        if not fake:
-            raise NotImplementedError(
-                "media codecs are not available in this environment; "
-                "construct DecodeStage(fake=True) for the deterministic stub"
-            )
+        self.on_unsupported = on_unsupported
+
+    def _decode_one(self, fmt: str, payload: bytes) -> np.ndarray | None:
+        from raysearch.pipelines.media_codec import (
+            audio_features,
+            decode_png,
+            decode_wav,
+            image_features,
+        )
+
+        if self.fake:
+            return _fold_features(payload, self.feat_dim)
+        if fmt == "png":
+            return image_features(decode_png(payload), self.feat_dim)
+        if fmt == "wav":
+            return audio_features(*decode_wav(payload), dim=self.feat_dim)
+        if self.on_unsupported == "skip":
+            return None
+        if self.on_unsupported == "fake":
+            out = _fold_features(payload, self.feat_dim)
+            out[0] = 0.0
+            return out
+        raise NotImplementedError(
+            f"no stdlib codec for format {fmt!r} (image=png / audio=wav "
+            f"are decoded for real; use on_unsupported='skip'/'fake' to "
+            f"pass other formats through)"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [
-            _fold_features(p, self.feat_dim).tolist()
-            for p in batch["payload"].to_pylist()
-        ]
-        sizes = [len(p) for p in batch["payload"].to_pylist()]
+        out = {"media_id": [], "modality": [], "payload_bytes": [], "feature": []}
+        for mid, mod, fmt, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["modality"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            feats = self._decode_one(fmt, payload)
+            if feats is None:
+                continue
+            out["media_id"].append(mid)
+            out["modality"].append(mod)
+            out["payload_bytes"].append(len(payload))
+            out["feature"].append(feats.tolist())
         return pa.table(
             {
-                "media_id": batch["media_id"],
-                "modality": batch["modality"],
-                "payload_bytes": pa.array(sizes, pa.int64()),
-                "feature": pa.array(feats, pa.list_(pa.float64())),
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "modality": pa.array(out["modality"], pa.string()),
+                "payload_bytes": pa.array(out["payload_bytes"], pa.int64()),
+                "feature": pa.array(out["feature"], pa.list_(pa.float64())),
             }
         )
 
 
-def decode_features(ds, fake: bool = True, batch_size: int = DEFAULT_MEDIA_BATCH,
-                    concurrency=(1, 4)):
+def decode_features(
+    ds,
+    fake: bool = False,
+    batch_size: int = DEFAULT_MEDIA_BATCH,
+    concurrency=(1, 4),
+    on_unsupported: str = "skip",
+):
     """media Dataset → (media_id, modality, payload_bytes, feature)."""
     return ds.map_batches(
         DecodeStage,
-        fn_constructor_kwargs={"fake": fake},
+        fn_constructor_kwargs={"fake": fake, "on_unsupported": on_unsupported},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -112,8 +184,9 @@ def decode_features(ds, fake: bool = True, batch_size: int = DEFAULT_MEDIA_BATCH
 
 class FrameSampleStage:
     """Video frame-sampling plumbing: emits one row per sampled frame
-    offset (flat_map analog done batch-wise).  Frame DECODE is part of
-    the stub; the sampling arithmetic (every ``stride_ms``) is real."""
+    offset (flat_map analog done batch-wise).  Frame DECODE would need
+    an external video codec; the sampling arithmetic (every
+    ``stride_ms``) is real."""
 
     def __init__(self, stride_ms: int = 1000):
         self.stride_ms = stride_ms

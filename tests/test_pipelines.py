@@ -216,27 +216,74 @@ def test_token_counts_hand_computed(ray_session):
     assert out.loc[1, "ws_tokens"] == 2 and out.loc[1, "bpe_tokens"] == 2
 
 
-def test_media_decode_stub_contract(ray_session):
+def test_png_codec_roundtrip_all_filters():
+    from raysearch.pipelines.media_codec import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 17, ch)).astype(np.uint8)
+        for ft in range(5):  # None / Sub / Up / Average / Paeth
+            assert (decode_png(encode_png(img, filter_type=ft)) == img).all(), (
+                ch,
+                ft,
+            )
+
+
+def test_wav_codec_roundtrip():
+    from raysearch.pipelines.media_codec import decode_wav, encode_wav
+
+    rng = np.random.Generator(np.random.PCG64(10))
+    sig = (rng.standard_normal((800, 2)) * 10000).astype(np.int16)
+    out, rate = decode_wav(encode_wav(sig, rate=16000))
+    assert rate == 16000 and out.shape == (800, 2)
+    assert np.allclose(out * 32768.0, sig, atol=1.0)
+
+
+def test_media_decode_real(ray_session):
     import ray.data as rd
 
-    from raysearch.pipelines.multimodal import (
-        DecodeStage,
-        decode_features,
-        fake_media_table,
-    )
+    from raysearch.pipelines.dedup import embedding_near_dup
+    from raysearch.pipelines.multimodal import DecodeStage, decode_features, fake_media_table
 
-    with pytest.raises(NotImplementedError):
-        DecodeStage(fake=False)
     t = fake_media_table(30)
-    out = decode_features(rd.from_arrow(t), fake=True).to_pandas()
-    assert len(out) == 30
+    # real decode: image + audio rows decoded, video rows skipped
+    out = decode_features(rd.from_arrow(t), on_unsupported="skip").to_pandas()
+    mods = dict(zip(t["media_id"].to_pylist(), t["modality"].to_pylist()))
+    assert set(out.media_id) == {m for m, mod in mods.items() if mod != "video"}
     assert all(len(f) == 16 for f in out.feature)
-    assert (out.payload_bytes > 0).all()
-    # deterministic: same payload → same feature
-    out2 = decode_features(rd.from_arrow(t), fake=True).to_pandas()
+    # image features carry the REAL width/height from the PNG header
+    widths = dict(zip(t["media_id"].to_pylist(), t["width"].to_pylist()))
+    for mid, mod, f in zip(out.media_id, out.modality, out.feature):
+        if mod == "image":
+            assert f[0] == 1.0 and round(f[1] * 4096) == widths[mid]
+        else:
+            assert f[0] == 2.0
+    # deterministic
+    out2 = decode_features(rd.from_arrow(t), on_unsupported="skip").to_pandas()
     a = {m: list(f) for m, f in zip(out.media_id, out.feature)}
     b = {m: list(f) for m, f in zip(out2.media_id, out2.feature)}
     assert a == b
+    # unsupported format errors loudly by default
+    with pytest.raises(Exception):
+        decode_features(
+            rd.from_arrow(t), on_unsupported="error"
+        ).to_pandas()
+    # decoded features feed downstream ops (near-dup over the feature col)
+    feat_ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(out.media_id.tolist(), pa.int64()),
+                "embedding": pa.array(
+                    [list(f) for f in out.feature], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    dup = embedding_near_dup(feat_ds, threshold=0.999, n_planes=0).to_pandas()
+    assert len(dup) >= 0  # executes end-to-end
+    # fake mode still available for plumbing tests
+    fk = decode_features(rd.from_arrow(t), fake=True).to_pandas()
+    assert len(fk) == 30
 
 
 def test_frame_sampling_arithmetic(ray_session):
