@@ -133,10 +133,19 @@ def _q_doc_metrics(sf_dir: str):
 
 def _conjunctive_frame(sf_dir: str):
     """(doc_id, per-term tfs, dl) for docs containing ALL query terms,
-    plus corpus stats — shared by the two documents-table rankers."""
+    plus corpus stats — shared by the two documents-table rankers.
+
+    Driver-side state is bounded by the QUERY-TERM posting sizes and
+    the candidate set: per-query-term tf rows come back to the driver
+    (the engine's real path for this is the inverted index over
+    transcripts; this is the SQL-parity gate scaffold), total token
+    count is a distributed scalar aggregate, and doc lengths are
+    computed only for candidate docs via a broadcast-id filtered
+    groupby — never one row per corpus doc on the driver."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
 
     from raysearch.pipelines.textstats import tokenize_docs
 
@@ -149,9 +158,7 @@ def _conjunctive_frame(sf_dir: str):
         lambda t: t.filter(pc.is_in(t["term"], value_set=terms_arr)),
         batch_format="pyarrow",
     ).to_pandas()
-    lens = tok.groupby("doc_id").sum("tf").to_pandas()
-    lens = dict(zip(lens["doc_id"], lens["sum(tf)"]))
-    n_tokens = int(sum(lens.values()))
+    n_tokens = int(tokenize_docs(docs).sum("tf"))
     piv = qtf.pivot_table(index="doc_id", columns="term", values="tf", fill_value=0)
     have = [t for t in QUERY_TERMS if t in piv.columns]
     if len(have) < len(QUERY_TERMS):
@@ -159,7 +166,28 @@ def _conjunctive_frame(sf_dir: str):
     else:
         piv = piv[(piv[list(QUERY_TERMS)] > 0).all(axis=1)]
     dfs = {t: int((qtf.term == t).sum()) for t in QUERY_TERMS}
-    dl = np.array([lens[d] for d in piv.index], dtype=np.float64)
+    cand_ids = np.sort(piv.index.to_numpy().astype(np.int64))
+    if len(cand_ids):
+        ids_ref = ray.put(cand_ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            wanted = ray.get(ids_ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(wanted, d)
+            pos[pos >= len(wanted)] = len(wanted) - 1
+            return t.filter(pa.array(wanted[pos] == d))
+
+        lens_pdf = (
+            tokenize_docs(docs)
+            .map_batches(keep, batch_format="pyarrow")
+            .groupby("doc_id")
+            .sum("tf")
+            .to_pandas()
+        )
+        lens = dict(zip(lens_pdf["doc_id"], lens_pdf["sum(tf)"]))
+        dl = np.array([lens[d] for d in piv.index], dtype=np.float64)
+    else:
+        dl = np.empty(0, dtype=np.float64)
     return piv, dfs, n_docs, n_tokens, dl
 
 
