@@ -330,6 +330,146 @@ def _q_transcripts_lexicon(sf_dir: str):
     return pq.read_table(os.path.join(index, "merged", "lexicon.parquet"))
 
 
+def _simple_index(sf_dir: str) -> tuple[str, str]:
+    """A second index over the SAME corpus in `simple` tokenizer mode —
+    the mode whose semantics are definitionally a SQL expression, so
+    the ENGINE's own build outputs (lexicon, postings, doc lengths)
+    can be value-hash-checked against DuckDB over the corpus parquet
+    (the strongest correctness evidence for the index pipeline
+    itself, not just the documents-table scaffolds)."""
+    from raysearch.build import build_index
+
+    corpus, _ = _corpus_and_index(sf_dir)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    index = f"/tmp/raysearch_entry/{name}/index_simple"
+    if not os.path.exists(os.path.join(index, "merged", "meta.json")):
+        build_index(corpus, index, mode="simple", n_partitions=4)
+    return corpus, index
+
+
+def _q_transcripts_lexicon_sql(sf_dir: str):
+    """Engine lexicon (term, df, cf) from the simple-mode merged index
+    — SQL-oracle value-checked."""
+    import pyarrow.parquet as pq
+
+    _, index = _simple_index(sf_dir)
+    return pq.read_table(
+        os.path.join(index, "merged", "lexicon.parquet"),
+        columns=["term", "df", "cf"],
+    )
+
+
+def _q_transcripts_postings_sql(sf_dir: str):
+    """Engine postings DECODED back to exploded (term, doc_id, tf) rows
+    — i.e. the delta-gap varint codec + groupby + merge round-trips to
+    exactly what SQL computes from the raw corpus."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raysearch.codec import decode_postings
+
+    _, index = _simple_index(sf_dir)
+    terms, doc_ids, tfs = [], [], []
+    for f in sorted(
+        glob.glob(os.path.join(index, "merged", "postings", "*.parquet"))
+    ):
+        t = pq.read_table(f, columns=["term", "doc_blob", "tf_blob"])
+        for term, db, tb in zip(
+            t["term"].to_pylist(), t["doc_blob"].to_pylist(), t["tf_blob"].to_pylist()
+        ):
+            d, tf = decode_postings(db, tb)
+            terms.extend([term] * len(d))
+            doc_ids.extend(d.tolist())
+            tfs.extend(tf.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+#: fixed conjunctive query for the SQL-checked transcripts search rows
+#: (mid-df terms of the deterministic vocabulary; no term crosses the
+#: df/N>0.95 prune at sf0.01, so the SQL twin needs no prune clause)
+TR_QUERY_TERMS = ("bagapu", "bidune")
+_TR_TERMS_SQL = "('bagapu', 'bidune')"
+
+
+def _q_transcripts_bm25_sql(sf_dir: str):
+    """The ENGINE query path (lexicon lookup → posting decode →
+    conjunctive intersect → BM25) over the simple-mode index, ALL
+    candidates (k=-1, so no top-k boundary/rounding ambiguity) —
+    value-checked against the SQL BM25 twin."""
+    import pandas as pd
+
+    from raysearch.search import IndexSearcher
+    from raysearch.util import round_half_away
+
+    _, index = _simple_index(sf_dir)
+    s = IndexSearcher(index)
+    ids, scores, _total = s.search(" ".join(TR_QUERY_TERMS), k=-1)
+    out = pd.DataFrame(
+        {"doc_id": ids.astype("int64"), "score": round_half_away(scores, 4)}
+    )
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def _q_transcripts_reference_sql(sf_dir: str):
+    """Engine reference scorer (tf-sum / max, SearchServiceImpl.java:
+    96-115 semantics) over the simple-mode index, all candidates —
+    SQL value-checked."""
+    import pandas as pd
+
+    from raysearch.search import IndexSearcher
+    from raysearch.util import round_half_away
+
+    _, index = _simple_index(sf_dir)
+    s = IndexSearcher(index)
+    ids, scores, _total = s.search(
+        " ".join(TR_QUERY_TERMS), k=-1, scorer="reference"
+    )
+    out = pd.DataFrame(
+        {"doc_id": ids.astype("int64"), "relevance": round_half_away(scores, 4)}
+    )
+    return out.sort_values(
+        ["relevance", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def _q_transcripts_doclens_sql(sf_dir: str):
+    """Engine docmap (conv_id, turn_idx, doc_id, doc_len) — the stable
+    (conv_id, turn_idx) dense-rank doc_id assignment plus per-doc token
+    counts, value-checked against a SQL window over the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from raysearch.search import IndexSearcher
+
+    _, index = _simple_index(sf_dir)
+    s = IndexSearcher(index)
+    rows = []
+    for i, conv in enumerate(s._conv_ids):
+        lo = int(s._conv_offsets[i])
+        n = int(s._conv_turns[i])
+        rows.append(
+            pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": np.arange(n, dtype=np.int32),
+                    "doc_id": np.arange(lo, lo + n, dtype=np.int64),
+                    "doc_len": s.doc_lens[lo : lo + n],
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
 def _q_transcripts_stats(sf_dir: str):
     import pandas as pd
 
@@ -653,6 +793,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcripts engine + non-SQL ops (rows-only driver checks;
         # exact conformance asserted in pytest vs oracle.py)
         "transcripts_lexicon": _q_transcripts_lexicon,
+        "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
+        "transcripts_postings_sql": _q_transcripts_postings_sql,
+        "transcripts_doclens_sql": _q_transcripts_doclens_sql,
+        "transcripts_bm25_sql": _q_transcripts_bm25_sql,
+        "transcripts_reference_sql": _q_transcripts_reference_sql,
         "transcripts_stats": _q_transcripts_stats,
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
@@ -685,8 +830,60 @@ _CAND = (
 )
 
 
+_TR_CORPUS = "/tmp/raysearch_entry/sf0.01/corpus/*.parquet"
+# The driver gate runs at sf=0.01; the corpus parquet is written
+# deterministically by the queries() callables before the oracle runs.
+_TR = (
+    f"WITH tr AS (SELECT conv_id, turn_idx, text, "
+    f"row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id "
+    f"FROM read_parquet('{_TR_CORPUS}')), "
+    "tok AS (SELECT doc_id, t.term FROM (SELECT doc_id, "
+    "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM tr) t WHERE t.term <> '')"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "transcripts_lexicon_sql": (
+            f"{_TR} SELECT term, count(DISTINCT doc_id) AS df, "
+            f"count(*) AS cf FROM tok GROUP BY term"
+        ),
+        "transcripts_postings_sql": (
+            f"{_TR} SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2"
+        ),
+        "transcripts_doclens_sql": (
+            f"{_TR} SELECT tr.conv_id, tr.turn_idx, tr.doc_id, "
+            f"coalesce(l.n, 0) AS doc_len FROM tr LEFT JOIN "
+            f"(SELECT doc_id, count(*) AS n FROM tok GROUP BY 1) l "
+            f"USING (doc_id)"
+        ),
+        "transcripts_bm25_sql": (
+            f"{_TR}, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            f"cand AS (SELECT doc_id FROM tf WHERE term IN {_TR_TERMS_SQL} "
+            f"GROUP BY doc_id HAVING count(*) = 2), "
+            f"dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), "
+            f"stats AS (SELECT (SELECT count(*) FROM tr) AS n_docs, "
+            f"(SELECT count(*) FROM tok) AS n_tokens), "
+            f"qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+            f"WHERE term IN {_TR_TERMS_SQL} GROUP BY 1) "
+            f"SELECT c.doc_id AS doc_id, "
+            f"round(sum(ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) "
+            f"* (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * d.dl / "
+            f"(s.n_tokens * 1.0 / s.n_docs)))), 4) AS score "
+            f"FROM cand c JOIN tf f ON f.doc_id = c.doc_id AND f.term IN {_TR_TERMS_SQL} "
+            f"JOIN qdf q ON q.term = f.term JOIN dl d ON d.doc_id = c.doc_id "
+            f"CROSS JOIN stats s GROUP BY c.doc_id ORDER BY score DESC, doc_id"
+        ),
+        "transcripts_reference_sql": (
+            f"{_TR}, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            f"cand AS (SELECT doc_id FROM tf WHERE term IN {_TR_TERMS_SQL} "
+            f"GROUP BY doc_id HAVING count(*) = 2), "
+            f"ab AS (SELECT f.doc_id, sum(f.tf) AS a FROM cand c "
+            f"JOIN tf f ON f.doc_id = c.doc_id AND f.term IN {_TR_TERMS_SQL} GROUP BY 1) "
+            f"SELECT doc_id, round(a * 1.0 / (SELECT max(a) FROM ab), 4) AS relevance "
+            f"FROM ab ORDER BY relevance DESC, doc_id"
+        ),
         "term_df": f"{_TOK} SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term",
         "postings_tf": f"{_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2",
         "doc_stats": (
