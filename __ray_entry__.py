@@ -4,10 +4,10 @@ The driver calls ``ray.init(...)`` itself BEFORE importing this module;
 nothing here (or in the raysearch package) calls ``ray.init`` /
 ``ray.shutdown``.
 
-``queries()`` exposes two families:
+``queries()`` exposes three families:
 
-* **SQL-checkable operators** (15 of them) over the provided testdata
-  tables (``documents`` / ``embeddings`` / ``events`` / ``lineitem`` /
+* **SQL-checkable operators** (16) over the provided testdata tables
+  (``documents`` / ``embeddings`` / ``events`` / ``lineitem`` /
   ``orders`` / ``customer``), with exact DuckDB oracles in
   ``oracle_sql()``.  These use the `simple` tokenizer mode
   (lowercase + split on ``[^a-z0-9]+``) which is definitionally equal
@@ -18,13 +18,20 @@ nothing here (or in the raysearch package) calls ``ray.init`` /
   synthetic documents vocabulary is tiny, so every term would be
   pruned; the prune is exercised on the transcripts path and in
   pytest.
+* **SQL-checked ENGINE outputs** (6, round 2): a simple-mode index
+  built over the deterministic transcripts corpus whose merged
+  lexicon, decoded posting lists, doc-length/doc_id assignment, and
+  live-searcher BM25 + reference-scorer rankings are value-hash
+  compared against DuckDB twins reading the same corpus parquet —
+  the index build and query path themselves are oracle-checked, not
+  just rows-counted.
 * **transcripts engine pipelines** (rows-only checks for the driver;
   exact rank-identity vs the single-process oracle is asserted in
-  pytest): inverted-index build, BM25 / reference-scorer top-k, plus
-  the dedup / ANN / multimodal training-data operators that SQL cannot
-  express.  The transcripts corpus is synthesized deterministically
-  per scale factor (BASELINE.json: no external data; same bytes at any
-  parallelism).
+  pytest): latin-mode inverted-index build, BM25 / reference-scorer
+  top-k, plus the dedup / ANN / multimodal training-data operators
+  that SQL cannot express.  The transcripts corpus is synthesized
+  deterministically per scale factor (BASELINE.json: no external
+  data; same bytes at any parallelism).
 """
 
 from __future__ import annotations

@@ -209,3 +209,54 @@ def test_merge_skipped_when_up_to_date(two_indexes):
         for p in glob.glob(os.path.join(full, "merged", "postings", "*.parquet"))
     )
     assert mtime == mtime2
+
+
+def test_sigterm_midbuild_then_resume(ray_session, tiny_corpus, tmp_path):
+    """Kill a REAL build process mid-run (the serve stopIndexing path:
+    SIGTERM, not a simulated missing wave), then resume: committed
+    waves must survive untouched and the final index must equal an
+    uninterrupted build's."""
+    import subprocess
+    import sys
+    import time
+
+    from raysearch.build import build_index
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "killed")
+    p = subprocess.Popen(
+        [
+            sys.executable, "-m", "raysearch", "--num-cpus", "4", "build",
+            "--input", tiny_corpus, "--out", out,
+            "--partitions", "4", "--wave-size", "1",
+        ],
+        cwd=repo,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if glob.glob(os.path.join(out, "waves", "*", "manifest.json")):
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.2)
+    interrupted = p.poll() is None
+    p.terminate()
+    p.wait(timeout=60)
+
+    committed = {
+        w: os.path.getmtime(w)
+        for w in glob.glob(os.path.join(out, "waves", "*"))
+        if os.path.isfile(os.path.join(w, "manifest.json"))
+    }
+    # resume in-process; committed waves must not be recomputed
+    build_index(tiny_corpus, out, mode="latin", n_partitions=4, wave_size=1)
+    for w, m in committed.items():
+        assert os.path.getmtime(w) == m, f"committed wave {w} recomputed"
+
+    clean = str(tmp_path / "clean")
+    build_index(tiny_corpus, clean, mode="latin", n_partitions=4, wave_size=1)
+    assert _lexicon_rows(out) == _lexicon_rows(clean)
+    assert _postings_rows(out) == _postings_rows(clean)
+    assert interrupted or committed, "build finished before any commit"
