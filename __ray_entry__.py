@@ -851,6 +851,16 @@ _TR = (
 
 
 def oracle_sql() -> dict[str, str]:
+    # The transcripts oracles read the deterministic corpus parquet
+    # from /tmp — written here (idempotent, no Ray needed) so the
+    # oracle side never depends on queries() having run first.
+    from raysearch.gen import write_corpus
+
+    n_convs, avg_turns = _CORPUS_SIZES["sf0.01"]
+    write_corpus(
+        "/tmp/raysearch_entry/sf0.01/corpus",
+        n_convs=n_convs, avg_turns=avg_turns, avg_tokens=30, seed=42,
+    )
     return {
         "transcripts_lexicon_sql": (
             f"{_TR} SELECT term, count(DISTINCT doc_id) AS df, "
