@@ -383,26 +383,19 @@ class IndexSearcher:
             )
         return scores
 
-    _OR_CHUNK = 1 << 16  # docs scored per progressive-pruning round
-
     def search_or(self, query: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
-        """OR-semantics BM25 top-k with PROGRESSIVE block-max pruning.
+        """OR-semantics BM25 top-k with vectorized block-max pruning.
 
         Per-term, per-128-doc block maxima (bm_blob) bound each block's
-        best possible contribution (dl→0 normalization): block b of
-        term t can be skipped when ``ub_t[b] < θ − Σ_{t'≠t}
-        max(ub_t')``, because any doc whose every block is skipped has
-        bound(doc) < θ (its own block's inequality absorbs every other
-        term's maximum).  θ starts from exactly scoring each term's
-        single best block, then blocks are visited in DESCENDING
-        upper-bound order and scored exactly in ``_OR_CHUNK``-doc
-        rounds, with θ re-tightened to the running top-k after each
-        round — on Zipf corpora the rare term's high-ub blocks raise θ
-        within a round or two and the hot term's long tail prunes
-        wholesale, instead of the round-1 behavior of exactly scoring
-        nearly the whole posting union.  θ only grows, so every skip
-        that was valid stays valid; every returned score is fully
-        computed (no approximation)."""
+        best possible contribution (dl→0 normalization).  A threshold θ
+        is seeded by exactly scoring each term's single best block;
+        then a block b of term t is pruned when
+        ``ub_t[b] < θ − Σ_{t'≠t} max(ub_t')`` — any doc all of whose
+        blocks are pruned satisfies bound(doc) < θ (its own block's
+        inequality already absorbs every other term's maximum), so the
+        union of surviving blocks' docs is a superset of the true
+        top-k.  Surviving docs are scored exactly; every returned score
+        is fully computed."""
         terms = self.query_terms(query)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if not terms:
@@ -430,83 +423,40 @@ class IndexSearcher:
             for _p, bm, idf in infos
         ]
         max_ub = np.array([u.max() if len(u) else 0.0 for u in ubs])
-        rest = max_ub.sum() - max_ub  # Σ other terms' maxima, per term
 
-        # tie-inclusive running top-k buffer (docs sorted; exact scores)
-        buf_docs = np.empty(0, dtype=np.int64)
-        buf_scores = np.empty(0, dtype=np.float64)
-        theta = -np.inf
-
-        def absorb(cand: np.ndarray) -> None:
-            """Exactly score candidate docs, fold into the buffer, and
-            re-tighten θ.  The buffer keeps every doc whose score ties
-            or beats the kth best (tie-inclusive), so the final
-            (score desc, doc_id asc) ranking is exact regardless of
-            discovery order; duplicates collapse because both copies
-            carry the same exact score.  An empty candidate set (e.g.
-            a shard owning none of these blocks — the ADVICE
-            empty-seed case) changes nothing: θ stays, pruning
-            continues."""
-            nonlocal buf_docs, buf_scores, theta
-            if not len(cand):
-                return
-            sc = self._score_union(cand, infos)
-            d = np.concatenate((buf_docs, cand))
-            s = np.concatenate((buf_scores, sc))
-            order = np.argsort(d, kind="stable")
-            d, s = d[order], s[order]
-            first = np.concatenate(([True], d[1:] != d[:-1]))
-            d, s = d[first], s[first]
-            if k > 0 and len(s) > k:
-                kth = -np.partition(-s, k - 1)[k - 1]
-                keep = s >= kth
-                d, s = d[keep], s[keep]
-                theta = float(kth)
-            elif k > 0 and len(s) == k:
-                theta = float(s.min())
-            buf_docs, buf_scores = d, s
-
-        def gather_blocks(p, blocks: np.ndarray) -> np.ndarray:
-            """Docs of many 128-doc blocks in one vectorized fancy-index."""
-            idx = (blocks[:, None] * BLOCK + np.arange(BLOCK)[None, :]).ravel()
-            idx = idx[idx < len(p.doc_ids)]
-            return in_range(p.doc_ids[idx])
-
-        # θ seed: each term's single best block, scored exactly
+        # θ seed: exact scores of each term's best block's docs
         seed = []
         for (p, _bm, _idf), u in zip(infos, ubs):
-            if len(u):
-                seed.append(gather_blocks(p, np.array([int(np.argmax(u))])))
-        if seed:
-            absorb(np.unique(np.concatenate(seed)))
+            if not len(u):
+                continue
+            b = int(np.argmax(u))
+            seed.append(in_range(p.doc_ids[b * BLOCK : (b + 1) * BLOCK]))
+        seed_docs = np.unique(np.concatenate(seed)) if seed else np.empty(0, np.int64)
+        # A shard whose doc range contains none of the globally-best
+        # blocks gets an empty seed — that only means no θ bound is
+        # available, NOT that the shard has no matches; fall through
+        # with θ=-inf so every block survives and is scored exactly.
+        if len(seed_docs) >= k:
+            seed_scores = self._score_union(seed_docs, infos)
+            theta = float(-np.partition(-seed_scores, k - 1)[k - 1])
+        else:
+            theta = -np.inf
 
-        # progressive rounds: per term, visit its not-yet-seen blocks
-        # in descending-ub order, a bulk of blocks per round; θ grows
-        # after every round, so later rounds prune wholesale
-        per_round = max(1, self._OR_CHUNK // BLOCK)
-        unvisited = [np.argsort(-u, kind="stable") for u in ubs]
-        while True:
-            progressed = False
-            for ti, ((p, _bm, _idf), u) in enumerate(zip(infos, ubs)):
-                order = unvisited[ti]
-                if not len(order):
-                    continue
-                # drop the (ub-sorted) tail that can no longer qualify
-                qual = u[order] >= theta - rest[ti]
-                cut = int(np.argmin(qual)) if not qual.all() else len(order)
-                if cut == 0 and not qual[0]:
-                    unvisited[ti] = order[:0]
-                    continue
-                take, order = order[:min(cut, per_round)], order[min(cut, per_round):cut]
-                unvisited[ti] = order
-                absorb(np.unique(gather_blocks(p, take)))
-                progressed = True
-            if not progressed:
-                break
-
-        if not len(buf_docs):
+        # prune: block b of term t survives iff ub + Σ other maxima ≥ θ
+        surv = []
+        for ti, ((p, _bm, _idf), u) in enumerate(zip(infos, ubs)):
+            rest = float(max_ub.sum() - max_ub[ti])
+            keep = np.flatnonzero(u >= theta - rest)
+            if len(keep) == len(u):
+                surv.append(in_range(p.doc_ids))
+                continue
+            for b in keep:
+                surv.append(in_range(p.doc_ids[b * BLOCK : (b + 1) * BLOCK]))
+        docs = np.unique(np.concatenate(surv)) if surv else np.empty(0, np.int64)
+        if not len(docs):
             return empty
-        return rank_results(buf_docs, buf_scores, k)
+        scores = self._score_union(docs, infos)
+        return rank_results(docs, scores, k)
 
     def _block_maxes(self, term: str) -> np.ndarray:
         hit = self._bm_cache.get(term)
