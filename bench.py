@@ -298,11 +298,13 @@ def run_scaling() -> None:
     lo, hi = 8, 32
     # the sandbox host's deliverable CPU/memory throughput swings 3-6x
     # over minutes (shared VM), so single sequential samples at the two
-    # levels are incomparable: interleave lo/hi twice and take the best
-    # run per level (adjacent-in-time, least-contended samples)
+    # levels are incomparable: interleave lo/hi (RAYSEARCH_SCALING_ROUNDS
+    # rounds, default 2) and take the best run per level
+    # (adjacent-in-time, least-contended samples)
+    rounds = int(os.environ.get("RAYSEARCH_SCALING_ROUNDS", "2"))
     results = {}
     stream_best: dict[int, float] = {}
-    for ncpu in (lo, hi, lo, hi):
+    for ncpu in (lo, hi) * rounds:
         env = dict(os.environ, GRAFT_SF_DIR=SF_DIR)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)],
