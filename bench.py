@@ -32,27 +32,34 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SF_NAME = os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
 
-# bench corpus sizes per scale factor: (n_convs, avg_turns, avg_tokens)
-# sf0.1 uses realistic transcript turns (~120 tokens) sized so the
-# 8-cpu build runs >= 60s and real tokenize/shuffle work dominates the
-# fixed per-stage overheads (setup ~1s + merge ~3-7s at 32 cpus) in the
-# scaling measurement — round-2 build speedups halved the round-1 wall
-# time, so the corpus doubled to keep the Amdahl floor out of the
-# efficiency number.
+# bench corpus sizes per scale factor: (n_convs, avg_turns, avg_tokens).
+# The DEFAULT bench keeps the round-1 corpus (1.92M turns at sf0.1) so
+# BENCH_r{N} records stay comparable round-over-round; the --scaling
+# runs use a 2x corpus (SCALING_CORPUS) because round-2 build speedups
+# halved the wall time and the 8-cpu build must run >= 60s for real
+# tokenize/shuffle work to dominate the fixed per-stage overheads
+# (setup ~1s + merge ~3-7s at 32 cpus) in the efficiency number.
 BENCH_CORPUS = {
+    "sf0.001": (250, 8, 30),
+    "sf0.01": (4000, 12, 30),
+    "sf0.1": (120000, 16, 120),  # ~1.9M turns (round-1 comparable)
+}
+SCALING_CORPUS = {
     "sf0.001": (250, 8, 30),
     "sf0.01": (4000, 12, 30),
     "sf0.1": (240000, 16, 120),  # ~3.8M turns -> 8-cpu build >= 60s
 }
 
 
-def _bench_corpus_dir() -> tuple[str, int]:
+def _bench_corpus_dir(scaling: bool = False) -> tuple[str, int]:
     """Generate (idempotent) the bench transcripts corpus; return
     (dir, n_turns)."""
     from raysearch.gen import turns_for_conv, write_corpus
 
-    n_convs, avg_turns, avg_tokens = BENCH_CORPUS.get(SF_NAME, (4000, 12, 30))
-    d = f"/tmp/raysearch_bench/{SF_NAME}/corpus"
+    table = SCALING_CORPUS if scaling else BENCH_CORPUS
+    n_convs, avg_turns, avg_tokens = table.get(SF_NAME, (4000, 12, 30))
+    sub = "corpus_scaling" if scaling else "corpus"
+    d = f"/tmp/raysearch_bench/{SF_NAME}/{sub}"
     write_corpus(d, n_convs=n_convs, avg_turns=avg_turns,
                  avg_tokens=avg_tokens, seed=42, use_ray=True)
     n_turns = sum(turns_for_conv(i, avg_turns) for i in range(n_convs))
@@ -209,7 +216,7 @@ def run_scaling_child(ncpu: int) -> None:
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False)
-    corpus, n_turns = _bench_corpus_dir()
+    corpus, n_turns = _bench_corpus_dir(scaling=True)
     stream_tps = _stream_ceiling_inprocess(ncpu)
     out = f"/tmp/raysearch_bench/{SF_NAME}/index_scale{ncpu}"
     t0 = time.monotonic()
@@ -292,7 +299,7 @@ def run_scaling() -> None:
     import ray
 
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False)
-    _bench_corpus_dir()
+    _bench_corpus_dir(scaling=True)
     ray.shutdown()
 
     lo, hi = 8, 32
