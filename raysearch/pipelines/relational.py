@@ -96,34 +96,82 @@ def top_customers(orders, customer, k: int = 10):
     )
 
 
-def sessionize(events, gap_minutes: int = 30):
+def sessionize(events, gap_minutes: int = 30, salt_unit: str = "day"):
     """Gap-based sessionization (the classic stateful streaming window
-    as a batch operator): per user, events sorted by (ts, event_id);
-    a new session starts when the gap to the previous event exceeds
+    as a batch operator): per user, events sorted by (ts, event_id); a
+    new session starts when the gap to the previous event exceeds
     ``gap_minutes``.  Output: one row per session with bounds, count,
     rounded value sum.
 
-    Ray mapping: ``groupby(user_id).map_groups`` — the one shuffle
-    moves (user_id, ts, event_id, value) rows only; per-group state is
-    a vectorized diff/cumsum, bounded by a single user's history.  At
-    skew (one bot user with 10^9 events) the group would need
-    splitting by time range with session stitching at the seams —
-    documented assumption: per-user event count fits a worker."""
+    Ray mapping, TWO-PHASE for skew safety (round 2 — round 1 used one
+    ``groupby(user_id)`` whose hot group was a single bot user's whole
+    history):
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    1. ``groupby((user_id, time-bucket))`` sessionizes each bucket's
+       events locally into PARTIAL sessions (start, end, count,
+       unrounded sum) — the hot unit is one user-bucket, bounded by a
+       user's event rate × ``salt_unit``, not their lifetime;
+    2. ``groupby(user_id)`` merges partial-session SUMMARIES: sessions
+       are disjoint, start-sorted intervals, so the chain rule is one
+       vectorized diff (merge adjacent partials when the inter-bucket
+       gap ≤ the threshold) — per-user state is O(sessions + buckets),
+       ~days of summaries even for a 10^9-event bot, never events.
+
+    session_id numbering (chronological per user) and every aggregate
+    are identical to the single-phase definition; sums are kept
+    unrounded until the final merge so two-phase addition stays within
+    the 4-decimal rounding the oracle compares at."""
+    gap_us = gap_minutes * 60_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor_temporal(batch["ts"], unit=salt_unit), pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "bucket": b,
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "value": batch["value"],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         ts = g["ts"].to_numpy()
         gap = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        brk = np.concatenate(([0], (gap > gap_minutes * 60_000_000).astype(np.int64)))
+        brk = np.concatenate(([0], (gap > gap_us).astype(np.int64)))
         sid = np.cumsum(brk)
-        g = g.assign(session_id=sid)
         out = (
-            g.groupby("session_id", sort=True)
+            g.assign(_sid=sid)
+            .groupby("_sid", sort=True)
             .agg(
                 session_start=("ts", "min"),
                 session_end=("ts", "max"),
                 n_events=("event_id", "size"),
-                sum_value=("value", "sum"),
+                sum_value=("value", "sum"),  # unrounded partial
+            )
+            .reset_index(drop=True)
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start")
+        starts = g["session_start"].to_numpy()
+        ends = g["session_end"].to_numpy()
+        # partials are disjoint intervals in start order, so the
+        # predecessor's end IS ends[i-1]; merge when the gap closes
+        gap = (starts[1:] - ends[:-1]).astype("timedelta64[us]").astype(np.int64)
+        brk = np.concatenate(([0], (gap > gap_us).astype(np.int64)))
+        sid = np.cumsum(brk)
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id", sort=True)
+            .agg(
+                session_start=("session_start", "min"),
+                session_end=("session_end", "max"),
+                n_events=("n_events", "sum"),
+                sum_value=("sum_value", "sum"),
             )
             .reset_index()
         )
@@ -133,8 +181,11 @@ def sessionize(events, gap_minutes: int = 30):
 
     return (
         events.select_columns(["user_id", "ts", "event_id", "value"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_groups(merge_user, batch_format="pandas")
     )
 
 

@@ -468,3 +468,40 @@ def test_ivf_indexed_matches_inpass_and_prunes(vec_ds, tmp_path):
     assert pa_[["query_id", "rank", "vec_id", "score"]].equals(
         pb_[["query_id", "rank", "vec_id", "score"]]
     )
+
+
+def test_sessionize_two_phase_boundary_merge(ray_session):
+    """Sessions crossing the salt-bucket (day) boundary must merge in
+    the summary phase; a bot user's history spread over many days is
+    handled without ever grouping all its events together."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import sessionize
+
+    rows = []
+    eid = 0
+    # bot user: every 10 minutes for 3 days straight → ONE session
+    t = np.datetime64("2024-01-01T00:00:00", "us")
+    while t < np.datetime64("2024-01-04T00:00:00", "us"):
+        rows.append(("bot", t, eid, 1.0)); eid += 1
+        t += np.timedelta64(10, "m")
+    # human: one session ending 23:55, next day 00:10 → gap 15m merges
+    # ACROSS midnight; then a 2h gap opens a new session
+    for off in ("23:40", "23:50", "23:55"):
+        rows.append(("hum", np.datetime64(f"2024-01-01T{off}:00", "us"), eid, 2.0)); eid += 1
+    rows.append(("hum", np.datetime64("2024-01-02T00:10:00", "us"), eid, 2.0)); eid += 1
+    rows.append(("hum", np.datetime64("2024-01-02T02:30:00", "us"), eid, 2.0)); eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+    ds = rd.from_pandas(pdf)
+    out = sessionize(ds, gap_minutes=30).to_pandas()
+
+    bot = out[out.user_id == "bot"]
+    assert len(bot) == 1 and int(bot.n_events.iloc[0]) == (pdf.user_id == "bot").sum()
+    assert bot.session_id.iloc[0] == 0
+    hum = out[out.user_id == "hum"].sort_values("session_id")
+    assert hum.session_id.tolist() == [0, 1]
+    assert hum.n_events.tolist() == [4, 1]  # midnight-crossing merge
+    assert hum.session_start.iloc[0] == np.datetime64("2024-01-01T23:40:00", "us")
+    assert hum.session_end.iloc[0] == np.datetime64("2024-01-02T00:10:00", "us")
+    assert float(hum.sum_value.iloc[0]) == 8.0
