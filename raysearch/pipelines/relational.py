@@ -189,23 +189,76 @@ def sessionize(events, gap_minutes: int = 30, salt_unit: str = "day"):
     )
 
 
-def asof_last_event(events, match_type: str = "error"):
+def asof_last_event(events, match_type: str = "error", salt_unit: str = "day"):
     """As-of self-join: for every event, the timestamp of the same
     user's most recent STRICTLY PRIOR event of ``match_type`` (NaT when
     none) — the canonical as-of-join shape (trade→quote) over the
     events table.
 
-    Ray mapping: ``groupby(user_id).map_groups`` with a vectorized
-    shifted forward-fill inside the group; same partitioning assumption
-    as :func:`sessionize`."""
+    Ray mapping, TWO-PHASE for skew safety (round 2, mirrors
+    :func:`sessionize`): phase 1 computes the in-bucket as-of per
+    ``(user_id, time-bucket)`` group (bounded by a user's event rate ×
+    ``salt_unit``); rows with no in-bucket prior match are resolved by
+    a carry-in table — per (user, bucket): the running max match ts
+    over all EARLIER buckets, built from one small match-summary
+    aggregate (one row per user-bucket that contains a match) and
+    broadcast via ray.put.  The carry-in table scales with
+    user-buckets containing matches, not events; at cluster scale it
+    becomes a hash join on (user, bucket) — same plan shape."""
+    import ray
+    from ray.data.aggregate import Max
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor_temporal(batch["ts"], unit=salt_unit), pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "bucket": b,
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    bucketed = events.select_columns(
+        ["user_id", "ts", "event_id", "event_type"]
+    ).map_batches(add_bucket, batch_format="pyarrow")
+
+    # match summaries: last match ts per (user, bucket) → carry-in map
+    summaries = (
+        bucketed.filter(expr=f"event_type == '{match_type}'")
+        .groupby(["user_id", "bucket"])
+        .aggregate(Max("ts", alias_name="last_match"))
+        .to_pandas()
+    )
+    # per user: sorted match-bucket starts + prefix-max of last-match
+    # ts, so any bucket's carry-in is one searchsorted
+    carry_in: dict = {}
+    for uid, grp in summaries.groupby("user_id", sort=False):
+        grp = grp.sort_values("bucket")
+        bks = grp["bucket"].to_numpy()
+        pref = np.maximum.accumulate(grp["last_match"].to_numpy())
+        carry_in[uid] = (bks, pref)
+    carry_ref = ray.put(carry_in)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         is_m = (g["event_type"] == match_type).to_numpy()
         ts = g["ts"].to_numpy()
-        # value available to row i = last match ts among rows < i
         carry = pd.Series(np.where(is_m, ts, np.datetime64("NaT")))
         prev = carry.shift(1).ffill().to_numpy()
+        # carry-in: the user's last match from any STRICTLY earlier bucket
+        carry_map = ray.get(carry_ref)
+        uid = g["user_id"].iloc[0]
+        bucket = np.datetime64(g["bucket"].iloc[0], "us")
+        ent = carry_map.get(uid)
+        fill = np.datetime64("NaT", "us")
+        if ent is not None:
+            bks, pref = ent
+            j = int(np.searchsorted(bks, bucket)) - 1
+            if j >= 0:
+                fill = pref[j]
+        prev = np.where(pd.isna(prev), fill, prev)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
@@ -215,10 +268,8 @@ def asof_last_event(events, match_type: str = "error"):
             }
         )
 
-    return (
-        events.select_columns(["user_id", "ts", "event_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+    return bucketed.groupby(["user_id", "bucket"]).map_groups(
+        per_bucket, batch_format="pandas"
     )
 
 

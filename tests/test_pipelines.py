@@ -505,3 +505,37 @@ def test_sessionize_two_phase_boundary_merge(ray_session):
     assert hum.session_start.iloc[0] == np.datetime64("2024-01-01T23:40:00", "us")
     assert hum.session_end.iloc[0] == np.datetime64("2024-01-02T00:10:00", "us")
     assert float(hum.sum_value.iloc[0]) == 8.0
+
+
+def test_asof_two_phase_cross_bucket_carry(ray_session):
+    """An event early in a day with no in-day prior match must pick up
+    the last match from an EARLIER day via the carry-in table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import asof_last_event
+
+    T = lambda s: np.datetime64(s, "us")
+    rows = [
+        # day 1: match at 10:00, then a non-match
+        ("u1", T("2024-01-01T10:00:00"), 0, "error"),
+        ("u1", T("2024-01-01T11:00:00"), 1, "click"),
+        # day 3 (day 2 empty): first event must see day-1's 10:00 match
+        ("u1", T("2024-01-03T09:00:00"), 2, "click"),
+        ("u1", T("2024-01-03T09:30:00"), 3, "error"),
+        ("u1", T("2024-01-03T10:00:00"), 4, "click"),
+        # u2 never matches
+        ("u2", T("2024-01-01T12:00:00"), 5, "click"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    out = (
+        asof_last_event(rd.from_pandas(pdf), match_type="error")
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert pd.isna(out.loc[0, "prev_match_ts"])  # the match itself: none prior
+    assert out.loc[1, "prev_match_ts"] == T("2024-01-01T10:00:00")
+    assert out.loc[2, "prev_match_ts"] == T("2024-01-01T10:00:00")  # carry-in
+    assert out.loc[3, "prev_match_ts"] == T("2024-01-01T10:00:00")
+    assert out.loc[4, "prev_match_ts"] == T("2024-01-03T09:30:00")  # in-bucket
+    assert pd.isna(out.loc[5, "prev_match_ts"])
