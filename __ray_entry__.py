@@ -594,6 +594,37 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def _q_simhash_recall(sf_dir: str):
+    """Blocked simhash pairs vs brute-force all-pairs Hamming at the
+    same threshold (pigeonhole predicts recall 1.0 outside star-capped
+    hot buckets — measured, not assumed)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import simhash_pairs, simhash_pairs_exact
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    blocked = simhash_pairs(ds, max_hamming=3).to_pandas()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    exact = simhash_pairs_exact(ds, max_hamming=3).to_pandas()
+    b = set(zip(blocked.doc_a, blocked.doc_b))
+    e = set(zip(exact.doc_a, exact.doc_b))
+    return pd.DataFrame(
+        [
+            {
+                "n_exact": len(e),
+                "n_blocked": len(b),
+                "false_positives": len(b - e),
+                "recall": round(len(b & e) / max(1, len(e)), 4),
+            }
+        ]
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str):
     """LSH path at the threshold the synthetic embeddings actually
     reach (0.4), with 8 hyperplane tables + Hamming-1 multi-probe for
@@ -814,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_exact": _q_jaccard_pairs_exact,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
+        "simhash_recall": _q_simhash_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_exact": _q_embedding_near_dup_exact,
         "near_dup_recall": _q_near_dup_recall,

@@ -302,7 +302,12 @@ def run_scaling() -> None:
     _bench_corpus_dir(scaling=True)
     ray.shutdown()
 
-    lo, hi = 8, 32
+    # N and 4N parallelism levels (north rule).  Default 8→32; the
+    # shared host often delivers only ~12-16 effective cores, so
+    # 4→16 (RAYSEARCH_SCALING_LO=4) is the honest alternative pair
+    # where the high level is not starved by the VM itself.
+    lo = int(os.environ.get("RAYSEARCH_SCALING_LO", "8"))
+    hi = 4 * lo
     # the sandbox host's deliverable CPU/memory throughput swings 3-6x
     # over minutes (shared VM), so single sequential samples at the two
     # levels are incomparable: interleave lo/hi (RAYSEARCH_SCALING_ROUNDS

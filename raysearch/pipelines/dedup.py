@@ -786,3 +786,35 @@ def embedding_near_dup(
     from ray.data.aggregate import Max
 
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def simhash_pairs_exact(ds, max_hamming: int = 3):
+    """Brute-force all-pairs Hamming over per-doc SimHash values — the
+    verification twin for :func:`simhash_pairs` (O(n²) in documents:
+    verification scale only).  With 4×16-bit band blocking, any pair
+    within Hamming distance 3 shares a band by pigeonhole, so blocked
+    recall is 1.0 by construction except where the hot-bucket star
+    fallback replaced all-pairs emission — this operator measures that
+    exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    sigs = (
+        ds.map_batches(_simhash_task, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates("doc_id")
+        .sort_values("doc_id")
+    )
+    ids = sigs["doc_id"].to_numpy()
+    sims = sigs["simhash"].to_numpy().astype(np.uint64)
+    n = len(ids)
+    if n < 2:
+        return rd.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}))
+    ii, jj = np.triu_indices(n, k=1)
+    dist = _popcount64(sims[ii] ^ sims[jj])
+    keep = dist <= max_hamming
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]], "hamming": dist[keep]}
+        )
+    )
