@@ -337,6 +337,20 @@ def _q_transcripts_lexicon(sf_dir: str):
     return pq.read_table(os.path.join(index, "merged", "lexicon.parquet"))
 
 
+def _q_transcripts_latin_lexicon_sql(sf_dir: str):
+    """The FLAGSHIP latin-mode index's lexicon (term, df, cf) —
+    SQL-checked: the deterministic inflection table (vocab.FORM2LEMMA)
+    is materialized as parquet so DuckDB replicates lowercase →
+    char-strip → stop-word drop → lemma lookup exactly."""
+    import pyarrow.parquet as pq
+
+    _, index = _corpus_and_index(sf_dir)
+    return pq.read_table(
+        os.path.join(index, "merged", "lexicon.parquet"),
+        columns=["term", "df", "cf"],
+    )
+
+
 def _simple_index(sf_dir: str) -> tuple[str, str]:
     """A second index over the SAME corpus in `simple` tokenizer mode —
     the mode whose semantics are definitionally a SQL expression, so
@@ -832,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact conformance asserted in pytest vs oracle.py)
         "transcripts_lexicon": _q_transcripts_lexicon,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
+        "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
         "transcripts_postings_sql": _q_transcripts_postings_sql,
         "transcripts_doclens_sql": _q_transcripts_doclens_sql,
         "transcripts_bm25_sql": _q_transcripts_bm25_sql,
@@ -871,15 +886,25 @@ _CAND = (
 
 _TR_CORPUS = "/tmp/raysearch_entry/sf0.01/corpus/*.parquet"
 # The driver gate runs at sf=0.01; the corpus parquet is written
-# deterministically by the queries() callables before the oracle runs.
-_TR = (
+# deterministically by the queries() callables before the oracle runs
+# (and again, idempotently, by oracle_sql() itself).
+_TR_BASE = (
     f"WITH tr AS (SELECT conv_id, turn_idx, text, "
     f"row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id "
-    f"FROM read_parquet('{_TR_CORPUS}')), "
+    f"FROM read_parquet('{_TR_CORPUS}'))"
+)
+_TR = (
+    _TR_BASE + ", "
     "tok AS (SELECT doc_id, t.term FROM (SELECT doc_id, "
     "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
     "FROM tr) t WHERE t.term <> '')"
 )
+
+
+def _latin_stops_sql() -> str:
+    from raysearch.vocab import LATIN_STOPWORDS
+
+    return "(" + ", ".join(f"'{w}'" for w in sorted(LATIN_STOPWORDS)) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -893,10 +918,42 @@ def oracle_sql() -> dict[str, str]:
         "/tmp/raysearch_entry/sf0.01/corpus",
         n_convs=n_convs, avg_turns=avg_turns, avg_tokens=30, seed=42,
     )
+    lm_path = "/tmp/raysearch_entry/lemma_map.parquet"
+    if not os.path.exists(lm_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raysearch.vocab import FORM2LEMMA
+
+        pq.write_table(
+            pa.table(
+                {
+                    "form": pa.array(list(FORM2LEMMA), pa.string()),
+                    "lemma": pa.array(list(FORM2LEMMA.values()), pa.string()),
+                }
+            ),
+            lm_path,
+        )
     return {
         "transcripts_lexicon_sql": (
             f"{_TR} SELECT term, count(DISTINCT doc_id) AS df, "
             f"count(*) AS cf FROM tok GROUP BY term"
+        ),
+        "transcripts_latin_lexicon_sql": (
+            # latin mode: lowercase, DELETE [^a-z\s] chars (joining
+            # fragments, lex.py joins=True), split on whitespace, drop
+            # stop words, lemma = inflection-table lookup else identity
+            f"{_TR_BASE}, "
+            "raw AS (SELECT doc_id, t.w FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(regexp_replace(lower(text), "
+            "'[^a-z\\s]', '', 'g'), '\\s+')) AS w FROM tr) t "
+            f"WHERE t.w <> '' AND t.w NOT IN {_latin_stops_sql()}), "
+            "lem AS (SELECT r.doc_id, coalesce(m.lemma, r.w) AS term "
+            "FROM raw r LEFT JOIN "
+            "read_parquet('/tmp/raysearch_entry/lemma_map.parquet') m "
+            "ON m.form = r.w) "
+            "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+            "FROM lem GROUP BY term"
         ),
         "transcripts_postings_sql": (
             f"{_TR} SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2"
