@@ -380,10 +380,8 @@ def _q_transcripts_lexicon_sql(sf_dir: str):
     )
 
 
-def _q_transcripts_postings_sql(sf_dir: str):
-    """Engine postings DECODED back to exploded (term, doc_id, tf) rows
-    — i.e. the delta-gap varint codec + groupby + merge round-trips to
-    exactly what SQL computes from the raw corpus."""
+def _decoded_postings(index: str):
+    """Merged posting blobs decoded back to exploded (term, doc_id, tf)."""
     import glob
 
     import pyarrow as pa
@@ -391,7 +389,6 @@ def _q_transcripts_postings_sql(sf_dir: str):
 
     from raysearch.codec import decode_postings
 
-    _, index = _simple_index(sf_dir)
     terms, doc_ids, tfs = [], [], []
     for f in sorted(
         glob.glob(os.path.join(index, "merged", "postings", "*.parquet"))
@@ -411,6 +408,21 @@ def _q_transcripts_postings_sql(sf_dir: str):
             "tf": pa.array(tfs, pa.int64()),
         }
     )
+
+
+def _q_transcripts_postings_sql(sf_dir: str):
+    """Engine postings DECODED back to exploded (term, doc_id, tf) rows
+    — i.e. the delta-gap varint codec + groupby + merge round-trips to
+    exactly what SQL computes from the raw corpus."""
+    _, index = _simple_index(sf_dir)
+    return _decoded_postings(index)
+
+
+def _q_transcripts_latin_postings_sql(sf_dir: str):
+    """The FLAGSHIP latin-mode index's postings decoded and SQL-checked
+    (lemmatization via the materialized inflection table)."""
+    _, index = _corpus_and_index(sf_dir)
+    return _decoded_postings(index)
 
 
 #: fixed conjunctive query for the SQL-checked transcripts search rows
@@ -847,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_lexicon": _q_transcripts_lexicon,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
         "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
+        "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "transcripts_postings_sql": _q_transcripts_postings_sql,
         "transcripts_doclens_sql": _q_transcripts_doclens_sql,
         "transcripts_bm25_sql": _q_transcripts_bm25_sql,
@@ -954,6 +967,18 @@ def oracle_sql() -> dict[str, str]:
             "ON m.form = r.w) "
             "SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf "
             "FROM lem GROUP BY term"
+        ),
+        "transcripts_latin_postings_sql": (
+            f"{_TR_BASE}, "
+            "raw AS (SELECT doc_id, t.w FROM (SELECT doc_id, "
+            "unnest(regexp_split_to_array(regexp_replace(lower(text), "
+            "'[^a-z\\s]', '', 'g'), '\\s+')) AS w FROM tr) t "
+            f"WHERE t.w <> '' AND t.w NOT IN {_latin_stops_sql()}), "
+            "lem AS (SELECT r.doc_id, coalesce(m.lemma, r.w) AS term "
+            "FROM raw r LEFT JOIN "
+            "read_parquet('/tmp/raysearch_entry/lemma_map.parquet') m "
+            "ON m.form = r.w) "
+            "SELECT term, doc_id, count(*) AS tf FROM lem GROUP BY 1, 2"
         ),
         "transcripts_postings_sql": (
             f"{_TR} SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2"
