@@ -816,12 +816,31 @@ def _q_media_features(sf_dir: str):
     return decode_features(rd.from_arrow(fake_media_table(96)), on_unsupported="skip")
 
 
+_MEDIA_PARQUET = "/tmp/raysearch_entry/media.parquet"
+
+
+def _media_parquet() -> str:
+    """Materialize the deterministic media fixture so the frame-sample
+    arithmetic is SQL-checkable (idempotent, no Ray)."""
+    if not os.path.exists(_MEDIA_PARQUET):
+        import pyarrow.parquet as pq
+
+        from raysearch.pipelines.multimodal import fake_media_table
+
+        os.makedirs(os.path.dirname(_MEDIA_PARQUET), exist_ok=True)
+        pq.write_table(fake_media_table(96), _MEDIA_PARQUET + ".tmp")
+        os.replace(_MEDIA_PARQUET + ".tmp", _MEDIA_PARQUET)
+    return _MEDIA_PARQUET
+
+
 def _q_media_frames(sf_dir: str):
+    """Video frame sampling over the persisted media table — the
+    every-stride_ms offsets are value-checked against a SQL range()."""
     import ray.data as rd
 
-    from raysearch.pipelines.multimodal import fake_media_table, sample_frames
+    from raysearch.pipelines.multimodal import sample_frames
 
-    return sample_frames(rd.from_arrow(fake_media_table(96)))
+    return sample_frames(rd.read_parquet(_media_parquet()))
 
 
 # ---------------------------------------------------------------------------
@@ -947,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             lm_path,
         )
+    _media_parquet()
     return {
         "transcripts_lexicon_sql": (
             f"{_TR} SELECT term, count(DISTINCT doc_id) AS df, "
@@ -979,6 +999,12 @@ def oracle_sql() -> dict[str, str]:
             "read_parquet('/tmp/raysearch_entry/lemma_map.parquet') m "
             "ON m.form = r.w) "
             "SELECT term, doc_id, count(*) AS tf FROM lem GROUP BY 1, 2"
+        ),
+        "media_frames": (
+            f"SELECT media_id, CAST(t.f AS INTEGER) AS frame_ms "
+            f"FROM read_parquet('{_MEDIA_PARQUET}'), "
+            f"UNNEST(range(0, CAST(duration_ms AS BIGINT), 1000)) AS t(f) "
+            f"WHERE modality = 'video'"
         ),
         "transcripts_postings_sql": (
             f"{_TR} SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2"
