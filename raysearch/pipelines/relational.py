@@ -195,28 +195,47 @@ def asof_last_event(events, match_type: str = "error", salt_unit: str = "day"):
     none) — the canonical as-of-join shape (trade→quote) over the
     events table.
 
-    Ray mapping, TWO-PHASE for skew safety (round 2, mirrors
-    :func:`sessionize`): phase 1 computes the in-bucket as-of per
-    ``(user_id, time-bucket)`` group (bounded by a user's event rate ×
-    ``salt_unit``); rows with no in-bucket prior match are resolved by
-    a carry-in table — per (user, bucket): the running max match ts
-    over all EARLIER buckets, built from one small match-summary
-    aggregate (one row per user-bucket that contains a match) and
-    broadcast via ray.put.  The carry-in table scales with
-    user-buckets containing matches, not events; at cluster scale it
-    becomes a hash join on (user, bucket) — same plan shape."""
-    import ray
-    from ray.data.aggregate import Max
+    Ray mapping, TWO-PHASE for skew safety and FULLY DISTRIBUTED
+    (round 3 — round 2 folded the carry-in into a driver-side dict +
+    ``ray.put`` broadcast, O(users) driver memory):
+
+    1. small aggregates (partial-combined, so only distinct
+       (user, bucket) partials shuffle): per-user-bucket Max match ts
+       (``summaries``) and the distinct bucket timeline (``needed``);
+    2. a per-user ``map_groups`` prefix-max over the union of the two
+       → one CARRY row per (user, bucket) whose strictly-earlier
+       buckets contain a match, emitted as a PSEUDO MATCH EVENT
+       ``(event_id=-1, ts=carry_ts, is_match=True)`` — carry_ts lies
+       in an earlier bucket, so it sorts strictly before every real
+       event of the bucket;
+    3. ONE event-scale ``groupby((user_id, bucket))`` over
+       events ∪ carry computes the in-bucket as-of with the carry
+       already in sort position (shift + ffill), then drops the
+       pseudo-rows.
+
+    The carry attach is therefore a co-partitioned hash merge
+    expressed as a groupby — the same exchange a hash join would do,
+    without Ray Data's join operator (whose aggregator actors
+    mis-handle partitions that receive no right-side blocks at small
+    scale).  No stage holds per-user state on the driver; the
+    per-user ``map_groups`` in step 2 sees O(buckets-per-user)
+    summary rows, never events.  ``match_type`` is compared with
+    ``pc.equal`` inside ``map_batches`` (not interpolated into a
+    filter expression).  Real ``event_id`` values are assumed
+    non-negative (−1 marks carry rows)."""
+    from ray.data.aggregate import Count, Max
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = pc.cast(pc.floor_temporal(batch["ts"], unit=salt_unit), pa.timestamp("us"))
         return pa.table(
             {
                 "user_id": batch["user_id"],
-                "bucket": b,
-                "ts": batch["ts"],
-                "event_id": batch["event_id"],
-                "event_type": batch["event_type"],
+                # int64 epoch-micros key (timestamp keys in exchanges
+                # are avoidable risk; the value is never shown)
+                "bucket": pc.cast(b, pa.int64()),
+                "ts": pc.cast(batch["ts"], pa.timestamp("us")),
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "is_match": pc.equal(batch["event_type"], pa.scalar(match_type)),
             }
         )
 
@@ -224,52 +243,81 @@ def asof_last_event(events, match_type: str = "error", salt_unit: str = "day"):
         ["user_id", "ts", "event_id", "event_type"]
     ).map_batches(add_bucket, batch_format="pyarrow")
 
-    # match summaries: last match ts per (user, bucket) → carry-in map
+    # --- carry rows -------------------------------------------------------
     summaries = (
-        bucketed.filter(expr=f"event_type == '{match_type}'")
+        bucketed.map_batches(
+            lambda b: b.filter(b["is_match"]).select(["user_id", "bucket", "ts"]),
+            batch_format="pyarrow",
+        )
         .groupby(["user_id", "bucket"])
         .aggregate(Max("ts", alias_name="last_match"))
-        .to_pandas()
     )
-    # per user: sorted match-bucket starts + prefix-max of last-match
-    # ts, so any bucket's carry-in is one searchsorted
-    carry_in: dict = {}
-    for uid, grp in summaries.groupby("user_id", sort=False):
-        grp = grp.sort_values("bucket")
-        bks = grp["bucket"].to_numpy()
-        pref = np.maximum.accumulate(grp["last_match"].to_numpy())
-        carry_in[uid] = (bks, pref)
-    carry_ref = ray.put(carry_in)
+    needed = bucketed.groupby(["user_id", "bucket"]).aggregate(
+        Count(alias_name="_n")
+    )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        is_m = (g["event_type"] == match_type).to_numpy()
-        ts = g["ts"].to_numpy()
-        carry = pd.Series(np.where(is_m, ts, np.datetime64("NaT")))
-        prev = carry.shift(1).ffill().to_numpy()
-        # carry-in: the user's last match from any STRICTLY earlier bucket
-        carry_map = ray.get(carry_ref)
-        uid = g["user_id"].iloc[0]
-        bucket = np.datetime64(g["bucket"].iloc[0], "us")
-        ent = carry_map.get(uid)
-        fill = np.datetime64("NaT", "us")
-        if ent is not None:
-            bks, pref = ent
-            j = int(np.searchsorted(bks, bucket)) - 1
-            if j >= 0:
-                fill = pref[j]
-        prev = np.where(pd.isna(prev), fill, prev)
-        return pd.DataFrame(
+    def as_timeline_row(b: pa.Table) -> pa.Table:
+        # unify schemas for the union: (user_id, bucket, last_match)
+        lm = (
+            pc.cast(b["last_match"], pa.timestamp("us"))
+            if "last_match" in b.column_names
+            else pa.nulls(b.num_rows, pa.timestamp("us"))
+        )
+        return pa.table(
+            {"user_id": b["user_id"], "bucket": b["bucket"], "last_match": lm}
+        )
+
+    timeline = needed.map_batches(as_timeline_row, batch_format="pyarrow").union(
+        summaries.map_batches(as_timeline_row, batch_format="pyarrow")
+    )
+
+    def prefix_carry(g: pd.DataFrame) -> pa.Table:
+        # per bucket: max last_match (needed rows contribute NaT);
+        # carry for bucket i = max over STRICTLY earlier buckets.
+        # Prefix-max in int64 space: NaT == INT64_MIN loses to any
+        # real timestamp, so maximum.accumulate propagates across
+        # match-free buckets (pandas cummax does not reliably skip
+        # NaT on datetime columns).
+        per = g.groupby("bucket", sort=True)["last_match"].max().reset_index()
+        lm = per["last_match"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        nat = np.iinfo(np.int64).min
+        pref = np.maximum.accumulate(np.concatenate(([nat], lm[:-1])))
+        idx = np.flatnonzero(pref != nat)
+        uid_arr = pa.Array.from_pandas(g["user_id"])
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "ts": ts,
-                "prev_match_ts": prev,
+                "user_id": pa.array([g["user_id"].iloc[0]] * len(idx), uid_arr.type),
+                "bucket": pa.array(per["bucket"].to_numpy()[idx], pa.int64()),
+                "ts": pa.array(
+                    pref[idx].view("datetime64[us]"), pa.timestamp("us")
+                ),
+                "event_id": pa.array(np.full(len(idx), -1, dtype=np.int64)),
+                "is_match": pa.array(np.ones(len(idx), dtype=bool)),
             }
         )
 
-    return bucketed.groupby(["user_id", "bucket"]).map_groups(
-        per_bucket, batch_format="pandas"
+    carry = timeline.groupby("user_id").map_groups(prefix_carry, batch_format="pandas")
+
+    # --- the single event-scale exchange ----------------------------------
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])  # carry row sorts first
+        is_m = g["is_match"].to_numpy()
+        ts = g["ts"].to_numpy()
+        prev = pd.Series(np.where(is_m, ts, np.datetime64("NaT"))).shift(1).ffill()
+        real = (g["event_id"].to_numpy() >= 0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[real],
+                "user_id": g["user_id"].to_numpy()[real],
+                "ts": ts[real],
+                "prev_match_ts": prev.to_numpy().astype("datetime64[us]")[real],
+            }
+        )
+
+    return (
+        bucketed.union(carry)
+        .groupby(["user_id", "bucket"])
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
