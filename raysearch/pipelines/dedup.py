@@ -40,12 +40,14 @@ mega-bucket is recoverable transitively after verification.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from raysearch.lex import Lexer
+from raysearch.util import copartition_attach
 
 MERSENNE = (1 << 61) - 1
 
@@ -149,14 +151,18 @@ def _uniq_token_hashes(memo: dict, uniq: np.ndarray) -> np.ndarray:
 
 
 def _shingle_hash_arrays(
-    lexer: Lexer, memo: dict, batch: pa.Table, k: int
+    lexer: Lexer, memo: dict, batch: pa.Table, k: int,
+    short_doc_fallback: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One uint64 hash per word-k-shingle of each row: returns
     ``(sh_parent, sh)`` with sh_parent the owning batch-row index
     (nondecreasing).  Rolling k-gram integer mixing over per-UNIQUE-
-    token stable hashes — no per-shingle string building.  Docs with
-    1..k-1 tokens contribute ONE shingle over all their tokens; empty
-    docs contribute none."""
+    token stable hashes — no per-shingle string building.  With
+    ``short_doc_fallback`` (signature path), docs with 1..k-1 tokens
+    contribute ONE shingle over all their tokens so they can still be
+    banded; without it (verification path) they contribute none —
+    matching :func:`jaccard_pairs_exact`'s domain, which excludes
+    <k-token docs.  Empty docs contribute none either way."""
     parent, codes, uniq = lexer.token_parent_codes(batch["text"])
     if not len(codes):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
@@ -176,7 +182,11 @@ def _shingle_hash_arrays(
     else:
         sh = np.empty(0, dtype=np.uint64)
         sh_parent = np.empty(0, dtype=np.int64)
-    short_rows = np.flatnonzero((row_counts > 0) & (row_counts < k))
+    short_rows = (
+        np.flatnonzero((row_counts > 0) & (row_counts < k))
+        if short_doc_fallback
+        else np.empty(0, dtype=np.int64)
+    )
     if len(short_rows):
         extra = []
         for r in short_rows:
@@ -259,7 +269,12 @@ class _ShingleSets:
         self._memo: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sh_parent, sh = _shingle_hash_arrays(self.lexer, self._memo, batch, self.shingle)
+        # no short-doc fallback: the verification domain must equal
+        # jaccard_pairs_exact's (docs with >= k tokens), so the recall
+        # row's precision really is 1.0 by construction
+        sh_parent, sh = _shingle_hash_arrays(
+            self.lexer, self._memo, batch, self.shingle, short_doc_fallback=False
+        )
         nrows = batch.num_rows
         if len(sh):
             order = np.lexsort((sh, sh_parent))
@@ -392,14 +407,18 @@ def minhash_lsh_pairs(
        candidate count is ≤ ``BROADCAST_ID_LIMIT`` (no shuffle of the
        corpus-sized shingle stream at all), else via a ``left_semi``
        hash join;
-    3. two inner hash joins attach each pair's two sets;
+    3. two inner hash-merge attaches (:func:`~raysearch.util.
+       copartition_attach` — union + one groupby per attach; Ray
+       2.49's ``Dataset.join`` crashes on partitions that receive no
+       blocks from one side, see the helper's docstring) bring in each
+       pair's two sets;
     4. a vectorized map computes exact Jaccard over the hash sets and
        filters ≥ threshold.
 
     Only id pairs and candidate shingle sets shuffle; raw text never
     leaves the tokenize stage and nothing unbounded lands on the
-    driver.  ``join_partitions`` sizes the hash-join exchange — raise
-    it proportionally to cluster size at scale."""
+    driver.  ``join_partitions`` is retained for API compatibility;
+    the merge exchange is sized by Ray's groupby shuffle."""
     import ray
 
     cands = minhash_candidates(ds, **kw).materialize()
@@ -410,11 +429,27 @@ def minhash_lsh_pairs(
     sh = ds.map_batches(
         _shingle_set_task, fn_kwargs={"shingle": shingle}, batch_format="pyarrow"
     )
+    from ray.data.aggregate import Count
+
+    # unique candidate doc ids as a DATASET (shared by both branches;
+    # round 3 — the broadcast branch previously pivoted all pairs
+    # through a driver-side pandas frame)
+    ids = (
+        _rename_cols(cands.select_columns(["doc_a"]), {"doc_a": "doc_id"})
+        .union(_rename_cols(cands.select_columns(["doc_b"]), {"doc_b": "doc_id"}))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_id"])
+    )
     if n_cands <= BROADCAST_ID_LIMIT:
-        pair_pdf = cands.select_columns(["doc_a", "doc_b"]).to_pandas()
-        id_arr = np.unique(
+        # pull ONLY the deduplicated id column to the driver, sorted
+        # for the searchsorted membership test
+        id_arr = np.sort(
             np.concatenate(
-                (pair_pdf["doc_a"].to_numpy(), pair_pdf["doc_b"].to_numpy())
+                [
+                    b["doc_id"].to_numpy(zero_copy_only=False)
+                    for b in ids.iter_batches(batch_format="pyarrow", batch_size=None)
+                ]
             )
         )
         ids_ref = ray.put(id_arr)
@@ -428,28 +463,34 @@ def minhash_lsh_pairs(
 
         cand_sh = sh.map_batches(keep_cands, batch_format="pyarrow").materialize()
     else:
-        from ray.data.aggregate import Count
-
-        ids = (
-            _rename_cols(cands.select_columns(["doc_a"]), {"doc_a": "doc_id"})
-            .union(_rename_cols(cands.select_columns(["doc_b"]), {"doc_b": "doc_id"}))
-            .groupby("doc_id")
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["doc_id"])
-        )
-        cand_sh = sh.join(
-            ids, "left_semi", num_partitions=join_partitions, on=("doc_id",)
+        cand_sh = copartition_attach(
+            sh,
+            ids,
+            "doc_id",
+            left_schema=pa.schema(
+                [("doc_id", pa.int64()), ("shingles", pa.binary())]
+            ),
+            payload={},
+            semi=True,
         ).materialize()
-    j = cands.join(
-        _rename_cols(cand_sh, {"doc_id": "doc_a", "shingles": "sh_a"}),
-        "inner",
-        num_partitions=join_partitions,
-        on=("doc_a",),
-    ).join(
+    j = copartition_attach(
+        copartition_attach(
+            cands,
+            _rename_cols(cand_sh, {"doc_id": "doc_a", "shingles": "sh_a"}),
+            "doc_a",
+            left_schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
+            payload={"sh_a": pa.binary()},
+        ),
         _rename_cols(cand_sh, {"doc_id": "doc_b", "shingles": "sh_b"}),
-        "inner",
-        num_partitions=join_partitions,
-        on=("doc_b",),
+        "doc_b",
+        left_schema=pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("doc_b", pa.int64()),
+                ("sh_a", pa.binary()),
+            ]
+        ),
+        payload={"sh_b": pa.binary()},
     )
 
     from raysearch.util import round_half_away
@@ -463,7 +504,9 @@ def minhash_lsh_pairs(
             sa, sb = sets_a[i], sets_b[i]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
-            jac[i] = (inter / union) if union else 1.0
+            # union == 0 ⇔ both docs have < k tokens — outside the
+            # exact operator's domain, never a verified pair
+            jac[i] = (inter / union) if union else 0.0
         keep = jac >= threshold
         return pa.table(
             {
@@ -684,6 +727,12 @@ def char_ngram_jaccard(text_a: str, text_b: str, n: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 _VERIFY_CHUNK = 2048  # rows per matmul chunk inside one bucket
+# embedding analog of MAX_BUCKET_IDS: a bucket with more distinct
+# vectors than this gets STAR verification (all vs the bucket-min
+# vector, O(n·d)) instead of the full chunked matmul (O(n²·d)) — a
+# dense near-identical cluster (boilerplate embeddings) is exactly the
+# dedup workload and must not cost quadratic FLOPs
+MAX_EMB_BUCKET = int(os.environ.get("RAYSEARCH_MAX_EMB_BUCKET", "4096"))
 
 
 def embedding_near_dup(
@@ -709,10 +758,16 @@ def embedding_near_dup(
 
     Only (bucket, vec_id, vector) rows shuffle; exact cosine
     verification runs inside each bucket with CHUNKED matmuls
-    (``_VERIFY_CHUNK`` rows at a time) so a dense mega-bucket bounds
-    memory, not correctness; duplicate discoveries across tables/probes
-    collapse in the final pair groupby.  n_planes=0 degenerates to one
-    bucket (brute force) — the recall baseline."""
+    (``_VERIFY_CHUNK`` rows at a time) so memory stays bounded, and a
+    bucket over ``MAX_EMB_BUCKET`` distinct vectors falls back to STAR
+    verification against the bucket-min vector (O(n·d) — the embedding
+    analog of the minhash/simhash ``MAX_BUCKET_IDS`` guard, round 3)
+    so a dense near-identical mega-bucket also bounds COMPUTE;
+    duplicate discoveries across tables/probes collapse in the final
+    pair groupby.  n_planes=0 degenerates to one bucket (brute force)
+    — the recall baseline, which keeps FULL all-pairs verification
+    regardless of the cap (exactness is its point; it is
+    verification-scale by design)."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         emb = np.stack(
@@ -760,6 +815,22 @@ def embedding_near_dup(
         norms[norms == 0] = 1.0
         unit = emb / norms[:, None]
         n = len(ids)
+        if n_planes and n > MAX_EMB_BUCKET:
+            # hot-bucket star fallback (mirrors minhash/simhash
+            # MAX_BUCKET_IDS): verify every member against the
+            # bucket-min vector only — one (n, d) matvec.  A dense
+            # near-dup cluster stays one connected component through
+            # the min; cross-cluster pairs that only co-bucket in a
+            # mega-bucket are sacrificed, like the star candidates.
+            sim0 = unit @ unit[0]
+            keep0 = np.flatnonzero(sim0[1:] >= threshold) + 1
+            return pd.DataFrame(
+                {
+                    "vec_a": np.full(len(keep0), ids[0]),
+                    "vec_b": ids[keep0],
+                    "cosine": round_half_away(sim0[keep0], 4),
+                }
+            )
         out_a, out_b, out_c = [], [], []
         for c0 in range(0, n, _VERIFY_CHUNK):
             c1 = min(n, c0 + _VERIFY_CHUNK)
