@@ -40,22 +40,32 @@ FEAT_DIM = 16
 
 
 def fake_media_table(n: int = 64, seed: int = 3) -> pa.Table:
-    """Deterministic media rows: REAL PNG images (random pixels) and
-    REAL 16-bit PCM WAV clips (noisy sine), plus opaque video rows
-    whose payload no stdlib codec can decode (honest stub surface)."""
+    """Deterministic media rows: REAL PNG and baseline-JPEG images
+    (random pixels; image rows alternate formats so both decode paths
+    run) and REAL 16-bit PCM WAV clips (noisy sine), plus opaque video
+    rows whose payload no stdlib codec can decode (honest stub
+    surface)."""
+    from raysearch.pipelines.jpeg_codec import encode_jpeg
     from raysearch.pipelines.media_codec import encode_png, encode_wav
 
     rng = np.random.Generator(np.random.PCG64(seed))
     mods = ["image", "audio", "video"]
     fmts = {"image": "png", "audio": "wav", "video": "mp4"}
     rows = {k.name: [] for k in MEDIA_SCHEMA}
+    img_i = 0
     for i in range(n):
         mod = mods[i % 3]
+        fmt = fmts[mod]
         w = h = dur = 0
         if mod == "image":
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
-            payload = encode_png(img)
+            if img_i % 2:
+                fmt = "jpeg"
+                payload = encode_jpeg(img, quality=90)
+            else:
+                payload = encode_png(img)
+            img_i += 1
         elif mod == "audio":
             rate = 8000
             dur = int(rng.integers(100, 2000))
@@ -72,7 +82,7 @@ def fake_media_table(n: int = 64, seed: int = 3) -> pa.Table:
             ).astype(np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["modality"].append(mod)
-        rows["fmt"].append(fmts[mod])
+        rows["fmt"].append(fmt)
         rows["width"].append(w)
         rows["height"].append(h)
         rows["duration_ms"].append(dur)
@@ -91,16 +101,18 @@ class DecodeStage:
     state would load once per actor in ``__init__``).
 
     * ``fake=False`` (default): REAL decode — PNG via
-      :func:`media_codec.decode_png`, WAV via
-      :func:`media_codec.decode_wav`; formats with no stdlib codec
-      (JPEG, MP4, …) follow ``on_unsupported``:
-      ``"error"`` (raise NotImplementedError, the default),
-      ``"skip"`` (drop the row), or ``"fake"`` (deterministic
-      blake2b-folded vector, clearly tagged by feature[0] == 0).
+      :func:`media_codec.decode_png`, baseline JPEG via
+      :func:`jpeg_codec.decode_jpeg` (round 3 — pure numpy Huffman +
+      IDCT), WAV via :func:`media_codec.decode_wav`; formats with no
+      stdlib codec (MP4/H.264 video, progressive JPEG) follow
+      ``on_unsupported``: ``"error"`` (raise NotImplementedError, the
+      default), ``"skip"`` (drop the row), or ``"fake"``
+      (deterministic blake2b-folded vector, clearly tagged by
+      feature[0] == 0).
     * ``fake=True``: every row gets the blake2b-folded fake vector
       (plumbing-only mode, kept for contract tests)."""
 
-    SUPPORTED = {"png", "wav"}
+    SUPPORTED = {"png", "wav", "jpg", "jpeg"}
 
     def __init__(
         self,
@@ -126,6 +138,13 @@ class DecodeStage:
             return _fold_features(payload, self.feat_dim)
         if fmt == "png":
             return image_features(decode_png(payload), self.feat_dim)
+        if fmt in ("jpg", "jpeg"):
+            from raysearch.pipelines.jpeg_codec import decode_jpeg
+
+            img = decode_jpeg(payload)
+            if img.ndim == 2:  # grayscale → 1-channel for the featurizer
+                img = img[:, :, None]
+            return image_features(img, self.feat_dim)
         if fmt == "wav":
             return audio_features(*decode_wav(payload), dim=self.feat_dim)
         if self.on_unsupported == "skip":
@@ -135,9 +154,10 @@ class DecodeStage:
             out[0] = 0.0
             return out
         raise NotImplementedError(
-            f"no stdlib codec for format {fmt!r} (image=png / audio=wav "
-            f"are decoded for real; use on_unsupported='skip'/'fake' to "
-            f"pass other formats through)"
+            f"no stdlib codec for format {fmt!r} (png/baseline-jpeg "
+            f"images and wav audio are decoded for real; use "
+            f"on_unsupported='skip'/'fake' to pass other formats "
+            f"through)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
