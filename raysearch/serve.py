@@ -51,6 +51,68 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+# Minimal self-contained dashboard (templates/index.html +
+# static/assets/js/scripts.js analog): the reference ships a three-tab
+# SPA (Dashboard statistics / Management start-stop / Search) over the
+# same five API routes; this single page mirrors that surface with no
+# external assets.  Original markup — semantics parity only.
+DASHBOARD_HTML = """<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>raysearch</title>
+<style>
+ body{font-family:sans-serif;margin:2em auto;max-width:60em;color:#222}
+ h2{border-bottom:1px solid #ccc;padding-bottom:.2em}
+ .stat{display:inline-block;margin:0 2em 1em 0}
+ .stat b{font-size:1.6em;display:block}
+ table{border-collapse:collapse}td,th{border:1px solid #ddd;padding:.3em .6em}
+ button{margin-right:.5em}input[type=text]{width:24em}
+ .snippet b{background:#ffef9e}
+ #err{color:#b00}
+</style></head><body>
+<h1>raysearch</h1>
+<h2>Dashboard</h2>
+<div id="totals"></div>
+<table id="detail"><thead><tr><th>conversation</th><th>turns</th>
+<th>tokens</th></tr></thead><tbody></tbody></table>
+<h2>Management</h2>
+<button onclick="hit('/api/startIndexing')">Start indexing</button>
+<button onclick="hit('/api/stopIndexing')">Stop indexing</button>
+<span id="err"></span>
+<h2>Search</h2>
+<form onsubmit="return doSearch()">
+<input type="text" id="q" placeholder="query">
+<input type="text" id="site" placeholder="conversation scope (optional)" size="24">
+<button type="submit">Search</button></form>
+<div id="results"></div>
+<script>
+function esc(s){var d=document.createElement('div');d.innerText=s;return d.innerHTML}
+function stats(){fetch('/api/statistics').then(r=>r.json()).then(j=>{
+ if(!j.result)return;var t=j.statistics.total;
+ document.getElementById('totals').innerHTML=
+  '<span class=stat><b>'+t.sites+'</b>conversations</span>'+
+  '<span class=stat><b>'+t.pages+'</b>turns</span>'+
+  '<span class=stat><b>'+t.lemmas+'</b>terms</span>'+
+  '<span class=stat><b>'+(t.indexing?'yes':'no')+'</b>indexing</span>';
+ var tb=document.querySelector('#detail tbody');tb.innerHTML='';
+ (j.statistics.detailed||[]).slice(0,50).forEach(function(d){
+  tb.insertAdjacentHTML('beforeend','<tr><td>'+esc(d.url||d.conv_id||'')+
+   '</td><td>'+d.pages+'</td><td>'+(d.tokens!=null?d.tokens:'')+'</td></tr>');});
+})}
+function hit(p){fetch(p).then(r=>r.json()).then(j=>{
+ document.getElementById('err').innerText=j.result?'':(j.error||'');stats();})}
+function doSearch(){var q=encodeURIComponent(document.getElementById('q').value);
+ var s=encodeURIComponent(document.getElementById('site').value);
+ fetch('/api/search?query='+q+(s?'&site='+s:'')).then(r=>r.json()).then(j=>{
+  var out=document.getElementById('results');
+  if(!j.result){out.innerHTML='<p id=err>'+esc(j.error||'error')+'</p>';return}
+  out.innerHTML='<p>'+j.count+' results</p>'+j.data.map(function(d){
+   return '<p><b>'+esc(d.conv_id)+'#'+d.turn_idx+'</b> ('+
+    d.relevance.toFixed(4)+')<br><span class=snippet>'+d.snippet+
+    '</span></p>';}).join('');});
+ return false}
+stats();setInterval(stats,10000);
+</script></body></html>"""
+
 ALREADY_RUNNING_ERROR = "Индексация уже запущена"
 NOT_RUNNING_ERROR = "Индексация не запущена"
 OUT_OF_SCOPE_ERROR = (
@@ -249,39 +311,74 @@ def make_handler(engine: EngineServer):
         def log_message(self, *args):  # quiet
             pass
 
+        @staticmethod
+        def _int_param(q: dict, name: str, default: int) -> int:
+            """Defensive int parse — malformed values become the
+            default instead of a handler-killing ValueError."""
+            try:
+                return int(q.get(name, [str(default)])[0])
+            except (TypeError, ValueError):
+                return default
+
+        def _send_html(self, html: str) -> None:
+            body = html.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
-            u = urlparse(self.path)
-            q = parse_qs(u.query)
-            if u.path == "/api/statistics":
-                self._send(engine.statistics())
-            elif u.path == "/api/startIndexing":
-                self._send(engine.start_indexing())
-            elif u.path == "/api/stopIndexing":
-                self._send(engine.stop_indexing())
-            elif u.path == "/api/search":
-                self._send(
-                    engine.search(
-                        q.get("query", [""])[0],
-                        int(q.get("offset", ["0"])[0]),
-                        int(q.get("limit", ["10"])[0]),
-                        q.get("site", [None])[0],
+            # any escape (malformed params, transient FileNotFoundError
+            # while a build swaps merged/) must still produce a
+            # structured JSON error, like the reference API's
+            # result/error envelope
+            try:
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                if u.path in ("/", "/index.html"):
+                    self._send_html(DASHBOARD_HTML)
+                elif u.path == "/api/statistics":
+                    self._send(engine.statistics())
+                elif u.path == "/api/startIndexing":
+                    self._send(engine.start_indexing())
+                elif u.path == "/api/stopIndexing":
+                    self._send(engine.stop_indexing())
+                elif u.path == "/api/search":
+                    self._send(
+                        engine.search(
+                            q.get("query", [""])[0],
+                            self._int_param(q, "offset", 0),
+                            self._int_param(q, "limit", 10),
+                            q.get("site", [None])[0],
+                        )
                     )
-                )
-            else:
-                self._send({"result": False, "error": f"unknown path {u.path}"})
+                else:
+                    self._send({"result": False, "error": f"unknown path {u.path}"})
+            except Exception as e:  # noqa: BLE001 — boundary guard
+                try:
+                    self._send({"result": False, "error": str(e)})
+                except Exception:
+                    pass  # client hung up mid-response
 
         def do_POST(self):
-            u = urlparse(self.path)
-            q = parse_qs(u.query)
-            length = int(self.headers.get("Content-Length") or 0)
-            if length:
-                body = parse_qs(self.rfile.read(length).decode("utf-8"))
-                for k, v in body.items():
-                    q.setdefault(k, v)
-            if u.path == "/api/indexConv":
-                self._send(engine.index_conv(q.get("conv_id", [None])[0]))
-            else:
-                self._send({"result": False, "error": f"unknown path {u.path}"})
+            try:
+                u = urlparse(self.path)
+                q = parse_qs(u.query)
+                length = int(self.headers.get("Content-Length") or 0)
+                if length:
+                    body = parse_qs(self.rfile.read(length).decode("utf-8"))
+                    for k, v in body.items():
+                        q.setdefault(k, v)
+                if u.path == "/api/indexConv":
+                    self._send(engine.index_conv(q.get("conv_id", [None])[0]))
+                else:
+                    self._send({"result": False, "error": f"unknown path {u.path}"})
+            except Exception as e:  # noqa: BLE001 — boundary guard
+                try:
+                    self._send({"result": False, "error": str(e)})
+                except Exception:
+                    pass
 
     return Handler
 

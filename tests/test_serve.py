@@ -138,3 +138,31 @@ def test_start_indexing_lifecycle(ray_session, tiny_corpus, tmp_path_factory):
         assert got["result"] is True and len(got["data"]) > 0
     finally:
         httpd.shutdown()
+
+
+def test_malformed_params_get_structured_json(server):
+    """Round-3 ADVICE: malformed query params must not kill the
+    connection — the handler parses ints defensively (bad value →
+    default) and any other escape returns a result/error envelope."""
+    engine, port, _ = server
+    q = urllib.parse.quote(LEMMAS[3])
+    # limit=abc: defensive parse -> default limit, normal response
+    got = _get(port, f"/api/search?query={q}&limit=abc&offset=xyz")
+    assert got["result"] in (True, False)  # structured JSON either way
+    if got["result"]:
+        assert len(got["data"]) <= 10  # default limit applied
+    # unknown path still enveloped
+    got = _get(port, "/api/nosuch")
+    assert got == {"result": False, "error": "unknown path /api/nosuch"}
+
+
+def test_dashboard_page_served(server):
+    """GET / returns the self-contained dashboard HTML (the reference
+    templates/index.html analog) wired to the same API routes."""
+    engine, port, _ = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30) as r:
+        assert r.headers.get_content_type() == "text/html"
+        html = r.read().decode("utf-8")
+    for marker in ("/api/statistics", "/api/startIndexing", "/api/search",
+                   "Dashboard", "Management", "Search"):
+        assert marker in html
