@@ -99,7 +99,14 @@ class IndexSearcher:
         #   posting-file reads (round 1 scanned the term column of
         #   every posting row group here).
         # * full, no sidecar (old index layout): fall back to the scan.
-        self._lazy = bool(lazy_lexicon and loc_files)
+        # lazy routing hashes term → bucket, so it is only sound when
+        # meta.json records the merge's bucket count; an index with
+        # termloc files but no "buckets" field (foreign/old layout)
+        # would silently route every term to bucket 0 — fall back to
+        # eager in that case rather than trust the default of 1.
+        self._lazy = bool(
+            lazy_lexicon and loc_files and "buckets" in self.meta
+        )
         self._term_locs: dict[str, list[tuple[str, int]]] = {}
         self._lex_index: dict[str, int] = {}
         self._lex_terms: list[str] = []
@@ -513,11 +520,13 @@ class IndexSearcher:
             convs = sorted({c for _, c, _ in rows})
             t = pq.read_table(
                 path,
+                columns=["conv_id", "turn_idx", "role", "text"],
                 filters=[("conv_id", "in", convs)],
             )
+            wanted_keys = {(c2, t2) for _, c2, t2 in rows}  # hoisted: O(rows+wanted)
             key_ok = pa.array(
                 [
-                    (c, tu) in {(c2, t2) for _, c2, t2 in rows}
+                    (c, tu) in wanted_keys
                     for c, tu in zip(
                         t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()
                     )
