@@ -539,3 +539,127 @@ def test_asof_two_phase_cross_bucket_carry(ray_session):
     assert out.loc[3, "prev_match_ts"] == T("2024-01-01T10:00:00")
     assert out.loc[4, "prev_match_ts"] == T("2024-01-03T09:30:00")  # in-bucket
     assert pd.isna(out.loc[5, "prev_match_ts"])
+
+
+def test_embedding_hot_bucket_star_fallback(ray_session):
+    """A dense near-identical embedding cluster larger than
+    MAX_EMB_BUCKET must emit O(n) star edges (all anchored at the
+    bucket-min vec_id) instead of the O(n^2) all-pairs matmul — the
+    embedding analog of the minhash/simhash hot-bucket guard."""
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import MAX_EMB_BUCKET, embedding_near_dup
+
+    n = MAX_EMB_BUCKET + 100
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal(8)
+    base /= np.linalg.norm(base)
+    vecs = base[None, :] + 1e-4 * rng.standard_normal((n, 8))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = embedding_near_dup(ds, threshold=0.99, n_planes=8).to_pandas()
+    # star: every edge anchored at the min id; exactly n-1 edges even
+    # with multiple tables/probes (pair groupby collapses duplicates)
+    assert len(out) == n - 1
+    assert (out.vec_a == 0).all()
+    assert set(out.vec_b) == set(range(1, n))
+    assert (out.cosine >= 0.99).all()
+
+
+def test_asof_many_users_distributed_carry(ray_session):
+    """The round-3 asof carry-in is a distributed join (no driver-side
+    per-user dict): a many-user fixture with cross-day carries must
+    match a pandas reference exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import asof_last_event
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = []
+    eid = 0
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    for u in range(60):
+        n_ev = int(rng.integers(1, 12))
+        ts = t0 + np.sort(rng.integers(0, 5 * 86_400_000_000, n_ev)).astype(
+            "timedelta64[us]"
+        )
+        for t in ts:
+            kind = "error" if rng.random() < 0.3 else "click"
+            rows.append((f"user{u:03d}", t, eid, kind))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+
+    out = (
+        asof_last_event(rd.from_pandas(pdf), match_type="error")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    # pandas reference: per user, last strictly-prior 'error' ts
+    ref = pdf.sort_values(["user_id", "ts", "event_id"]).copy()
+    m = ref["ts"].where(ref["event_type"] == "error")
+    ref["prev_match_ts"] = m.groupby(ref["user_id"]).transform(
+        lambda s: s.shift(1).ffill()
+    )
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(ref)
+    a = out["prev_match_ts"].to_numpy().astype("datetime64[us]")
+    b = ref["prev_match_ts"].to_numpy().astype("datetime64[us]")
+    both_nat = pd.isna(a) & pd.isna(b)
+    assert (both_nat | (a == b)).all()
+
+
+def test_ivf_recall_floor_at_operating_point(ray_session, tmp_path):
+    """The default IVF operating point (nlist=16, n_assign=2 spilled
+    assignment, nprobe=6) must hold >= 0.95 mean recall@10 on a
+    fixture-shaped corpus (500 x 64d, like sf0.01 embeddings)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.simsearch import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    vecs = rng.standard_normal((500, 64))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(500), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+    out = str(tmp_path / "ivf")
+    build_ivf_index(ds, out)  # defaults: nlist=16, n_assign=2
+    qids = [0, 1, 2, 3, 4]
+    queries = vecs[:5]
+    exact = cosine_topk(ds, queries, qids, k=10).to_pandas()
+    approx = ivf_topk_indexed(out, queries, qids, k=10).to_pandas()  # nprobe=6
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) >= 0.95, recalls
+    # spilled assignment really stores ~2x rows
+    import pyarrow.parquet as pq_
+
+    import glob
+
+    n_stored = sum(
+        pq_.read_metadata(f).num_rows
+        for f in glob.glob(f"{out}/cell=*/*.parquet")
+    )
+    assert n_stored == 2 * 500
