@@ -876,6 +876,48 @@ def _media_parquet() -> str:
     return _MEDIA_PARQUET
 
 
+_TOKHASH_PARQUET = "/tmp/raysearch_entry/simhash_tok64.parquet"
+
+
+def _tokhash_parquet() -> str:
+    """Materialize (tok, h64) — the engine's blake2b 64-bit token hash
+    (dedup._stable_u64) for every simple-mode token appearing in ANY
+    sf documents table.  DuckDB has no blake2b, so the hash map is the
+    one fixture input the simhash SQL oracle needs; everything
+    downstream (token-multiset weighting, per-bit sign, pair emission,
+    Hamming distance) is recomputed independently in SQL.  Idempotent,
+    no Ray."""
+    if not os.path.exists(_TOKHASH_PARQUET):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from raysearch.lex import Lexer
+        from raysearch.pipelines.dedup import _stable_u64
+
+        lexer = Lexer("simple")
+        toks: set[str] = set()
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            path = f"/root/testdata/{sf}/documents.parquet"
+            if not os.path.exists(path):
+                continue
+            tbl = pq.read_table(path, columns=["text"])
+            _, _, uniq = lexer.token_parent_codes(tbl["text"].combine_chunks())
+            toks.update(uniq)
+        ordered = sorted(toks)
+        os.makedirs(os.path.dirname(_TOKHASH_PARQUET), exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "tok": pa.array(ordered, pa.string()),
+                    "h64": pa.array(_stable_u64(ordered), pa.uint64()),
+                }
+            ),
+            _TOKHASH_PARQUET + ".tmp",
+        )
+        os.replace(_TOKHASH_PARQUET + ".tmp", _TOKHASH_PARQUET)
+    return _TOKHASH_PARQUET
+
+
 def _q_media_frames(sf_dir: str):
     """Video frame sampling over the persisted media table — the
     every-stride_ms offsets are value-checked against a SQL range()."""
@@ -1097,7 +1139,33 @@ def oracle_sql() -> dict[str, str]:
             lm_path,
         )
     _media_parquet()
+    _tokhash_parquet()
     return {
+        "simhash_pairs": (
+            # engine parity: simple-mode tokens (the [^a-z0-9]+ split is
+            # the proven twin of Lexer("simple") — see jaccard oracle),
+            # token-MULTISET weights, bit j of blake2b-64 via the
+            # persisted hash map, sign>0 → bit 1, Hamming via per-bit
+            # sign disagreement (no 64-bit packing: DuckDB << overflows
+            # at bit 63).  4×16-bit banding is pigeonhole-complete at
+            # max_hamming=3 and verification is exact, so the engine's
+            # blocked output equals this brute force.
+            "WITH arr AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+            "tc AS (SELECT doc_id, t.tok AS tok, count(*) AS c FROM arr, "
+            "UNNEST(toks) AS t(tok) GROUP BY 1, 2), "
+            "hm AS (SELECT tc.doc_id, tc.c, h.h64 FROM tc JOIN "
+            f"read_parquet('{_TOKHASH_PARQUET}') h USING (tok)), "
+            "bits AS (SELECT doc_id, b.bit AS bit, "
+            "sum(CASE WHEN ((h64 >> CAST(b.bit AS UBIGINT)) & 1) = 1 "
+            "THEN c ELSE -c END) > 0 AS one "
+            "FROM hm, UNNEST(range(0, 64)) AS b(bit) GROUP BY 1, 2), "
+            "ham AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(sum(CASE WHEN a.one <> b.one THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS hamming FROM bits a JOIN bits b "
+            "ON a.bit = b.bit AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3"
+        ),
         "transcripts_lexicon_sql": (
             f"{_TR} SELECT term, count(DISTINCT doc_id) AS df, "
             f"count(*) AS cf FROM tok GROUP BY term"

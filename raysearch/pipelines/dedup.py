@@ -429,26 +429,24 @@ def minhash_lsh_pairs(
     sh = ds.map_batches(
         _shingle_set_task, fn_kwargs={"shingle": shingle}, batch_format="pyarrow"
     )
-    from ray.data.aggregate import Count
-
-    # unique candidate doc ids as a DATASET (shared by both branches;
-    # round 3 — the broadcast branch previously pivoted all pairs
-    # through a driver-side pandas frame)
-    ids = (
-        _rename_cols(cands.select_columns(["doc_a"]), {"doc_a": "doc_id"})
-        .union(_rename_cols(cands.select_columns(["doc_b"]), {"doc_b": "doc_id"}))
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_id"])
-    )
     if n_cands <= BROADCAST_ID_LIMIT:
-        # pull ONLY the deduplicated id column to the driver, sorted
-        # for the searchsorted membership test
-        id_arr = np.sort(
+        # unique candidate ids straight off the materialized id-pair
+        # blocks — np.unique on ≤ 2·n_cands int64 (bounded by the
+        # broadcast cap), no extra shuffle (round 3: the previous
+        # Count-aggregate Dataset cost a full exchange just to dedup
+        # ids that fit on the driver by definition of this branch)
+        id_arr = np.unique(
             np.concatenate(
                 [
-                    b["doc_id"].to_numpy(zero_copy_only=False)
-                    for b in ids.iter_batches(batch_format="pyarrow", batch_size=None)
+                    np.concatenate(
+                        (
+                            b["doc_a"].to_numpy(zero_copy_only=False),
+                            b["doc_b"].to_numpy(zero_copy_only=False),
+                        )
+                    )
+                    for b in cands.iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
                 ]
             )
         )
@@ -463,6 +461,19 @@ def minhash_lsh_pairs(
 
         cand_sh = sh.map_batches(keep_cands, batch_format="pyarrow").materialize()
     else:
+        from ray.data.aggregate import Count
+
+        # unique candidate doc ids as a DATASET for the semi-merge
+        # (ids exceed the broadcast cap — they must stay distributed)
+        ids = (
+            _rename_cols(cands.select_columns(["doc_a"]), {"doc_a": "doc_id"})
+            .union(
+                _rename_cols(cands.select_columns(["doc_b"]), {"doc_b": "doc_id"})
+            )
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["doc_id"])
+        )
         cand_sh = copartition_attach(
             sh,
             ids,
