@@ -138,6 +138,35 @@ def _q_doc_metrics(sf_dir: str):
     return doc_metrics(ds)
 
 
+def _q_doc_fingerprints(sf_dir: str):
+    from raysearch.pipelines.textstats import doc_fingerprints
+
+    return doc_fingerprints(_docs(sf_dir))
+
+
+def _fingerprint_sql() -> str:
+    """Winnowed rolling-hash fingerprint oracle — the IDENTICAL
+    polynomial (base/k/w constants imported from the operator) written
+    as a per-position HUGEINT sum mod 2^64, windowed MIN, DISTINCT."""
+    from raysearch.pipelines.textstats import FP_BASE, FP_K, FP_W
+
+    k, w = FP_K, FP_W
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, pos+{j}, 1)) AS HUGEINT) * {FP_BASE ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return (
+        f"WITH g AS (SELECT doc_id, unnest(generate_series(1, length(text) - {k} + 1)) AS pos, "
+        f"text, (length(text) - {k} + 1) AS n_grams FROM documents), "
+        f"h AS (SELECT doc_id, pos, n_grams, "
+        f"CAST(({terms}) % 18446744073709551616 AS UBIGINT) AS hh FROM g), "
+        f"wn AS (SELECT doc_id, pos, n_grams, MIN(hh) OVER ("
+        f"PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp FROM h) "
+        f"SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= n_grams - {w} + 1 "
+        f"ORDER BY doc_id, fp"
+    )
+
+
 def _conjunctive_frame(sf_dir: str):
     """(doc_id, per-term tfs, dl) for docs containing ALL query terms,
     plus corpus stats — shared by the two documents-table rankers.
@@ -948,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "doc_metrics": _q_doc_metrics,
         "token_counts": _q_token_counts,
+        "doc_fingerprints": _q_doc_fingerprints,
         "conjunctive_search": _q_conjunctive,
         "bm25_topk": _q_bm25_topk,
         "reference_topk": _q_reference_topk,
@@ -1288,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS bpe_tokens "
             "FROM documents"
         ),
+        "doc_fingerprints": _fingerprint_sql(),
         "conjunctive_search": f"{_TOK}{_TF}{_CAND} SELECT doc_id FROM cand ORDER BY doc_id",
         "bm25_topk": (
             f"{_TOK}{_TF}{_CAND}"

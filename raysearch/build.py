@@ -695,18 +695,34 @@ def _empty_segment() -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
-def merge_bucket(group: pa.Table, max_chunk: int = MAX_CHUNK) -> pa.Table:
+def merge_bucket(
+    group: pa.Table,
+    max_chunk: int = MAX_CHUNK,
+    conv_starts: np.ndarray | None = None,
+) -> tuple[pa.Table, np.ndarray | None]:
     """Merge one bucket's per-partition sub-postings into global posting
     rows, re-chunked at MAX_CHUNK docs.  Sub-postings are doc-disjoint
     (a doc lives in exactly one partition) and arrive in (term,
     first_doc) order, so the merge is one vectorized decode of every
     blob, a segmented-order audit, and one vectorized re-encode; hot
-    terms (df≈N) emit multiple chunk rows instead of one giant blob."""
+    terms (df≈N) emit multiple chunk rows instead of one giant blob.
+
+    When ``conv_starts`` (the conv→first-doc offset array) is given,
+    also returns this bucket's distinct-lemma count per conversation
+    (DetailedStatisticsItem lemma-count analog,
+    StatisticsServiceImpl.java:34-70): buckets partition the term
+    space, so per-conv distinct (term, conv) pairs are disjoint across
+    buckets and the global count is the sum of the per-bucket sidecars.
+    Because posting doc_ids are ascending within each term segment,
+    conv indices are non-decreasing there too — distinct pairs are just
+    segment starts plus conv-change boundaries: one ``searchsorted``
+    plus O(n) compares over values this task already decoded, no extra
+    decode and no shuffle."""
     import pandas as pd
 
     _pin_arrow_threads()
     if group.num_rows == 0:
-        return _empty_merged()
+        return _empty_merged(), None
     terms = group["term"].to_numpy(zero_copy_only=False)
     first = group["first_doc"].to_numpy(zero_copy_only=False)
     codes, uniq = pd.factorize(terms)
@@ -734,7 +750,7 @@ def merge_bucket(group: pa.Table, max_chunk: int = MAX_CHUNK) -> pa.Table:
     term_val_starts = row_starts[term_row_starts]
     n_vals = len(d)
     if n_vals == 0:
-        return _empty_merged()
+        return _empty_merged(), None
     term_val_ends = np.concatenate((term_val_starts[1:], [n_vals]))
 
     # order audit: doc-disjoint partitions concatenated by first_doc are
@@ -757,6 +773,21 @@ def merge_bucket(group: pa.Table, max_chunk: int = MAX_CHUNK) -> pa.Table:
                     f"{uniq[uniq_order][ti]!r}"
                 )
 
+    # per-conv distinct-lemma partials (see docstring) — after the
+    # audit, so doc_ids (hence conv indices) ascend within each segment
+    conv_counts = None
+    if conv_starts is not None:
+        conv_of_val = (
+            np.searchsorted(conv_starts, d, side="right") - 1
+        ).astype(np.int64)
+        keep = np.empty(n_vals, dtype=bool)
+        keep[0] = True
+        keep[1:] = conv_of_val[1:] != conv_of_val[:-1]
+        keep[term_val_starts] = True
+        conv_counts = np.bincount(
+            conv_of_val[keep], minlength=len(conv_starts)
+        ).astype(np.int64)
+
     # re-chunk each term at MAX_CHUNK and encode everything in one pass
     sorted_terms = uniq[uniq_order]
     chunk_starts, chunk_term, chunk_ids = [], [], []
@@ -775,7 +806,7 @@ def merge_bucket(group: pa.Table, max_chunk: int = MAX_CHUNK) -> pa.Table:
         "doc_blob": enc["doc_blob"], "tf_blob": enc["tf_blob"],
         "bm_blob": enc["bm_blob"],
     }
-    return _merged_table(out)
+    return _merged_table(out), conv_counts
 
 
 def _merged_schema() -> pa.Schema:
@@ -826,7 +857,13 @@ POSTING_RG_ROWS = 2048
 
 
 def _merge_bucket_task(
-    out_path: str, lex_path: str, loc_path: str, max_chunk: int, *tables: pa.Table
+    out_path: str,
+    lex_path: str,
+    loc_path: str,
+    convlex_path: str | None,
+    max_chunk: int,
+    conv_starts: np.ndarray | None,
+    *tables: pa.Table,
 ) -> int:
     """Reduce side: merge one bucket's rows from every segment file,
     write the merged posting rows (fixed ``POSTING_RG_ROWS`` row
@@ -842,7 +879,21 @@ def _merge_bucket_task(
     live = [t for t in tables if t.num_rows]
     if not live:
         return 0
-    merged = merge_bucket(pa.concat_tables(live), max_chunk=max_chunk)
+    merged, conv_counts = merge_bucket(
+        pa.concat_tables(live), max_chunk=max_chunk, conv_starts=conv_starts
+    )
+    if convlex_path is not None and conv_counts is not None:
+        # sparse sidecar: only convs this bucket's terms touch
+        nz = np.flatnonzero(conv_counts)
+        _atomic_write_table(
+            pa.table(
+                {
+                    "conv_idx": pa.array(nz, pa.int64()),
+                    "lemmas": pa.array(conv_counts[nz], pa.int64()),
+                }
+            ),
+            convlex_path,
+        )
     if merged.num_rows:
         _atomic_write_table(merged, out_path, row_group_size=POSTING_RG_ROWS)
         import pandas as pd
@@ -893,6 +944,8 @@ def run_merge(
     lex_dir: str | None = None,
     max_chunk: int = MAX_CHUNK,
     loc_dir: str | None = None,
+    convlex_dir: str | None = None,
+    conv_starts: np.ndarray | None = None,
 ) -> None:
     """LSM merge as an explicit two-phase Ray-task exchange.
 
@@ -910,6 +963,7 @@ def run_merge(
 
     lex_dir = lex_dir or out_dir
     loc_dir = loc_dir or lex_dir
+    use_conv = convlex_dir is not None and conv_starts is not None
     todo = [
         b
         for b in range(buckets)
@@ -917,12 +971,19 @@ def run_merge(
             os.path.exists(os.path.join(out_dir, f"bucket-{b:04d}.parquet"))
             and os.path.exists(os.path.join(lex_dir, f"lexicon-{b:04d}.parquet"))
             and os.path.exists(os.path.join(loc_dir, f"termloc-{b:04d}.parquet"))
+            and (
+                not use_conv
+                or os.path.exists(
+                    os.path.join(convlex_dir, f"convlex-{b:04d}.parquet")
+                )
+            )
         )
     ]
     if not todo:
         return
     split_remote = ray.remote(num_cpus=1, num_returns=buckets)(_split_by_bucket)
     merge_remote = ray.remote(num_cpus=1)(_merge_bucket_task)
+    conv_ref = ray.put(conv_starts) if use_conv else None
     parts = [split_remote.remote(f, buckets) for f in seg_files]
     if buckets == 1:
         parts = [[p] for p in parts]
@@ -931,7 +992,11 @@ def run_merge(
             os.path.join(out_dir, f"bucket-{b:04d}.parquet"),
             os.path.join(lex_dir, f"lexicon-{b:04d}.parquet"),
             os.path.join(loc_dir, f"termloc-{b:04d}.parquet"),
+            os.path.join(convlex_dir, f"convlex-{b:04d}.parquet")
+            if use_conv
+            else None,
             max_chunk,
+            conv_ref,
             *[p[b] for p in parts],
         )
         for b in todo
@@ -1368,9 +1433,11 @@ def build_index(
         os.makedirs(os.path.join(merged_tmp, "postings"))
         os.makedirs(os.path.join(merged_tmp, "lexparts"))
         os.makedirs(os.path.join(merged_tmp, "termlocs"))
+        os.makedirs(os.path.join(merged_tmp, "convlex"))
         _atomic_write_json(merge_ckpt, {"waves": waves})
     else:
         os.makedirs(os.path.join(merged_tmp, "termlocs"), exist_ok=True)
+        os.makedirs(os.path.join(merged_tmp, "convlex"), exist_ok=True)
 
     seg_files = sorted(
         glob.glob(os.path.join(out_dir, "waves", "*", "segments", "*.parquet"))
@@ -1383,6 +1450,8 @@ def build_index(
         lex_dir=os.path.join(merged_tmp, "lexparts"),
         max_chunk=max_chunk,
         loc_dir=os.path.join(merged_tmp, "termlocs"),
+        convlex_dir=os.path.join(merged_tmp, "convlex"),
+        conv_starts=offsets["offset"].to_numpy(),
     )
     stage_times["merge"] = round(time.monotonic() - t_m0, 3)
 
@@ -1417,6 +1486,7 @@ def build_index(
         "buckets": buckets,
         "n_partitions": n_partitions,
         "waves": waves,
+        "conv_lemmas": True,
         "build_wall_s": round(time.monotonic() - t_start, 3),
         "stage_times": stage_times,
     }

@@ -210,3 +210,73 @@ def token_counts(ds):
         )
 
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+#: polynomial base for the k-gram rolling hash (odd, so multiplication
+#: mod 2^64 is invertible); mirrored in the DuckDB oracle SQL
+FP_BASE = 257
+FP_K = 8  #: characters per gram
+FP_W = 4  #: winnowing window (consecutive grams per min-selection)
+
+
+def _winnow_hashes(codes: np.ndarray, k: int, w: int, base: int) -> np.ndarray:
+    """Distinct winnowed k-gram hashes of one document.
+
+    Hash of the gram at position i (0-based) is the Rabin-Karp
+    polynomial  sum_{j=0..k-1} c[i+j] * base^(k-1-j)  mod 2^64 —
+    computed here as k shifted vectorized multiply-adds over the whole
+    codepoint array (the numpy form of the rolling recurrence; numpy
+    uint64 arithmetic wraps mod 2^64 by definition, which IS the
+    modulus).  Winnowing then keeps the minimum of every window of w
+    consecutive gram hashes (standard local fingerprinting, Schleimer
+    et al. 2003) and the distinct selected values are the document's
+    fingerprint set.  Docs with fewer than k+w-1 characters yield no
+    fingerprints (no complete window) — the oracle SQL agrees."""
+    n = codes.size - k + 1
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    c = codes.astype(np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # k=8 vectorized passes, not per-char
+        h += c[j : j + n] * np.uint64(base ** (k - 1 - j) & 0xFFFFFFFFFFFFFFFF)
+    wins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(wins)
+
+
+def doc_fingerprints(ds, k: int = FP_K, w: int = FP_W, base: int = FP_BASE):
+    """Document fingerprinting by rolling k-gram hash + winnowing:
+    documents Dataset → distinct (doc_id, fp) rows.
+
+    The per-doc fingerprint set is what near-dup detection at crawl
+    scale indexes (winnowing guarantees any shared substring of length
+    ≥ k+w-1 contributes at least one common fingerprint).  Purely
+    partition-local — no shuffle; output is ~|text|/w rows per doc.
+    Codepoints come from one ``utf-32-le`` reinterpret per doc (no
+    per-character Python), matching DuckDB ``unicode()`` semantics in
+    the oracle."""
+
+    def fp_task(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids: list[np.ndarray] = []
+        out_fps: list[np.ndarray] = []
+        for did, text in zip(doc_ids, batch["text"].to_pylist()):
+            codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            fps = _winnow_hashes(codes, k, w, base)
+            if fps.size:
+                out_ids.append(np.full(fps.size, did, dtype=np.int64))
+                out_fps.append(fps)
+        if not out_ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.uint64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "fp": pa.array(np.concatenate(out_fps), pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(fp_task, batch_format="pyarrow")

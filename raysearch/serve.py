@@ -32,10 +32,12 @@ Documented divergences from the reference:
   reference's delete-everything re-crawl (S8's destructive re-init is
   expressed here as "point --out at a fresh directory", or pass
   ``fresh=True``);
-* DetailedStatisticsItem's per-site ``lemmas`` count has no cheap
-  per-conversation analog under a single global lexicon (J5 note in
-  SURVEY §2.4) — the per-conv detail reports ``tokens`` (sum of doc
-  lengths, exact) instead, and the global term count is in ``total``.
+* DetailedStatisticsItem's per-site ``lemmas`` count IS reported per
+  conversation (round 3): the merge writes sparse per-bucket
+  distinct-lemma-per-conv sidecars (``merged/convlex/``, term space is
+  bucket-partitioned so the sum is exact) and the detail row carries
+  their sum alongside ``tokens`` (sum of doc lengths).  Indexes built
+  before the sidecar existed report ``lemmas: null``.
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ DASHBOARD_HTML = """<!DOCTYPE html>
 <h2>Dashboard</h2>
 <div id="totals"></div>
 <table id="detail"><thead><tr><th>conversation</th><th>turns</th>
-<th>tokens</th></tr></thead><tbody></tbody></table>
+<th>tokens</th><th>lemmas</th></tr></thead><tbody></tbody></table>
 <h2>Management</h2>
 <button onclick="hit('/api/startIndexing')">Start indexing</button>
 <button onclick="hit('/api/stopIndexing')">Stop indexing</button>
@@ -96,7 +98,8 @@ function stats(){fetch('/api/statistics').then(r=>r.json()).then(j=>{
  var tb=document.querySelector('#detail tbody');tb.innerHTML='';
  (j.statistics.detailed||[]).slice(0,50).forEach(function(d){
   tb.insertAdjacentHTML('beforeend','<tr><td>'+esc(d.url||d.conv_id||'')+
-   '</td><td>'+d.pages+'</td><td>'+(d.tokens!=null?d.tokens:'')+'</td></tr>');});
+   '</td><td>'+d.pages+'</td><td>'+(d.tokens!=null?d.tokens:'')+
+   '</td><td>'+(d.lemmas!=null?d.lemmas:'')+'</td></tr>');});
 })}
 function hit(p){fetch(p).then(r=>r.json()).then(j=>{
  document.getElementById('err').innerText=j.result?'':(j.error||'');stats();})}
@@ -173,6 +176,35 @@ class EngineServer:
     def _build_running(self) -> bool:
         return self._proc is not None and self._proc.poll() is None
 
+    def _conv_lemmas(self, n_convs: int) -> "np.ndarray | None":
+        """Distinct-lemma count per conversation (DetailedStatisticsItem
+        lemma analog) — summed from the sparse per-bucket ``convlex``
+        sidecars the merge wrote (term space is bucket-partitioned, so
+        summing is exact).  Cached per merged-index mtime; None for
+        indexes built before the sidecar existed."""
+        import glob as _glob
+
+        mtime = self._searcher_mtime
+        cached = getattr(self, "_conv_lemmas_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
+        files = sorted(
+            _glob.glob(
+                os.path.join(self.index_dir, "merged", "convlex", "*.parquet")
+            )
+        )
+        out = None
+        if files:
+            import pyarrow.parquet as pq
+
+            out = np.zeros(n_convs, dtype=np.int64)
+            for p in files:
+                t = pq.read_table(p)
+                idx = t["conv_idx"].to_numpy()
+                np.add.at(out, idx, t["lemmas"].to_numpy())
+        self._conv_lemmas_cache = (mtime, out)
+        return out
+
     # -- routes -------------------------------------------------------------
 
     def statistics(self) -> dict:
@@ -204,6 +236,7 @@ class EngineServer:
                 if len(offs)
                 else np.empty(0, np.int64)
             )
+            lem = self._conv_lemmas(len(s._conv_ids))
             for i, conv in enumerate(s._conv_ids[: self.detail_limit]):
                 detailed.append(
                     {
@@ -214,6 +247,7 @@ class EngineServer:
                         "error": self._last_error or "",
                         "pages": int(turns[i]),
                         "tokens": int(tok[i]),
+                        "lemmas": int(lem[i]) if lem is not None else None,
                     }
                 )
         return {

@@ -289,3 +289,32 @@ def test_stats(built):
     assert st["total"]["is_indexing"] is False
     assert st["committed_partitions"] == st["n_partitions"] == 4
     assert all("n_postings" in v for v in st["partitions"].values())
+
+
+def test_conv_lemma_counts_sidecar(built, oracle):
+    """The merge's per-bucket convlex sidecars sum to the exact
+    distinct-lemma count per conversation (DetailedStatisticsItem
+    lemma analog, StatisticsServiceImpl.java:34-70)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    _, out, meta = built
+    assert meta.get("conv_lemmas") is True
+    files = sorted(glob.glob(os.path.join(out, "merged", "convlex", "*.parquet")))
+    assert files
+    offsets = pq.read_table(os.path.join(out, "conv_offsets.parquet"))
+    conv_ids = offsets["conv_id"].to_pylist()
+    got = np.zeros(len(conv_ids), dtype=np.int64)
+    for p in files:
+        t = pq.read_table(p)
+        np.add.at(got, t["conv_idx"].to_numpy(), t["lemmas"].to_numpy())
+    from collections import Counter
+
+    want: Counter = Counter()
+    for tp in oracle.postings.values():
+        for conv in {oracle.conv_ids[d] for d in tp.doc_ids}:
+            want[conv] += 1
+    exp = np.array([want[c] for c in conv_ids], dtype=np.int64)
+    assert np.array_equal(got, exp)

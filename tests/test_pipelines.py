@@ -216,6 +216,53 @@ def test_token_counts_hand_computed(ray_session):
     assert out.loc[1, "ws_tokens"] == 2 and out.loc[1, "bpe_tokens"] == 2
 
 
+def test_doc_fingerprints_winnowing(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import (
+        FP_BASE,
+        FP_K,
+        FP_W,
+        doc_fingerprints,
+    )
+
+    shared = "a quick brown fox jumped over it"  # >= FP_K+FP_W-1 chars
+    texts = [
+        "prefix one " + shared + " suffix alpha",
+        "totally different lead-in — " + shared + " and another tail",
+        "no overlap with anything else here at all",
+        "tiny",  # < k chars → no fingerprints
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = doc_fingerprints(ds).to_pandas()
+    assert out["fp"].dtype == np.uint64
+    by_doc = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    # brute-force recompute of doc 0 (per-position polynomial, Python ints)
+    t = texts[0]
+    hs = [
+        sum(
+            ord(t[i + j]) * FP_BASE ** (FP_K - 1 - j) for j in range(FP_K)
+        )
+        % 2**64
+        for i in range(len(t) - FP_K + 1)
+    ]
+    expected0 = {min(hs[i : i + FP_W]) for i in range(len(hs) - FP_W + 1)}
+    assert by_doc[0] == expected0
+    # winnowing guarantee: docs sharing a substring of length >= k+w-1
+    # share at least one fingerprint; unrelated docs (almost surely) none
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    assert 3 not in by_doc  # sub-k doc emits nothing
+
+
 def test_png_codec_roundtrip_all_filters():
     from raysearch.pipelines.media_codec import decode_png, encode_png
 

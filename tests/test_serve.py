@@ -59,9 +59,14 @@ def test_statistics_shape(server):
     detailed = resp["statistics"]["detailed"]
     assert len(detailed) == 20
     item = detailed[0]
-    assert {"url", "name", "status", "statusTime", "error", "pages", "tokens"} <= set(item)
+    assert {"url", "name", "status", "statusTime", "error", "pages", "tokens", "lemmas"} <= set(item)
     assert item["status"] == "INDEXED" and item["pages"] > 0
     assert total["pages"] == sum(d["pages"] for d in detailed)
+    # per-conv distinct lemmas: positive, and bounded by the conv's
+    # token total and the global term count
+    for d in detailed:
+        assert d["lemmas"] is not None and 0 < d["lemmas"] <= d["tokens"]
+        assert d["lemmas"] <= total["lemmas"]
 
 
 def test_search_parity_and_validation(server):
