@@ -144,6 +144,44 @@ def _q_doc_fingerprints(sf_dir: str):
     return doc_fingerprints(_docs(sf_dir))
 
 
+def _q_lang_id_ngram(sf_dir: str):
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lang_id_ngram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lang_id_ngram(ds)
+
+
+def _langid_sql() -> str:
+    """Trigram-profile language-ID oracle — identical deterministic
+    algorithm (train = N lowest doc_ids per lang, profile = top-M
+    trigrams by count desc / trigram asc, score = matching positions,
+    tie-break lang asc)."""
+    from raysearch.pipelines.textstats import LANGID_PROFILE_M, LANGID_TRAIN_N
+
+    return (
+        f"WITH train AS (SELECT doc_id, lang, text FROM ("
+        f"SELECT doc_id, lang, text, row_number() OVER ("
+        f"PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+        f"WHERE rn <= {LANGID_TRAIN_N}), "
+        f"tg AS (SELECT lang, substr(text, pos, 3) AS g FROM ("
+        f"SELECT lang, text, unnest(generate_series(1, length(text) - 2)) AS pos "
+        f"FROM train)), "
+        f"prof AS (SELECT lang, g FROM (SELECT lang, g, row_number() OVER ("
+        f"PARTITION BY lang ORDER BY count(*) DESC, g) AS rn "
+        f"FROM tg GROUP BY lang, g) WHERE rn <= {LANGID_PROFILE_M}), "
+        f"dg AS (SELECT doc_id, substr(text, pos, 3) AS g FROM ("
+        f"SELECT doc_id, text, unnest(generate_series(1, length(text) - 2)) AS pos "
+        f"FROM documents)), "
+        f"sc AS (SELECT d.doc_id, p.lang, count(*) AS matches "
+        f"FROM dg d JOIN prof p ON p.g = d.g GROUP BY 1, 2), "
+        f"best AS (SELECT doc_id, lang AS lang_pred, matches, row_number() OVER ("
+        f"PARTITION BY doc_id ORDER BY matches DESC, lang) AS rn FROM sc) "
+        f"SELECT doc_id, lang_pred, matches FROM best WHERE rn = 1 ORDER BY doc_id"
+    )
+
+
 def _fingerprint_sql() -> str:
     """Winnowed rolling-hash fingerprint oracle — the IDENTICAL
     polynomial (base/k/w constants imported from the operator) written
@@ -978,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_metrics": _q_doc_metrics,
         "token_counts": _q_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
+        "lang_id_ngram": _q_lang_id_ngram,
         "conjunctive_search": _q_conjunctive,
         "bm25_topk": _q_bm25_topk,
         "reference_topk": _q_reference_topk,
@@ -1319,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprints": _fingerprint_sql(),
+        "lang_id_ngram": _langid_sql(),
         "conjunctive_search": f"{_TOK}{_TF}{_CAND} SELECT doc_id FROM cand ORDER BY doc_id",
         "bm25_topk": (
             f"{_TOK}{_TF}{_CAND}"

@@ -212,6 +212,106 @@ def token_counts(ds):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+#: language-ID defaults — training docs per language and profile size,
+#: mirrored in the DuckDB oracle SQL
+LANGID_TRAIN_N = 20
+LANGID_PROFILE_M = 64
+
+
+def _pack_trigrams(text: str) -> np.ndarray:
+    """All contiguous character trigrams of ``text`` packed into int64
+    (21 bits per codepoint — full Unicode range).  Packed order equals
+    UTF-8 byte order for 3-char strings, so sorts/tie-breaks agree
+    with the SQL oracle's string collation."""
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if c.size < 3:
+        return np.empty(0, dtype=np.int64)
+    return (c[:-2] << 42) | (c[1:-1] << 21) | c[2:]
+
+
+def lang_id_ngram(
+    ds, train_n: int = LANGID_TRAIN_N, profile_m: int = LANGID_PROFILE_M
+):
+    """Character-n-gram language identification: learn a top-M trigram
+    profile per language from the ``train_n`` lowest doc_ids of each
+    ``lang`` label, then classify EVERY document by counting how many
+    of its trigram positions hit each profile (ties: language asc).
+    Returns (doc_id, lang_pred, matches); docs matching no profile are
+    omitted (the SQL oracle's inner join agrees).
+
+    Scale shape: training-id selection is a metadata-only pass
+    (doc_id + lang columns, one tiny per-lang groupby); profile
+    construction touches only train_n×n_langs docs and the resulting
+    profiles (n_langs × M packed int64) are ray.put-broadcast into a
+    vectorized ``map_batches`` classify stage — no shuffle over the
+    corpus, no driver-side structure that grows with it."""
+    import ray
+
+    # ---- phase 1: smallest train_n doc_ids per language (no text) ----
+    def _take_ids(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(train_n, "doc_id")[["doc_id", "lang"]]
+
+    train_ids = (
+        ds.select_columns(["doc_id", "lang"])
+        .groupby("lang")
+        .map_groups(_take_ids, batch_format="pandas")
+        .to_pandas()
+    )
+    id_set = set(train_ids["doc_id"].tolist())
+    lang_of = dict(zip(train_ids["doc_id"], train_ids["lang"]))
+
+    # ---- phase 2: per-language trigram counts over the tiny train set
+    from collections import Counter, defaultdict
+
+    counts: dict[str, Counter] = defaultdict(Counter)
+    id_arr = pa.array(sorted(id_set), pa.int64())
+    train_docs = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=id_arr)),
+        batch_format="pyarrow",
+    )
+    for row in train_docs.iter_rows():
+        tg = _pack_trigrams(row["text"])
+        if tg.size:
+            v, n = np.unique(tg, return_counts=True)
+            counts[lang_of[row["doc_id"]]].update(dict(zip(v.tolist(), n.tolist())))
+    profiles: dict[str, np.ndarray] = {}
+    for lang, ctr in counts.items():
+        top = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:profile_m]
+        profiles[lang] = np.sort(np.array([g for g, _ in top], dtype=np.int64))
+    langs = sorted(profiles)
+    prof_ref = ray.put({l: profiles[l] for l in langs})
+
+    # ---- phase 3: vectorized classify over the full corpus ----
+    def classify(batch: pa.Table) -> pa.Table:
+        prof = ray.get(prof_ref)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_lang, out_m = [], [], []
+        for did, text in zip(doc_ids, batch["text"].to_pylist()):
+            tg = _pack_trigrams(text)
+            if not tg.size:
+                continue
+            best_lang, best_m = None, 0
+            for l in langs:  # asc order = deterministic tie-break
+                m = int(np.isin(tg, prof[l]).sum())
+                if m > best_m:
+                    best_lang, best_m = l, m
+            if best_lang is not None:
+                out_id.append(did)
+                out_lang.append(best_lang)
+                out_m.append(best_m)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "lang_pred": pa.array(out_lang, pa.string()),
+                "matches": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        classify, batch_format="pyarrow"
+    )
+
+
 #: polynomial base for the k-gram rolling hash (odd, so multiplication
 #: mod 2^64 is invertible); mirrored in the DuckDB oracle SQL
 FP_BASE = 257

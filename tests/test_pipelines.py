@@ -263,6 +263,42 @@ def test_doc_fingerprints_winnowing(ray_session):
     assert 3 not in by_doc  # sub-k doc emits nothing
 
 
+def test_lang_id_ngram_profiles(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lang_id_ngram
+
+    # two synthetic "languages" with disjoint character inventories,
+    # plus held-out docs of each — held-out docs must classify to the
+    # language whose trigrams they share
+    aa = ["zzxy zxzy xzyz zyxz xyzzy zxy", "xyz zyx zzxy xyzz yzzx zyzy"]
+    bb = ["aabb abab bbaa abba baba aabab", "abab baab bbab aaba abba baaa"]
+    texts = aa + bb + ["zxyz zyzx xyzy zzyx", "abba baba aabb babb"]
+    langs = ["xx", "xx", "yy", "yy", "xx", "yy"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+    )
+    out = (
+        lang_id_ngram(ds, train_n=2, profile_m=16)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # held-out docs (4, 5) were NOT in training (train = 2 lowest ids
+    # per lang = 0,1,2,3) and must classify to their own language
+    assert out.loc[4, "lang_pred"] == "xx"
+    assert out.loc[5, "lang_pred"] == "yy"
+    assert (out["matches"] > 0).all()
+    # training docs classify to their own profile too
+    assert list(out.loc[[0, 1], "lang_pred"]) == ["xx", "xx"]
+    assert list(out.loc[[2, 3], "lang_pred"]) == ["yy", "yy"]
+
+
 def test_png_codec_roundtrip_all_filters():
     from raysearch.pipelines.media_codec import decode_png, encode_png
 
