@@ -124,6 +124,10 @@ def _pipeline_bench() -> dict:
         "minhash_pairs": E._q_minhash_pairs,
         "ann_cosine_topk": E._q_ann_cosine,
         "revenue_by_flag": E._q_revenue,
+        # round-3 text-analysis additions (new keys — r1/r2 keys stay
+        # comparable)
+        "doc_fingerprints": E._q_doc_fingerprints,
+        "lang_id_ngram": E._q_lang_id_ngram,
     }
     out = {}
     for name, fn in stages.items():
