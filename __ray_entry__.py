@@ -926,7 +926,7 @@ def _q_media_features(sf_dir: str):
     return decode_features(rd.from_arrow(fake_media_table(96)), on_unsupported="skip")
 
 
-_MEDIA_PARQUET = "/tmp/raysearch_entry/media.parquet"
+_MEDIA_PARQUET = "/tmp/raysearch_entry/media_v3.parquet"  # v3: real MP4 video payloads
 
 
 def _media_parquet() -> str:
@@ -995,6 +995,44 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(rd.read_parquet(_media_parquet()))
 
 
+def _q_media_demux(sf_dir: str):
+    """REAL MP4 demux over the persisted media table: the engine
+    box-walks each video payload's ISO-BMFF sample table
+    (mp4_codec.parse_mp4) and emits per-tick sample index + absolute
+    byte range; the SQL oracle recomputes the same numbers from the
+    fixture's closed-form sample-size law WITHOUT parsing — a parser
+    bug breaks the value hash."""
+    import ray.data as rd
+
+    from raysearch.pipelines.multimodal import demux_frames
+
+    return demux_frames(rd.read_parquet(_media_parquet()))
+
+
+def _media_demux_sql() -> str:
+    from raysearch.pipelines.mp4_codec import mdat_base
+
+    base0 = mdat_base(0)  # mdat payload offset = base0 + 4*n_samples
+    return (
+        # video fixture law: n = duration_ms/40 uniform samples,
+        # size(j) = 64 + ((media_id*31 + j*7) % 128)
+        f"WITH v AS (SELECT media_id, CAST(duration_ms / 40 AS BIGINT) AS n "
+        f"FROM read_parquet('{_MEDIA_PARQUET}') WHERE modality = 'video'), "
+        f"s AS (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS j FROM v), "
+        f"sz AS (SELECT media_id, n, j, 64 + ((media_id * 31 + j * 7) % 128) AS size, "
+        f"sum(64 + ((media_id * 31 + j * 7) % 128)) OVER ("
+        f"PARTITION BY media_id ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND 1 PRECEDING) AS before FROM s), "
+        f"t AS (SELECT media_id, unnest(generate_series(0, duration_ms - 1, 1000)) "
+        f"AS frame_ms FROM read_parquet('{_MEDIA_PARQUET}') WHERE modality = 'video') "
+        f"SELECT t.media_id AS media_id, t.frame_ms, z.j AS sample_idx, "
+        f"{base0} + 4 * z.n + coalesce(z.before, 0) AS byte_off, z.size AS byte_len "
+        f"FROM t JOIN sz z ON z.media_id = t.media_id "
+        f"AND z.j = CAST(t.frame_ms / 40 AS BIGINT) "
+        f"ORDER BY t.media_id, t.frame_ms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1054,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_recall": _q_ivf_recall,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_demux": _q_media_demux,
     }
 
 
@@ -1273,6 +1312,7 @@ def oracle_sql() -> dict[str, str]:
             f"UNNEST(range(0, CAST(duration_ms AS BIGINT), 1000)) AS t(f) "
             f"WHERE modality = 'video'"
         ),
+        "media_demux": _media_demux_sql(),
         "transcripts_postings_sql": (
             f"{_TR} SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2"
         ),

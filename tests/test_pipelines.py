@@ -391,6 +391,123 @@ def test_frame_sampling_arithmetic(ray_session):
         assert frames == list(range(0, dur, 1000))
 
 
+def test_mp4_codec_roundtrip():
+    import numpy as np
+
+    from raysearch.pipelines.mp4_codec import encode_mp4, mdat_base, parse_mp4
+
+    for n in (1, 7, 240):
+        sizes = np.arange(n) % 120 + 64
+        payloads = [bytes([i % 256] * int(s)) for i, s in enumerate(sizes)]
+        data = encode_mp4(sizes, payloads, frame_dur=40)
+        info = parse_mp4(data)
+        assert info["timescale"] == 1000 and info["duration"] == n * 40
+        assert np.array_equal(info["sizes"], sizes)
+        assert np.array_equal(info["durations"], np.full(n, 40))
+        exp_off = mdat_base(n) + np.concatenate(([0], np.cumsum(sizes[:-1])))
+        assert np.array_equal(info["offsets"], exp_off)
+        # byte ranges recover the exact sample payloads
+        for i, (o, s) in enumerate(zip(info["offsets"], info["sizes"])):
+            assert data[o : o + s] == payloads[i]
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        parse_mp4(encode_mp4([10])[:40])  # truncated moov
+
+
+def test_mp4_parser_multi_chunk():
+    """The parser resolves general multi-run stts and multi-chunk
+    stsc/stco maps (the writer emits one chunk; hand-build a file with
+    two chunks separated by a gap and two stts runs)."""
+    import struct
+
+    import numpy as np
+
+    from raysearch.pipelines.mp4_codec import _FTYP, _box, _full, parse_mp4
+
+    sizes = [10, 20, 30, 40, 50]
+    mdhd = _full(
+        b"mdhd",
+        struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 200)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(b"opqv", b"\x00" * 8))
+    # two stts runs: 3 samples of 40, 2 samples of 40 (split on purpose)
+    stts = _full(b"stts", struct.pack(">IIIII", 2, 3, 40, 2, 40))
+    stsz = _full(
+        b"stsz", struct.pack(">II", 0, 5) + struct.pack(">5I", *sizes)
+    )
+    # chunk 1: samples 0-2, chunk 2: samples 3-4
+    stsc = _full(b"stsc", struct.pack(">IIIIIII", 2, 1, 3, 1, 2, 2, 1))
+    def build(c1, c2):
+        stco = _full(b"stco", struct.pack(">III", 2, c1, c2))
+        stbl = _box(b"stbl", stsd + stts + stsz + stsc + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + minf)
+        moov = _box(b"moov", _box(b"trak", mdia))
+        return moov
+
+    gap = 7
+    probe = build(0, 0)
+    c1 = len(_FTYP) + len(probe) + 8
+    c2 = c1 + 10 + 20 + 30 + gap
+    mdat_payload = (
+        bytes(60) + b"\xee" * gap + bytes(90)
+    )  # chunk1 (60 B) + gap + chunk2 (90 B)
+    data = _FTYP + build(c1, c2) + _box(b"mdat", mdat_payload)
+    info = parse_mp4(data)
+    assert info["timescale"] == 1000
+    assert np.array_equal(info["sizes"], sizes)
+    assert np.array_equal(info["durations"], np.full(5, 40))
+    assert info["offsets"].tolist() == [c1, c1 + 10, c1 + 30, c2, c2 + 40]
+
+
+def test_demux_frames_real_container(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from raysearch.pipelines.mp4_codec import mdat_base
+    from raysearch.pipelines.multimodal import demux_frames, fake_media_table
+
+    t = fake_media_table(30)
+    out = demux_frames(rd.from_arrow(t), stride_ms=1000).to_pandas()
+    vids = {
+        m: d
+        for m, mod, d in zip(
+            t["media_id"].to_pylist(),
+            t["modality"].to_pylist(),
+            t["duration_ms"].to_pylist(),
+        )
+        if mod == "video"
+    }
+    assert set(out.media_id) == set(vids)
+    for mid, dur in vids.items():
+        g = out[out.media_id == mid].sort_values("frame_ms")
+        n = dur // 40
+        assert g.frame_ms.tolist() == list(range(0, dur, 1000))
+        assert (g.sample_idx == g.frame_ms // 40).all()
+        sizes = 64 + ((mid * 31 + np.arange(n) * 7) % 128)
+        csum = np.concatenate(([0], np.cumsum(sizes[:-1])))
+        exp_off = mdat_base(n) + csum
+        assert g.byte_off.tolist() == exp_off[g.sample_idx.to_numpy()].tolist()
+        assert g.byte_len.tolist() == sizes[g.sample_idx.to_numpy()].tolist()
+    # non-MP4 payload: error by default, skip on request
+    bad = pa.table(
+        {
+            "media_id": pa.array([99], pa.int64()),
+            "modality": pa.array(["video"], pa.string()),
+            "fmt": pa.array(["mp4"], pa.string()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+            "duration_ms": pa.array([1000], pa.int32()),
+            "payload": pa.array([b"\x00" * 100], pa.binary()),
+        }
+    )
+    assert (
+        demux_frames(rd.from_arrow(bad), on_bad="skip").to_pandas().shape[0] == 0
+    )
+
+
 def test_jaccard_pairs_exact_vs_bruteforce(docs_ds):
     """Distributed exact all-pairs shingle Jaccard == in-process brute
     force (full 3-shingles only, <k-token docs contribute none)."""
