@@ -791,6 +791,20 @@ def _q_jaccard_pairs_exact(sf_dir: str):
     return jaccard_pairs_exact(_docs(sf_dir), threshold=0.6, shingle=3)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Pairs → transitive closure → per-doc canonical cluster id (the
+    dedup step AFTER pair finding: ``cluster_id == doc_id`` is the
+    keep-set).  The Ray plan runs the scale path (LSH pairs →
+    distributed min-label propagation, ``dedup.connected_components``);
+    the oracle recomputes the exact shingle-Jaccard edge set and its
+    transitive closure with a recursive CTE — measured recall 1.0 /
+    0 FP makes the two edge sets identical on this corpus, so the row
+    is a true value-hash gate."""
+    from raysearch.pipelines.dedup import dup_clusters
+
+    return dup_clusters(_docs(sf_dir), threshold=0.6, shingle=3)
+
+
 def _q_minhash_recall(sf_dir: str):
     """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
     the same threshold: recall + precision in one row.  Precision is
@@ -1082,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_reference": _q_transcripts_reference,
         "minhash_pairs": _q_minhash_pairs,
         "jaccard_pairs_exact": _q_jaccard_pairs_exact,
+        "dup_clusters": _q_dup_clusters,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1470,6 +1485,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6"
+        ),
+        # Transitive closure of the exact-Jaccard edge set (recursive
+        # CTE), min reachable id per doc, singletons self-rooted —
+        # mirrors dup_clusters' LSH-pairs → connected-components plan
+        # (edge sets are identical on this corpus: recall 1.0 / 0 FP).
+        "dup_clusters": (
+            "WITH RECURSIVE arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle "
+            "FROM arr, UNNEST(range(1, len(toks)-1)) AS t(i) WHERE len(toks) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "edges AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6), "
+            "sym AS (SELECT doc_a AS u, doc_b AS v FROM edges "
+            "UNION ALL SELECT doc_b, doc_a FROM edges), "
+            "reach(u, r) AS (SELECT u, v FROM sym "
+            "UNION SELECT s.u, t.r FROM sym s JOIN reach t ON t.u = s.v), "
+            "lab AS (SELECT u AS doc_id, LEAST(u, MIN(r)) AS cluster_id "
+            "FROM reach GROUP BY u) "
+            "SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN lab l USING (doc_id) ORDER BY doc_id"
         ),
         "embedding_near_dup_exact": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -900,3 +900,135 @@ def simhash_pairs_exact(ds, max_hamming: int = 3):
             {"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]], "hamming": dist[keep]}
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components → duplicate clusters (the step after pair finding)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs, *, col_a: str = "doc_a", col_b: str = "doc_b",
+                         max_rounds: int = 64):
+    """Min-label connected components over an undirected pair list.
+
+    Every dedup family above emits PAIRS; deduplicating a corpus needs
+    CLUSTERS (transitive closure: a~b, b~c ⇒ {a,b,c} is one duplicate
+    group with one canonical survivor).  This computes, for every node
+    that appears in ``pairs``, the minimum node id reachable from it —
+    the cluster's canonical id — as iterated distributed min-label
+    propagation:
+
+    1. init  label[u] = min(u, min neighbor)   (one groupby over edges)
+    2. round: every edge forwards label[u] to v (hash merge expressed
+       via :func:`raysearch.util.copartition_attach` — same exchange a
+       hash join performs), then ``groupby(node).min`` folds messages
+       with the previous labels;
+    3. stop when the global label sum is unchanged.  Labels are
+       monotone non-increasing and bounded below, so an unchanged sum
+       IS the fixpoint — convergence needs one cheap scalar aggregate
+       per round, no driver-side diffing.
+
+    Scale notes: rounds = O(graph diameter).  Near-dup graphs are
+    dense clusters whose diameter the upstream ``MAX_BUCKET_IDS`` star
+    fallback caps at ~2 (star edges all meet at the bucket-min node),
+    so 2–4 rounds in practice.  The per-round state is one (node,
+    label) row per node WITH at least one duplicate — typically orders
+    of magnitude smaller than the corpus — and is materialized each
+    round (required: lazy re-execution of a loop-carried Dataset would
+    replay the whole lineage every round).  For adversarially
+    high-diameter graphs (chains), switch to alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — same primitives, O(log² n)
+    rounds; not needed for dedup workloads.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[col_a], pa.int64()).combine_chunks()
+        c = pc.cast(b[col_b], pa.int64()).combine_chunks()
+        return pa.table({"u": pa.concat_arrays([a, c]),
+                         "v": pa.concat_arrays([c, a])})
+
+    empty = rd.from_arrow(
+        pa.table({"u": pa.array([], pa.int64()),
+                  "label": pa.array([], pa.int64())})
+    )
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return empty
+
+    def with_self(b: pa.Table) -> pa.Table:
+        u = b["u"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([u, u]),
+                         "v": pa.concat_arrays([b["v"].combine_chunks(), u])})
+
+    labels = (
+        edges.map_batches(with_self, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Min("v", alias_name="label"))
+        .materialize()
+    )
+    prev = labels.sum("label")
+
+    def msg_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["v"], "label": b["label"]})
+
+    for _ in range(max_rounds):
+        msgs = copartition_attach(
+            edges, labels, "u", edge_schema, {"label": pa.int64()}
+        ).map_batches(msg_rows, batch_format="pyarrow")
+        labels = (
+            msgs.union(labels)
+            .groupby("u")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev:  # monotone ⇒ fixpoint
+            break
+        prev = cur
+    return labels
+
+
+def dup_clusters(ds, threshold: float = 0.6, shingle: int = 3, pairs_fn=None):
+    """Corpus-wide duplicate-cluster assignment: ``(doc_id,
+    cluster_id)`` for EVERY document, where ``cluster_id`` is the
+    minimum doc_id of the document's near-duplicate component
+    (singletons are their own cluster).  ``cluster_id == doc_id``
+    selects the canonical keep-set; the complement is the drop-list.
+
+    Pair finding defaults to :func:`minhash_lsh_pairs` (the scale
+    path; measured recall 1.0 / 0 FP vs the exact oracle on the
+    fixture corpora — pass ``pairs_fn=jaccard_pairs_exact`` to force
+    the quadratic exact edge set).  Components via
+    :func:`connected_components`; the final singleton fill is the same
+    union + ``groupby.min`` hash-merge idiom — each doc contributes a
+    self-label row, docs with duplicate edges additionally carry their
+    component label, and the min per doc is exactly
+    ``coalesce(component, doc_id)`` without a join operator."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    pairs = (pairs_fn or minhash_lsh_pairs)(ds, threshold=threshold, shingle=shingle)
+    comp = connected_components(pairs)
+
+    def self_label(b: pa.Table) -> pa.Table:
+        i = pc.cast(b["doc_id"], pa.int64())
+        return pa.table({"u": i, "label": i})
+
+    out = (
+        ds.select_columns(["doc_id"])
+        .map_batches(self_label, batch_format="pyarrow")
+        .union(comp)
+        .groupby("u")
+        .aggregate(Min("label", alias_name="cluster_id"))
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["u"], "cluster_id": b["cluster_id"]})
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("doc_id")

@@ -863,3 +863,42 @@ def test_ivf_recall_floor_at_operating_point(ray_session, tmp_path):
         for f in glob.glob(f"{out}/cell=*/*.parquet")
     )
     assert n_stored == 2 * 500
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    """Chain graph (needs >1 propagation round) + disjoint island +
+    convergence by label-sum fixpoint."""
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import connected_components
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                # chain 10-11-12-13-14 (diameter 4) and island {7, 9}
+                "doc_a": pa.array([10, 11, 12, 13, 7], pa.int64()),
+                "doc_b": pa.array([11, 12, 13, 14, 9], pa.int64()),
+            }
+        )
+    )
+    lab = connected_components(pairs).to_pandas()
+    got = dict(zip(lab.u, lab.label))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 7: 7, 9: 7}
+    # empty edge set → empty labels
+    empty = rd.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    )
+    assert connected_components(empty).count() == 0
+
+
+def test_dup_clusters_transitive_and_singletons(docs_ds):
+    """dup_clusters assigns every doc; exact+near dups collapse to the
+    min doc_id transitively; non-dups are their own cluster."""
+    from raysearch.pipelines.dedup import dup_clusters
+
+    out = dup_clusters(docs_ds, threshold=0.5).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_id))
+    # docs 0/1/3 are the fox cluster (1 may reach 0 via 3): canonical 0
+    assert got == {0: 0, 1: 0, 2: 2, 3: 0, 4: 4, 5: 5}
+    # keep-set = cluster_id == doc_id
+    assert sorted(d for d, c in got.items() if d == c) == [0, 2, 4, 5]
