@@ -805,6 +805,40 @@ def _q_dup_clusters(sf_dir: str):
     return dup_clusters(_docs(sf_dir), threshold=0.6, shingle=3)
 
 
+#: data-mixing rates for the stratified_sample gate row — en halved,
+#: de quartered, fr kept whole, es eighthed, zh (absent) dropped.
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 1.0, "es": 0.125}
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-language rate sampling (data mixing) — pure
+    filter, zero shuffle; the oracle replays the identical Fibonacci
+    hash with HUGEINT arithmetic."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import stratified_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample(ds, SAMPLE_RATES)
+
+
+def _q_group_topn(sf_dir: str):
+    """Top-5 longest docs per language — the distributed
+    row_number()-window via block-local partial top-n + one small
+    candidate groupby."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import group_topn
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return group_topn(ds, group_col="lang", order_col="n_chars", n=5)
+
+
 def _q_minhash_recall(sf_dir: str):
     """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
     the same threshold: recall + precision in one row.  Precision is
@@ -1097,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "jaccard_pairs_exact": _q_jaccard_pairs_exact,
         "dup_clusters": _q_dup_clusters,
+        "stratified_sample": _q_stratified_sample,
+        "group_topn": _q_group_topn,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1263,7 +1299,24 @@ def oracle_sql() -> dict[str, str]:
         )
     _media_parquet()
     _tokhash_parquet()
+    from raysearch.pipelines.sampling import sample_key_sql, sample_threshold
+
+    # exact integer thresholds (quantized rates << 48) — no float rows
+    _thr_cases = " ".join(
+        f"WHEN '{g}' THEN {sample_threshold(r)}" for g, r in SAMPLE_RATES.items()
+    )
+    _sample_sql = (
+        f"SELECT doc_id, lang FROM documents WHERE {sample_key_sql('doc_id')} "
+        f"< CASE lang {_thr_cases} ELSE 0 END"
+    )
     return {
+        "stratified_sample": _sample_sql,
+        "group_topn": (
+            "SELECT lang, doc_id, n_chars, rk FROM ("
+            "SELECT lang, doc_id, n_chars, CAST(row_number() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk "
+            "FROM documents) WHERE rk <= 5"
+        ),
         "simhash_pairs": (
             # engine parity: simple-mode tokens (the [^a-z0-9]+ split is
             # the proven twin of Lexer("simple") — see jaccard oracle),

@@ -1,0 +1,119 @@
+"""Sampling / data-mixing operators for training-data curation.
+
+Two primitives every corpus-curation pipeline needs and the reference
+engine has no analog for (its closest is the top-10 rank window,
+K5 in SURVEY §2):
+
+* :func:`stratified_sample` — per-group deterministic rate sampling
+  (the "data mixing" step: keep 50% of English, 12.5% of Spanish, …).
+  A PURE FILTER: one vectorized ``map_batches`` pass, zero shuffle,
+  zero driver state — the cheapest possible plan at any scale.
+  Determinism comes from a multiplicative Fibonacci hash of the id
+  column (golden-ratio multiplier, mod 2⁶⁴): membership is a pure
+  function of (id, quantized rate), so re-runs, retries and resumed
+  partitions agree without coordination, and the SQL oracle can
+  replicate the decision bit-for-bit with HUGEINT arithmetic.
+* :func:`group_topn` — top-n rows per group under a total order
+  (window ``row_number() ≤ n``), as per-block partial top-n (each
+  block contributes at most groups×n candidate rows) followed by one
+  SMALL groupby over candidates — the same partial/final shape as
+  ``simsearch.cosine_topk``, so the all-to-all moves candidates, not
+  the corpus.
+
+Rates are quantized to 1/65536ths and applied as exact integer
+thresholds against the hash's 64-bit output: both sides of the
+engine↔oracle comparison use integers only (no float boundary rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: Fibonacci-hash multiplier (2⁶⁴/φ, odd — a bijection mod 2⁶⁴) and an
+#: arbitrary odd offset so id 0 is not a fixed point.
+HASH_MUL = 0x9E3779B97F4A7C15
+HASH_ADD = 0xD1B54A32D192ED03
+RATE_DENOM_BITS = 16  # rates quantized to 1/65536ths
+
+
+def sample_threshold(rate: float) -> int:
+    """Exact 64-bit keep-threshold for a [0, 1] rate (integer in both
+    the engine and the interpolated oracle SQL)."""
+    q = int(round(rate * (1 << RATE_DENOM_BITS)))
+    q = max(0, min(1 << RATE_DENOM_BITS, q))
+    return q << (64 - RATE_DENOM_BITS)
+
+
+def sample_key_sql(id_col: str) -> str:
+    """DuckDB expression computing the identical 64-bit hash key
+    (HUGEINT arithmetic mod 2⁶⁴)."""
+    return (
+        f"(CAST({id_col} AS HUGEINT) * {HASH_MUL} + {HASH_ADD}) "
+        f"% 18446744073709551616"
+    )
+
+
+def stratified_sample(ds, rates: dict[str, float], *, group_col: str = "lang",
+                      id_col: str = "doc_id", default_rate: float = 0.0):
+    """Keep each row iff ``hash(id) < threshold(rates[group])``.
+
+    Groups absent from ``rates`` use ``default_rate`` (default: drop).
+    Output keeps the input columns, filtered in place — downstream
+    stages keep streaming; nothing is shuffled or materialized.  The
+    kept fraction per group converges to the quantized rate (the
+    multiplier is odd ⇒ the key sequence is equidistributed mod 2⁶⁴
+    over any id range)."""
+    groups = list(rates)
+    raw = [sample_threshold(rates[g]) for g in groups] + [sample_threshold(default_rate)]
+    # rate 1.0 quantizes to threshold 2^64 — representable in the
+    # oracle's HUGEINT but not in uint64; carry it as a keep-all flag
+    full = np.array([t >= 1 << 64 for t in raw], bool)
+    thr = np.array([min(t, (1 << 64) - 1) for t in raw], np.uint64)
+    value_set = pa.array(groups, pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ids * np.uint64(HASH_MUL) + np.uint64(HASH_ADD)  # wraps mod 2^64
+        idx = pc.fill_null(
+            pc.index_in(batch[group_col], value_set=value_set), len(groups)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((key < thr[idx]) | full[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_topn(ds, *, group_col: str, order_col: str, n: int,
+               id_col: str = "doc_id", descending: bool = True):
+    """Top-``n`` rows per group under ``(order_col, id_col)`` — the
+    distributed ``row_number() OVER (PARTITION BY g ORDER BY o) <= n``
+    window.  Ties break on ascending ``id_col`` (a total order, so
+    per-block partial selection is exact: any global top-n row is a
+    block-local top-n row under the same comparator).
+
+    Output: ``(group_col, id_col, order_col, rk)`` with ``rk`` 1-based
+    within the group.  The only all-to-all is over candidate rows
+    (≤ blocks × groups × n)."""
+    asc = [True, not descending, True]
+    cols = [group_col, order_col, id_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(cols).to_pandas()
+        df = df.sort_values(cols, ascending=asc, kind="mergesort")
+        return pa.Table.from_pandas(df.groupby(group_col, sort=False).head(n),
+                                    preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, id_col],
+                          ascending=[not descending, True], kind="mergesort").head(n)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[group_col, id_col, order_col, "rk"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )

@@ -902,3 +902,66 @@ def test_dup_clusters_transitive_and_singletons(docs_ds):
     assert got == {0: 0, 1: 0, 2: 2, 3: 0, 4: 4, 5: 5}
     # keep-set = cluster_id == doc_id
     assert sorted(d for d, c in got.items() if d == c) == [0, 2, 4, 5]
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import stratified_sample
+
+    n = 20000
+    langs = ["en", "de", "zh"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array([langs[i % 3] for i in range(n)], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    rates = {"en": 0.5, "de": 1.0}  # zh absent -> dropped
+    a = stratified_sample(ds, rates).to_pandas().sort_values("doc_id")
+    b = stratified_sample(rd.from_arrow(tbl), rates).to_pandas().sort_values("doc_id")
+    assert a.doc_id.tolist() == b.doc_id.tolist()  # deterministic
+    by = a.groupby("lang").size()
+    assert by.get("zh", 0) == 0
+    assert by["de"] == n // 3 + (1 if n % 3 >= 2 else 0)  # rate 1.0 keeps all
+    assert abs(by["en"] / (n / 3) - 0.5) < 0.03  # equidistributed hash
+    # membership is a pure function of doc_id: subset input -> subset output
+    sub = stratified_sample(
+        rd.from_arrow(tbl.slice(0, 3000)), rates
+    ).to_pandas()
+    assert set(sub.doc_id) == set(a[a.doc_id < 3000].doc_id)
+
+
+def test_group_topn_matches_pandas_window(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import group_topn
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array([f"g{i}" for i in rng.integers(0, 7, n)], pa.string()),
+            "n_chars": pa.array(rng.integers(0, 50, n), pa.int64()),  # many ties
+        }
+    )
+    out = (
+        group_topn(
+            rd.from_arrow(tbl).repartition(8),
+            group_col="lang", order_col="n_chars", n=5,
+        )
+        .to_pandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    ref = df.groupby("lang").head(5).copy()
+    ref["rk"] = ref.groupby("lang").cumcount() + 1
+    ref = ref[["lang", "doc_id", "n_chars", "rk"]].sort_values(
+        ["lang", "rk"]
+    ).reset_index(drop=True)
+    assert out.equals(ref)
