@@ -839,6 +839,38 @@ def _q_group_topn(sf_dir: str):
     return group_topn(ds, group_col="lang", order_col="n_chars", n=5)
 
 
+def _q_quality_filter(sf_dir: str):
+    """C4-style rule filter over the doc_metrics table — integer-scaled
+    threshold compare on both sides (no float-boundary flips)."""
+    from raysearch.pipelines.textstats import quality_filter
+
+    return quality_filter(
+        _docs(sf_dir), min_tokens=5, min_quality=0.5, max_stop_ratio=0.6
+    )
+
+
+def _q_vec_dup_clusters(sf_dir: str):
+    """Embedding-side duplicate clustering: LSH cosine pairs →
+    connected components → per-vector canonical cluster id (singletons
+    self-rooted).  Same CC machinery as dup_clusters; the oracle takes
+    the recursive closure of the exact cosine edge set (LSH recall is
+    1.0 / 0 FP at this threshold on the fixture, so edge sets match)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import (
+        assign_clusters,
+        connected_components,
+        embedding_near_dup,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_near_dup(ds, threshold=0.4, n_planes=4, n_tables=8, multiprobe=1)
+    comp = connected_components(pairs, col_a="vec_a", col_b="vec_b")
+    return assign_clusters(ds, comp, id_col="vec_id")
+
+
 def _q_minhash_recall(sf_dir: str):
     """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
     the same threshold: recall + precision in one row.  Precision is
@@ -1133,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "stratified_sample": _q_stratified_sample,
         "group_topn": _q_group_topn,
+        "quality_filter": _q_quality_filter,
+        "vec_dup_clusters": _q_vec_dup_clusters,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1309,7 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, lang FROM documents WHERE {sample_key_sql('doc_id')} "
         f"< CASE lang {_thr_cases} ELSE 0 END"
     )
-    return {
+    out = {
         "stratified_sample": _sample_sql,
         "group_topn": (
             "SELECT lang, doc_id, n_chars, rk FROM ("
@@ -1604,3 +1638,29 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 ORDER BY total_spent DESC, o_custkey LIMIT 10"
         ),
     }
+    # C4-style rule filter — same metrics SQL, integer-scaled threshold
+    # compare (matches quality_filter's ×10⁴ integer comparison, so a
+    # last-ulp rounding difference can never flip a keep decision).
+    out["quality_filter"] = (
+        f"SELECT doc_id, n_tokens, quality, stop_ratio "
+        f"FROM ({out['doc_metrics']}) m "
+        f"WHERE n_tokens >= 5 AND CAST(round(quality * 10000) AS BIGINT) >= 5000 "
+        f"AND CAST(round(stop_ratio * 10000) AS BIGINT) <= 6000"
+    )
+    # recursive closure of the exact cosine edge set (embedding-side
+    # twin of the dup_clusters oracle)
+    out["vec_dup_clusters"] = (
+        "WITH RECURSIVE edges AS (SELECT a.vec_id AS ua, b.vec_id AS ub "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4), "
+        "sym AS (SELECT ua AS u, ub AS v FROM edges "
+        "UNION ALL SELECT ub, ua FROM edges), "
+        "reach(u, r) AS (SELECT u, v FROM sym "
+        "UNION SELECT s.u, t.r FROM sym s JOIN reach t ON t.u = s.v), "
+        "lab AS (SELECT u AS vec_id, LEAST(u, MIN(r)) AS cluster_id "
+        "FROM reach GROUP BY u) "
+        "SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id "
+        "FROM embeddings e LEFT JOIN lab l USING (vec_id) ORDER BY vec_id"
+    )
+    return out

@@ -128,6 +128,10 @@ def _pipeline_bench() -> dict:
         # comparable)
         "doc_fingerprints": E._q_doc_fingerprints,
         "lang_id_ngram": E._q_lang_id_ngram,
+        # round-3 curation additions (new keys)
+        "dup_clusters": E._q_dup_clusters,
+        "stratified_sample": E._q_stratified_sample,
+        "group_topn": E._q_group_topn,
     }
     out = {}
     for name, fn in stages.items():

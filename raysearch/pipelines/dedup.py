@@ -1010,18 +1010,27 @@ def dup_clusters(ds, threshold: float = 0.6, shingle: int = 3, pairs_fn=None):
     self-label row, docs with duplicate edges additionally carry their
     component label, and the min per doc is exactly
     ``coalesce(component, doc_id)`` without a join operator."""
+    pairs = (pairs_fn or minhash_lsh_pairs)(ds, threshold=threshold, shingle=shingle)
+    comp = connected_components(pairs)
+    return assign_clusters(ds, comp, id_col="doc_id")
+
+
+def assign_clusters(ds, comp, *, id_col: str = "doc_id"):
+    """Singleton fill: ``(id_col, cluster_id)`` for every row of
+    ``ds``, where ``cluster_id`` is the component label from ``comp``
+    (a :func:`connected_components` result) or the row's own id when
+    it has no duplicate edge.  Expressed as union + ``groupby.min`` —
+    exactly ``coalesce(component, id)`` without a join operator (valid
+    because labels never exceed the node id)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    pairs = (pairs_fn or minhash_lsh_pairs)(ds, threshold=threshold, shingle=shingle)
-    comp = connected_components(pairs)
-
     def self_label(b: pa.Table) -> pa.Table:
-        i = pc.cast(b["doc_id"], pa.int64())
+        i = pc.cast(b[id_col], pa.int64())
         return pa.table({"u": i, "label": i})
 
     out = (
-        ds.select_columns(["doc_id"])
+        ds.select_columns([id_col])
         .map_batches(self_label, batch_format="pyarrow")
         .union(comp)
         .groupby("u")
@@ -1029,6 +1038,6 @@ def dup_clusters(ds, threshold: float = 0.6, shingle: int = 3, pairs_fn=None):
     )
 
     def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": b["u"], "cluster_id": b["cluster_id"]})
+        return pa.table({id_col: b["u"], "cluster_id": b["cluster_id"]})
 
-    return out.map_batches(rename, batch_format="pyarrow").sort("doc_id")
+    return out.map_batches(rename, batch_format="pyarrow").sort(id_col)

@@ -380,3 +380,34 @@ def doc_fingerprints(ds, k: int = FP_K, w: int = FP_W, base: int = FP_BASE):
         )
 
     return ds.map_batches(fp_task, batch_format="pyarrow")
+
+
+def quality_filter(ds, *, min_tokens: int = 5, min_quality: float = 0.5,
+                   max_stop_ratio: float = 0.6):
+    """C4-style rule filter: keep documents whose metrics clear the
+    thresholds (enough tokens, high enough composite quality, not
+    stop-word-soup).  One :func:`doc_metrics` pass then a vectorized
+    filter — streaming, no shuffle.
+
+    Float thresholds are compared on the 4-dp-rounded metrics SCALED
+    TO INTEGERS (×10⁴) on both the engine and oracle sides, so the
+    keep decision can never flip on a last-ulp difference between
+    numpy's and the SQL engine's rounding of the same value.
+
+    Output: ``(doc_id, n_tokens, quality, stop_ratio)`` of survivors.
+    """
+    import pyarrow.compute as pc
+
+    q_thr = int(round(min_quality * 10000))
+    s_thr = int(round(max_stop_ratio * 10000))
+
+    def keep(b: pa.Table) -> pa.Table:
+        qi = np.rint(b["quality"].to_numpy(zero_copy_only=False) * 10000)
+        si = np.rint(b["stop_ratio"].to_numpy(zero_copy_only=False) * 10000)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        mask = (nt >= min_tokens) & (qi >= q_thr) & (si <= s_thr)
+        return b.filter(pa.array(mask)).select(
+            ["doc_id", "n_tokens", "quality", "stop_ratio"]
+        )
+
+    return doc_metrics(ds).map_batches(keep, batch_format="pyarrow")

@@ -965,3 +965,42 @@ def test_group_topn_matches_pandas_window(ray_session):
         ["lang", "rk"]
     ).reset_index(drop=True)
     assert out.equals(ref)
+
+
+def test_quality_filter_thresholds(docs_ds):
+    from raysearch.pipelines.dedup import exact_dedup  # noqa: F401 (ray warm)
+    from raysearch.pipelines.textstats import doc_metrics, quality_filter
+
+    m = doc_metrics(docs_ds).to_pandas().set_index("doc_id")
+    out = quality_filter(
+        docs_ds, min_tokens=3, min_quality=0.4, max_stop_ratio=0.5
+    ).to_pandas()
+    kept = set(out.doc_id)
+    for d, row in m.iterrows():
+        expect = (
+            row.n_tokens >= 3
+            and round(row.quality * 10000) >= 4000
+            and round(row.stop_ratio * 10000) <= 5000
+        )
+        assert (d in kept) == expect, (d, dict(row))
+    assert list(out.columns) == ["doc_id", "n_tokens", "quality", "stop_ratio"]
+
+
+def test_vec_assign_clusters_generic_ids(ray_session):
+    """connected_components + assign_clusters over a non-doc id column."""
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import assign_clusters, connected_components
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "vec_a": pa.array([100, 101], pa.int64()),
+                "vec_b": pa.array([101, 102], pa.int64()),
+            }
+        )
+    )
+    vecs = rd.from_arrow(pa.table({"vec_id": pa.array([100, 101, 102, 200], pa.int64())}))
+    comp = connected_components(pairs, col_a="vec_a", col_b="vec_b")
+    out = assign_clusters(vecs, comp, id_col="vec_id").to_pandas()
+    assert dict(zip(out.vec_id, out.cluster_id)) == {100: 100, 101: 100, 102: 100, 200: 200}
