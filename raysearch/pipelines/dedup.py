@@ -907,8 +907,33 @@ def simhash_pairs_exact(ds, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
+#: edge sets at or below this size run the driver fast path (compact
+#: int pairs only — ≤ ~160 MB at the default); above it, the fully
+#: distributed propagation loop.  Same precedent as BROADCAST_ID_LIMIT.
+CC_DRIVER_EDGE_LIMIT = int(os.environ.get("RAYSEARCH_CC_DRIVER_EDGES", "10000000"))
+
+
+def _cc_numpy(ua: np.ndarray, va: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label + pointer-jumping components over compacted
+    int edges.  Returns (node_ids, label_ids) in original id space.
+    O((E+N)·log N) with no Python-per-edge loop."""
+    ids = np.unique(np.concatenate([ua, va]))  # ascending ⇒ min index = min id
+    ui = np.searchsorted(ids, ua)
+    vi = np.searchsorted(ids, va)
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        np.minimum.at(lab, ui, lab[vi])
+        np.minimum.at(lab, vi, lab[ui])
+        lab = lab[lab]  # pointer jumping: halves tree depth per round
+        if np.array_equal(lab, before):
+            break
+    return ids, ids[lab]
+
+
 def connected_components(pairs, *, col_a: str = "doc_a", col_b: str = "doc_b",
-                         max_rounds: int = 64):
+                         max_rounds: int = 64,
+                         driver_limit: int | None = None):
     """Min-label connected components over an undirected pair list.
 
     Every dedup family above emits PAIRS; deduplicating a corpus needs
@@ -940,6 +965,16 @@ def connected_components(pairs, *, col_a: str = "doc_a", col_b: str = "doc_b",
     small-star contraction (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14) — same primitives, O(log² n)
     rounds; not needed for dedup workloads.
+
+    Driver fast path: each distributed round costs several fixed
+    exchange/scheduling latencies regardless of data size, which
+    dominates when the edge set is small — the COMMON case (duplicate
+    pairs ≪ corpus).  At or below ``driver_limit`` edges (default
+    ``CC_DRIVER_EDGE_LIMIT``; env ``RAYSEARCH_CC_DRIVER_EDGES``
+    — ids only, bounded, the ``BROADCAST_ID_LIMIT`` precedent) the
+    compact int pairs are pulled once and solved with vectorized
+    min-label + pointer jumping; above it the distributed loop runs
+    unchanged.  Both paths produce identical labels.
     """
     import pyarrow.compute as pc
     import ray.data as rd
@@ -958,8 +993,25 @@ def connected_components(pairs, *, col_a: str = "doc_a", col_b: str = "doc_b",
                   "label": pa.array([], pa.int64())})
     )
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return empty
+    limit = CC_DRIVER_EDGE_LIMIT if driver_limit is None else driver_limit
+    if n_edges <= limit:
+        import ray
+
+        # empty blocks ship as schemaless tables — drop before concat
+        tbl = pa.concat_tables(
+            [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        )
+        ids, lab = _cc_numpy(
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False),
+        )
+        return rd.from_arrow(
+            pa.table({"u": pa.array(ids, pa.int64()),
+                      "label": pa.array(lab, pa.int64())})
+        )
 
     def with_self(b: pa.Table) -> pa.Table:
         u = b["u"].combine_chunks()

@@ -865,9 +865,11 @@ def test_ivf_recall_floor_at_operating_point(ray_session, tmp_path):
     assert n_stored == 2 * 500
 
 
-def test_connected_components_chain_and_islands(ray_session):
-    """Chain graph (needs >1 propagation round) + disjoint island +
-    convergence by label-sum fixpoint."""
+@pytest.mark.parametrize("driver_limit", [None, 0])
+def test_connected_components_chain_and_islands(ray_session, driver_limit):
+    """Chain graph (needs >1 propagation round) + disjoint island, on
+    BOTH paths: driver union-find fast path (default limit) and the
+    distributed label-sum-fixpoint loop (driver_limit=0)."""
     import ray.data as rd
 
     from raysearch.pipelines.dedup import connected_components
@@ -881,14 +883,43 @@ def test_connected_components_chain_and_islands(ray_session):
             }
         )
     )
-    lab = connected_components(pairs).to_pandas()
+    lab = connected_components(pairs, driver_limit=driver_limit).to_pandas()
     got = dict(zip(lab.u, lab.label))
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 7: 7, 9: 7}
     # empty edge set → empty labels
     empty = rd.from_arrow(
         pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
     )
-    assert connected_components(empty).count() == 0
+    assert connected_components(empty, driver_limit=driver_limit).count() == 0
+
+
+def test_cc_numpy_random_vs_bruteforce():
+    """Driver union-find kernel vs a BFS reference on a random graph."""
+    from raysearch.pipelines.dedup import _cc_numpy
+
+    rng = np.random.default_rng(3)
+    n, e = 300, 220
+    ua, va = rng.integers(0, n, e) * 7, rng.integers(0, n, e) * 7
+    ids, lab = _cc_numpy(ua.astype(np.int64), va.astype(np.int64))
+    # BFS reference
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in zip(ua, va):
+        adj[a].add(b); adj[b].add(a)
+    ref = {}
+    for start in sorted(adj):
+        if start in ref:
+            continue
+        seen, q = {start}, collections.deque([start])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y); q.append(y)
+        root = min(seen)
+        for x in seen:
+            ref.setdefault(x, root)
+    assert dict(zip(ids, lab)) == ref
 
 
 def test_dup_clusters_transitive_and_singletons(docs_ds):
