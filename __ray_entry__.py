@@ -871,6 +871,24 @@ def _q_vec_dup_clusters(sf_dir: str):
     return assign_clusters(ds, comp, id_col="vec_id")
 
 
+#: gate patterns for redact_text: real PII shapes (no hits in the
+#: synthetic corpus — exercises the no-op path) plus a token pattern
+#: that DOES hit, so the replacement machinery is value-checked.
+REDACT_GATE_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "entity": r"\bcustomer\b",
+}
+
+
+def _q_redact_text(sf_dir: str):
+    """Vectorized regex scrubbing (PII-removal analog) — sequential
+    RE2 redaction, value-hash-checked against nested regexp_replace."""
+    from raysearch.pipelines.textstats import redact_text
+
+    return redact_text(_docs(sf_dir), patterns=REDACT_GATE_PATTERNS)
+
+
 def _q_minhash_recall(sf_dir: str):
     """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
     the same threshold: recall + precision in one row.  Precision is
@@ -1167,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topn": _q_group_topn,
         "quality_filter": _q_quality_filter,
         "vec_dup_clusters": _q_vec_dup_clusters,
+        "redact_text": _q_redact_text,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1663,4 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id "
         "FROM embeddings e LEFT JOIN lab l USING (vec_id) ORDER BY vec_id"
     )
+    from raysearch.pipelines.textstats import redact_sql
+
+    out["redact_text"] = redact_sql(REDACT_GATE_PATTERNS)
     return out

@@ -411,3 +411,69 @@ def quality_filter(ds, *, min_tokens: int = 5, min_quality: float = 0.5,
         )
 
     return doc_metrics(ds).map_batches(keep, batch_format="pyarrow")
+
+
+#: default PII-shaped redaction patterns (RE2 — the same engine Arrow
+#: and DuckDB both embed, so engine and oracle agree on match sets)
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_text(ds, patterns: dict[str, str] | None = None,
+                repl: str = "[REDACTED]"):
+    """Regex redaction/scrubbing (the PII-removal step of a curation
+    pipeline): apply each pattern IN DICT ORDER to the progressively
+    redacted text, counting matches before each replacement.  Pure
+    vectorized ``map_batches`` over Arrow RE2 kernels
+    (``count_substring_regex`` / ``replace_substring_regex``) — no
+    Python-per-row work, no shuffle, streams.
+
+    Sequential semantics matter (an earlier replacement can destroy a
+    later pattern's match) and are mirrored exactly by the generated
+    nested-``regexp_replace`` oracle SQL; both sides run RE2, so match
+    enumeration is identical.
+
+    Output: ``(doc_id, text, n_redactions)`` with ``text`` fully
+    redacted."""
+    import pyarrow.compute as pc
+
+    pats = REDACT_PATTERNS if patterns is None else patterns
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        total = np.zeros(b.num_rows, np.int64)
+        for p in pats.values():
+            total += pc.count_substring_regex(t, pattern=p).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            t = pc.replace_substring_regex(t, pattern=p, replacement=repl)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": t,
+                "n_redactions": pa.array(total, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def redact_sql(patterns: dict[str, str], repl: str = "[REDACTED]") -> str:
+    """DuckDB twin of :func:`redact_text` — one CTE stage per pattern,
+    counting on the stage input then replacing globally, so the
+    sequential semantics match the engine exactly."""
+    stages = ["s0 AS (SELECT doc_id, text AS t, 0 AS n FROM documents)"]
+    for i, p in enumerate(patterns.values(), start=1):
+        stages.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{p}', '{repl}', 'g') AS t, "
+            f"n + len(regexp_extract_all(t, '{p}')) AS n FROM s{i-1})"
+        )
+    last = len(patterns)
+    return (
+        "WITH " + ", ".join(stages)
+        + f" SELECT doc_id, t AS text, CAST(n AS BIGINT) AS n_redactions FROM s{last}"
+    )

@@ -1035,3 +1035,37 @@ def test_vec_assign_clusters_generic_ids(ray_session):
     comp = connected_components(pairs, col_a="vec_a", col_b="vec_b")
     out = assign_clusters(vecs, comp, id_col="vec_id").to_pandas()
     assert dict(zip(out.vec_id, out.cluster_id)) == {100: 100, 101: 100, 102: 100, 200: 200}
+
+
+def test_redact_text_pii_and_sequential_counts(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import REDACT_PATTERNS, redact_text
+
+    texts = [
+        "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567 now",
+        "server at 10.0.0.255 and 192.168.1.1 responded",
+        "no pii here at all",
+        "a@b.io a@b.io",  # two matches of one pattern
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = (
+        redact_text(ds, patterns=REDACT_PATTERNS)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_redactions.tolist() == [2, 2, 0, 2]
+    assert "@" not in out.text[0] and "555" not in out.text[0]
+    assert out.text[0].count("[REDACTED]") == 2
+    assert out.text[2] == "no pii here at all"
+    # sequential semantics: ipv4 runs after phone, which already ate
+    # digit-dot runs it overlapped — counts must reflect stage inputs
+    assert out.text[1].count("[REDACTED]") >= 1
