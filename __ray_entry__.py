@@ -889,6 +889,16 @@ def _q_redact_text(sf_dir: str):
     return redact_text(_docs(sf_dir), patterns=REDACT_GATE_PATTERNS)
 
 
+def _q_pack_offsets(sf_dir: str):
+    """Sequence-packing offsets (GPT-style concat-and-chunk): exact
+    global token prefix sum in doc_id order via range buckets, with
+    context-chunk spans at seq_len=512.  Small bucket_size so the
+    sf0.01 fixture exercises multiple buckets."""
+    from raysearch.pipelines.packing import pack_offsets
+
+    return pack_offsets(_docs(sf_dir), seq_len=512, bucket_size=64)
+
+
 def _q_minhash_recall(sf_dir: str):
     """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
     the same threshold: recall + precision in one row.  Precision is
@@ -1186,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "vec_dup_clusters": _q_vec_dup_clusters,
         "redact_text": _q_redact_text,
+        "pack_offsets": _q_pack_offsets,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1685,4 +1696,18 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.textstats import redact_sql
 
     out["redact_text"] = redact_sql(REDACT_GATE_PATTERNS)
+    # global-prefix-sum window (the sequential twin of the bucketed
+    # two-phase plan); zero-token docs get a zero-width chunk span
+    out["pack_offsets"] = (
+        "WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, COALESCE(sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s "
+        "FROM t) "
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(s AS BIGINT) AS start_off, "
+        "CAST(s // 512 AS BIGINT) AS chunk_first, "
+        "CAST((s + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS chunk_last "
+        "FROM c ORDER BY doc_id"
+    )
     return out

@@ -1069,3 +1069,31 @@ def test_redact_text_pii_and_sequential_counts(ray_session):
     # sequential semantics: ipv4 runs after phone, which already ate
     # digit-dot runs it overlapped — counts must reflect stage inputs
     assert out.text[1].count("[REDACTED]") >= 1
+
+
+def test_pack_offsets_exact_prefix_and_chunks(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.packing import pack_offsets
+
+    texts = ["a b c", "", "d e", "f g h i", "j", "k l m"]  # 3,0,2,4,1,3 tokens
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    # bucket_size=2 forces cross-bucket carry; seq_len=4 forces straddle
+    out = (
+        pack_offsets(ds, seq_len=4, bucket_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_tokens.tolist() == [3, 0, 2, 4, 1, 3]
+    assert out.start_off.tolist() == [0, 3, 3, 5, 9, 10]
+    assert out.chunk_first.tolist() == [0, 0, 0, 1, 2, 2]
+    # doc 3 spans tokens 5..8 -> chunks 1..2; doc 5 spans 10..12 -> 2..3
+    assert out.chunk_last.tolist() == [0, 0, 1, 2, 2, 3]
