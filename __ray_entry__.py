@@ -899,6 +899,15 @@ def _q_pack_offsets(sf_dir: str):
     return pack_offsets(_docs(sf_dir), seq_len=512, bucket_size=64)
 
 
+def _q_hashed_features(sf_dir: str):
+    """Hashing-trick bag-of-words featurization (dim=1024) — the
+    oracle replays blake2b64 % dim through the persisted (tok, h64)
+    fixture parquet the simhash oracle already uses."""
+    from raysearch.pipelines.features import hashed_features
+
+    return hashed_features(_docs(sf_dir), dim=1024)
+
+
 def _q_minhash_recall(sf_dir: str):
     """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
     the same threshold: recall + precision in one row.  Precision is
@@ -1197,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_dup_clusters": _q_vec_dup_clusters,
         "redact_text": _q_redact_text,
         "pack_offsets": _q_pack_offsets,
+        "hashed_features": _q_hashed_features,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1709,5 +1719,14 @@ def oracle_sql() -> dict[str, str]:
         "CAST(s // 512 AS BIGINT) AS chunk_first, "
         "CAST((s + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS chunk_last "
         "FROM c ORDER BY doc_id"
+    )
+    out["hashed_features"] = (
+        "WITH arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+        "tc AS (SELECT doc_id, t.tok AS tok, count(*) AS c FROM arr, "
+        "UNNEST(toks) AS t(tok) GROUP BY 1, 2) "
+        "SELECT tc.doc_id, CAST(h.h64 % 1024 AS BIGINT) AS feature, "
+        "CAST(sum(c) AS BIGINT) AS tf FROM tc JOIN "
+        f"read_parquet('{_TOKHASH_PARQUET}') h USING (tok) GROUP BY 1, 2"
     )
     return out

@@ -1097,3 +1097,36 @@ def test_pack_offsets_exact_prefix_and_chunks(ray_session):
     assert out.chunk_first.tolist() == [0, 0, 0, 1, 2, 2]
     # doc 3 spans tokens 5..8 -> chunks 1..2; doc 5 spans 10..12 -> 2..3
     assert out.chunk_last.tolist() == [0, 0, 1, 2, 2, 3]
+
+
+def test_hashed_features_deterministic_and_exact(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from raysearch.pipelines.features import hashed_features
+
+    texts = ["the cat sat", "cat cat dog", ""]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = hashed_features(ds, dim=64).to_pandas()
+
+    def h64(tok: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+        )
+
+    ref = {}
+    for d, t in enumerate(texts):
+        for tok in t.split():
+            k = (d, h64(tok) % 64)
+            ref[k] = ref.get(k, 0) + 1
+    got = {(r.doc_id, r.feature): r.tf for r in out.itertuples()}
+    assert got == ref
+    assert 2 not in set(out.doc_id)  # empty doc emits no rows
