@@ -132,6 +132,10 @@ def _pipeline_bench() -> dict:
         "dup_clusters": E._q_dup_clusters,
         "stratified_sample": E._q_stratified_sample,
         "group_topn": E._q_group_topn,
+        "quality_filter": E._q_quality_filter,
+        "redact_text": E._q_redact_text,
+        "pack_offsets": E._q_pack_offsets,
+        "hashed_features": E._q_hashed_features,
     }
     out = {}
     for name, fn in stages.items():
