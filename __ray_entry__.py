@@ -908,6 +908,21 @@ def _q_hashed_features(sf_dir: str):
     return hashed_features(_docs(sf_dir), dim=1024)
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """Flagship composition: quality filter → dup-cluster keep-set →
+    stratified mixing, end-to-end, hash-checked against the composed
+    oracle (every stage's SQL twin chained in one statement)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.curation import curation_pipeline
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return curation_pipeline(docs, SAMPLE_RATES)
+
+
 def _q_minhash_recall(sf_dir: str):
     """LSH near-dup pairs vs the exact all-pairs shingle-Jaccard set at
     the same threshold: recall + precision in one row.  Precision is
@@ -1207,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_text": _q_redact_text,
         "pack_offsets": _q_pack_offsets,
         "hashed_features": _q_hashed_features,
+        "curation_pipeline": _q_curation_pipeline,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1728,5 +1744,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT tc.doc_id, CAST(h.h64 % 1024 AS BIGINT) AS feature, "
         "CAST(sum(c) AS BIGINT) AS tf FROM tc JOIN "
         f"read_parquet('{_TOKHASH_PARQUET}') h USING (tok) GROUP BY 1, 2"
+    )
+    # flagship composition: every stage's oracle chained in one
+    # statement (quality rules → Jaccard-closure keep-set → hash
+    # sampling), over the quality-filtered corpus `d`
+    out["curation_pipeline"] = (
+        "WITH RECURSIVE "
+        f"m AS (SELECT doc_id FROM ({out['doc_metrics']}) dm "
+        "WHERE n_tokens >= 5 AND CAST(round(quality * 10000) AS BIGINT) >= 5000 "
+        "AND CAST(round(stop_ratio * 10000) AS BIGINT) <= 6000), "
+        "d AS (SELECT doc_id, text, lang FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM m)), "
+        "arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS toks FROM d), "
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle "
+        "FROM arr, UNNEST(range(1, len(toks)-1)) AS t(i) WHERE len(toks) >= 3), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "edges AS (SELECT doc_a, doc_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.6), "
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM edges "
+        "UNION ALL SELECT doc_b, doc_a FROM edges), "
+        "reach(u, r) AS (SELECT u, v FROM sym "
+        "UNION SELECT s.u, t.r FROM sym s JOIN reach t ON t.u = s.v), "
+        "lab AS (SELECT u AS doc_id, LEAST(u, MIN(r)) AS cluster_id "
+        "FROM reach GROUP BY u) "
+        "SELECT d.doc_id, d.lang FROM d LEFT JOIN lab l ON l.doc_id = d.doc_id "
+        "WHERE COALESCE(l.cluster_id, d.doc_id) = d.doc_id "
+        f"AND {sample_key_sql('d.doc_id')} < CASE d.lang {_thr_cases} ELSE 0 END "
+        "ORDER BY d.doc_id"
     )
     return out

@@ -998,15 +998,9 @@ def connected_components(pairs, *, col_a: str = "doc_a", col_b: str = "doc_b",
         return empty
     limit = CC_DRIVER_EDGE_LIMIT if driver_limit is None else driver_limit
     if n_edges <= limit:
-        import ray
-
-        # empty blocks ship as schemaless tables — drop before concat
-        tbl = pa.concat_tables(
-            [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
-        )
+        df = edges.to_pandas()  # bounded: ≤ limit compact int pairs
         ids, lab = _cc_numpy(
-            tbl["u"].to_numpy(zero_copy_only=False),
-            tbl["v"].to_numpy(zero_copy_only=False),
+            df["u"].to_numpy(np.int64), df["v"].to_numpy(np.int64)
         )
         return rd.from_arrow(
             pa.table({"u": pa.array(ids, pa.int64()),

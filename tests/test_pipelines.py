@@ -1130,3 +1130,45 @@ def test_hashed_features_deterministic_and_exact(ray_session):
     got = {(r.doc_id, r.feature): r.tf for r in out.itertuples()}
     assert got == ref
     assert 2 not in set(out.doc_id)  # empty doc emits no rows
+
+
+def test_curation_pipeline_stage_composition(docs_ds):
+    """Composed survivors = stratified(keepers(quality(docs))) — check
+    the set algebra against the stages run independently."""
+    import ray.data as rd
+
+    from raysearch.pipelines.curation import curation_pipeline
+    from raysearch.pipelines.dedup import dup_clusters
+    from raysearch.pipelines.sampling import stratified_sample
+    from raysearch.pipelines.textstats import quality_filter
+
+    tbl = docs_ds.to_pandas()
+    tbl["lang"] = ["en", "en", "de", "en", "de", "zh"]
+    docs = rd.from_pandas(tbl)
+    rates = {"en": 1.0, "de": 1.0}  # keep all but zh; isolate filter+dedup
+    out = curation_pipeline(
+        docs, rates, min_tokens=3, min_quality=0.0, max_stop_ratio=1.0,
+        threshold=0.5,
+    ).to_pandas()
+
+    q = set(
+        quality_filter(docs, min_tokens=3, min_quality=0.0, max_stop_ratio=1.0)
+        .to_pandas().doc_id
+    )
+    cl = dup_clusters(
+        docs.select_columns(["doc_id", "text"]), threshold=0.5
+    ).to_pandas()
+    # doc 5 ("short") fails min_tokens; zh excluded by rates; dup
+    # cluster {0,1,3} keeps only 0 (all three survive quality)
+    expect = {
+        d for d, c in zip(cl.doc_id, cl.cluster_id)
+        if d in q and tbl.lang[d] != "zh"
+    }
+    # keep-set must be recomputed over the FILTERED corpus — here the
+    # quality filter drops no fox docs, so cluster minima agree
+    expect = {d for d in expect if cl.set_index("doc_id").cluster_id[d] == d}
+    assert set(out.doc_id) == expect
+    sam = stratified_sample(
+        docs.select_columns(["doc_id", "lang"]), rates
+    ).to_pandas()
+    assert set(out.doc_id) <= set(sam.doc_id)
