@@ -136,6 +136,7 @@ def _pipeline_bench() -> dict:
         "redact_text": E._q_redact_text,
         "pack_offsets": E._q_pack_offsets,
         "hashed_features": E._q_hashed_features,
+        "curation_pipeline": E._q_curation_pipeline,
     }
     out = {}
     for name, fn in stages.items():
