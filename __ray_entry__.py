@@ -908,6 +908,30 @@ def _q_hashed_features(sf_dir: str):
     return hashed_features(_docs(sf_dir), dim=1024)
 
 
+def _q_tfidf_features(sf_dir: str):
+    """Hashed TF-IDF (dim=1024): feature-df groupby (≤ dim rows) →
+    broadcast idf vector → streaming weight pass."""
+    from raysearch.pipelines.features import tfidf_features
+
+    return tfidf_features(_docs(sf_dir), dim=1024)
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_column_profile(sf_dir: str):
+    """Numeric column profiling over lineitem — per-block partials,
+    one tiny groupby; exchange moves O(blocks × columns) rows."""
+    import ray.data as rd
+
+    from raysearch.pipelines.profile import column_profile
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=PROFILE_COLS
+    )
+    return column_profile(ds, PROFILE_COLS)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Flagship composition: quality filter → dup-cluster keep-set →
     stratified mixing, end-to-end, hash-checked against the composed
@@ -1223,6 +1247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": _q_pack_offsets,
         "hashed_features": _q_hashed_features,
         "curation_pipeline": _q_curation_pipeline,
+        "tfidf_features": _q_tfidf_features,
+        "column_profile": _q_column_profile,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1744,6 +1770,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT tc.doc_id, CAST(h.h64 % 1024 AS BIGINT) AS feature, "
         "CAST(sum(c) AS BIGINT) AS tf FROM tc JOIN "
         f"read_parquet('{_TOKHASH_PARQUET}') h USING (tok) GROUP BY 1, 2"
+    )
+    out["tfidf_features"] = (
+        f"WITH hf AS ({out['hashed_features']}), "
+        "fdf AS (SELECT feature, count(*) AS df FROM hf GROUP BY 1), "
+        "nn AS (SELECT count(*) AS n FROM documents) "
+        "SELECT hf.doc_id, hf.feature, hf.tf, "
+        "round(hf.tf * ln(nn.n * 1.0 / fdf.df), 4) AS weight "
+        "FROM hf JOIN fdf USING (feature) CROSS JOIN nn"
+    )
+    out["column_profile"] = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_nulls, min({c}) AS min_val, "
+        f"max({c}) AS max_val, round(sum({c}), 2) AS sum_val FROM lineitem"
+        for c in PROFILE_COLS
     )
     # flagship composition: every stage's oracle chained in one
     # statement (quality rules → Jaccard-closure keep-set → hash

@@ -74,3 +74,40 @@ def hashed_features(ds, dim: int = 1024):
     return ds.map_batches(
         _features_task, batch_format="pyarrow", fn_kwargs={"dim": dim}
     )
+
+
+def tfidf_features(ds, dim: int = 1024, decimals: int = 4):
+    """Hashed TF-IDF: :func:`hashed_features` weighted by
+    ``idf = ln(n_docs / df)`` with df = docs-containing-feature.
+
+    The df table is bounded by ``dim`` (not vocabulary), so the plan
+    is: one feature groupby over the sparse rows (≤ dim output rows),
+    collect the tiny (feature, df) array to the driver, ``ray.put``
+    the dense idf vector, and weight in a second streaming pass — the
+    canonical small-side broadcast, never a join shuffle.
+
+    Output: ``(doc_id, feature, tf, weight)`` with weight rounded to
+    ``decimals`` (round-half-away, the SQL convention)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from raysearch.util import round_half_away
+
+    n_docs = ds.count()
+    hashed = hashed_features(ds, dim=dim).materialize()
+    df_tbl = hashed.groupby("feature").aggregate(Count(alias_name="df")).to_pandas()
+    idf = np.zeros(dim, np.float64)
+    idf[df_tbl.feature.to_numpy(np.int64)] = np.log(
+        n_docs / df_tbl.df.to_numpy(np.float64)
+    )
+    idf_ref = ray.put(idf)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        v = ray.get(idf_ref)
+        f = b["feature"].to_numpy(zero_copy_only=False)
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column(
+            "weight", pa.array(round_half_away(tf * v[f], decimals), pa.float64())
+        )
+
+    return hashed.map_batches(weigh, batch_format="pyarrow")

@@ -1172,3 +1172,49 @@ def test_curation_pipeline_stage_composition(docs_ds):
         docs.select_columns(["doc_id", "lang"]), rates
     ).to_pandas()
     assert set(out.doc_id) <= set(sam.doc_id)
+
+
+def test_tfidf_features_formula(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.features import hashed_features, tfidf_features
+
+    texts = ["cat dog", "cat cat", "dog bird", "fish"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    hf = hashed_features(ds, dim=128).to_pandas()
+    df = hf.groupby("feature").doc_id.nunique()
+    out = tfidf_features(ds, dim=128).to_pandas()
+    for r in out.itertuples():
+        assert abs(r.weight - round(r.tf * np.log(4 / df[r.feature]), 4)) <= 1e-4
+    # a feature present in every doc would get idf 0; here 'cat' df=2
+    assert (out.weight >= 0).all()
+
+
+def test_column_profile_partials_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.profile import column_profile
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(10, 3, 5000)
+    mask = rng.random(5000) < 0.1
+    col = pa.array([None if m else float(v) for m, v in zip(mask, vals)], pa.float64())
+    tbl = pa.table({"x": col, "y": pa.array(np.arange(5000, dtype=np.float64))})
+    out = (
+        column_profile(rd.from_arrow(tbl).repartition(7), ["x", "y"])
+        .to_pandas()
+        .set_index("col_name")
+    )
+    assert out.loc["x", "n_rows"] == 5000
+    assert out.loc["x", "n_nulls"] == int(mask.sum())
+    xs = vals[~mask]
+    assert out.loc["x", "min_val"] == xs.min() and out.loc["x", "max_val"] == xs.max()
+    assert abs(out.loc["x", "sum_val"] - round(xs.sum(), 2)) < 0.05
+    assert out.loc["y", "n_nulls"] == 0 and out.loc["y", "max_val"] == 4999.0
