@@ -932,6 +932,27 @@ def _q_column_profile(sf_dir: str):
     return column_profile(ds, PROFILE_COLS)
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Character-5-gram exact Jaccard pairs at 0.25 over the first 120
+    docs.  The subset keeps the gate row fast: this corpus is
+    small-vocabulary word soup, so char-5-gram document frequencies
+    are huge and the deliberately-quadratic exact plan (the
+    verification-scale operator — see jaccard_pairs_exact's caveat)
+    costs minutes at 500 docs on BOTH the engine and the SQL side.
+    0.25 sits inside the subset's real similarity range (max ≈ 0.30 —
+    the planted word-level near-dup pairs straddle the id subset), so
+    the row is non-trivially populated; both sides compare the SAME
+    IEEE ratio of exact ints, so the threshold cannot flip."""
+    import pyarrow.compute as pc
+
+    from raysearch.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 120)), batch_format="pyarrow"
+    )
+    return ngram_jaccard_pairs(docs, threshold=0.25, n=5)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Flagship composition: quality filter → dup-cluster keep-set →
     stratified mixing, end-to-end, hash-checked against the composed
@@ -1249,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "tfidf_features": _q_tfidf_features,
         "column_profile": _q_column_profile,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1784,6 +1806,19 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) - count({c}) AS n_nulls, min({c}) AS min_val, "
         f"max({c}) AS max_val, round(sum({c}), 2) AS sum_val FROM lineitem"
         for c in PROFILE_COLS
+    )
+    out["ngram_jaccard_pairs"] = (
+        "WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents "
+        "WHERE length(text) >= 5 AND doc_id < 120), "
+        "sh AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS shingle "
+        "FROM lt, UNNEST(range(1, length(t) - 3)) AS u(i)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+        "FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25"
     )
     # flagship composition: every stage's oracle chained in one
     # statement (quality rules → Jaccard-closure keep-set → hash

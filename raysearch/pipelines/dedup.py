@@ -590,6 +590,16 @@ def jaccard_pairs_exact(ds, threshold: float = 0.6, shingle: int = 3):
     tok = ds.map_batches(
         _DistinctShingleStrings(shingle), batch_format="pyarrow"
     ).materialize()
+    return _exact_jaccard_from_shingles(tok, threshold)
+
+
+def _exact_jaccard_from_shingles(tok, threshold: float):
+    """Shared exact-Jaccard tail: distinct (doc_id, shingle) rows →
+    co-occurrence pair counts → thresholded similarity (see
+    :func:`jaccard_pairs_exact` for the plan and scale caveat)."""
+    import ray
+    from ray.data.aggregate import Count
+
     sizes_pdf = tok.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
     sizes_ref = ray.put(
         dict(zip(sizes_pdf["doc_id"].astype(np.int64), sizes_pdf["n"].astype(np.int64)))
@@ -623,6 +633,46 @@ def jaccard_pairs_exact(ds, threshold: float = 0.6, shingle: int = 3):
         return out
 
     return inter.map_batches(finish, batch_format="pandas")
+
+
+class _DistinctCharShingles:
+    """Distinct lowercase character n-grams per doc (docs shorter than
+    n characters emit nothing — mirrored by the oracle's length
+    guard).  Codepoint slicing matches DuckDB's character-based
+    ``substr`` exactly."""
+
+    def __init__(self, n: int = 5):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        sh_out: list[str] = []
+        n = self.n
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            lt = t.lower()
+            if len(lt) < n:
+                continue
+            s = {lt[i : i + n] for i in range(len(lt) - n + 1)}
+            ids_out.extend([int(d)] * len(s))
+            sh_out.extend(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "shingle": pa.array(sh_out, pa.string()),
+            }
+        )
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.6, n: int = 5):
+    """EXACT all-pairs character-n-gram Jaccard ≥ threshold — the
+    char-level dedup family member (robust to tokenization/whitespace
+    differences where word shingles are not).  Same distributed plan
+    and scale caveat as :func:`jaccard_pairs_exact`; only the
+    shingling stage differs."""
+    tok = ds.map_batches(
+        _DistinctCharShingles(n), batch_format="pyarrow"
+    ).materialize()
+    return _exact_jaccard_from_shingles(tok, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -1218,3 +1218,25 @@ def test_column_profile_partials_vs_pandas(ray_session):
     assert out.loc["x", "min_val"] == xs.min() and out.loc["x", "max_val"] == xs.max()
     assert abs(out.loc["x", "sum_val"] - round(xs.sum(), 2)) < 0.05
     assert out.loc["y", "n_nulls"] == 0 and out.loc["y", "max_val"] == 4999.0
+
+
+def test_ngram_jaccard_pairs_brute_force(docs_ds):
+    from raysearch.pipelines.dedup import char_ngram_jaccard, ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs_ds, threshold=0.5, n=5).to_pandas()
+    texts = {
+        r.doc_id: r.text for r in docs_ds.to_pandas().itertuples()
+    }
+    # brute-force reference with the scalar primitive
+    expect = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if len(texts[a]) < 5 or len(texts[b]) < 5:
+                continue
+            j = char_ngram_jaccard(texts[a], texts[b], n=5)
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 4)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
+    assert got == expect
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup pair
