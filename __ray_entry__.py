@@ -953,6 +953,19 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(docs, threshold=0.25, n=5)
 
 
+def _q_events_hopping(sf_dir: str):
+    """1-hour windows hopping every 15 min over events — each event
+    replicated into exactly 4 windows, one groupby fold."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import events_hopping_window
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+    return events_hopping_window(ds)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Flagship composition: quality filter → dup-cluster keep-set →
     stratified mixing, end-to-end, hash-checked against the composed
@@ -1271,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_features": _q_tfidf_features,
         "column_profile": _q_column_profile,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "events_hopping": _q_events_hopping,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1819,6 +1833,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
         "JOIN sizes sb ON sb.doc_id = doc_b "
         "WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.25"
+    )
+    # hopping window: replicate each event into size/hop = 4 windows
+    # via UNNEST, keys are epoch-micros window starts
+    out["events_hopping"] = (
+        "WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS t, value FROM events), "
+        "x AS (SELECT (t // 900000000 - k.k) * 900000000 AS window_start, value "
+        "FROM e, UNNEST(range(0, 4)) AS k(k)) "
+        "SELECT window_start, count(*) AS n_events, "
+        "round(sum(value), 4) AS sum_value FROM x GROUP BY 1"
     )
     # flagship composition: every stage's oracle chained in one
     # statement (quality rules → Jaccard-closure keep-set → hash

@@ -348,3 +348,52 @@ def events_window(events, window: str = "day"):
         return batch
 
     return agg.map_batches(round_cols, batch_format="pandas")
+
+
+def events_hopping_window(events, size_us: int = 3_600_000_000,
+                          hop_us: int = 900_000_000):
+    """Hopping (sliding) window aggregate — the overlapping-window
+    analog of :func:`events_window`: each event lands in exactly
+    ``size/hop`` windows, so the per-batch stage REPLICATES each row
+    once per hop offset (vectorized tile, no per-row loop) and one
+    groupby folds the counts.  ``size`` must be a multiple of ``hop``.
+
+    Window keys are int64 epoch-micros window starts (timestamp keys
+    in exchanges are avoidable risk — same convention as the as-of
+    join's bucket column).  Output: ``(window_start, n_events,
+    sum_value)`` with the sum rounded to 4 dp.
+
+    Scale note: the shuffle grows by the replication factor
+    (size/hop, here 4) — the standard hopping-window cost; keep the
+    factor small or pre-aggregate per (hop-bucket) first and roll up
+    (the tumbling primitive composes for that)."""
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    n_hops = size_us // hop_us
+    from ray.data.aggregate import Count, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        t = ts.to_numpy(zero_copy_only=False)
+        base = (t // hop_us) * hop_us
+        starts = np.concatenate([base - k * hop_us for k in range(n_hops)])
+        vals = np.tile(batch["value"].to_numpy(zero_copy_only=False), n_hops)
+        return pa.table(
+            {
+                "window_start": pa.array(starts, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    agg = (
+        events.select_columns(["ts", "value"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def round_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = round_half_away(batch["sum_value"].to_numpy(), 4)
+        return batch
+
+    return agg.map_batches(round_cols, batch_format="pandas")

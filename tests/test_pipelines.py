@@ -1240,3 +1240,31 @@ def test_ngram_jaccard_pairs_brute_force(docs_ds):
     got = {(r.doc_a, r.doc_b): r.jaccard for r in out.itertuples()}
     assert got == expect
     assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup pair
+
+
+def test_events_hopping_window_membership(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import events_hopping_window
+
+    t0 = dt.datetime(2026, 1, 1, 10, 7)  # 10:07 → windows 09:15..10:00
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([t0], pa.timestamp("us")),
+                "value": pa.array([2.5], pa.float64()),
+                "event_type": pa.array(["x"], pa.string()),
+            }
+        )
+    )
+    out = events_hopping_window(ds).to_pandas().sort_values("window_start")
+    us = lambda h, m: int(dt.datetime(2026, 1, 1, h, m).timestamp() * 1e6)
+    # 1h window / 15min hop: starts at 09:15, 09:30, 09:45, 10:00
+    assert out.window_start.tolist() == [us(9, 15), us(9, 30), us(9, 45), us(10, 0)]
+    assert out.n_events.tolist() == [1, 1, 1, 1]
+    assert out.sum_value.tolist() == [2.5] * 4
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        events_hopping_window(ds, size_us=1000, hop_us=300)
