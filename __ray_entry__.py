@@ -966,6 +966,22 @@ def _q_events_hopping(sf_dir: str):
     return events_hopping_window(ds)
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_split_dataset(sf_dir: str):
+    """Deterministic train/val/test assignment — pure id-hash function
+    (no shuffle, no state), HUGEINT CASE oracle."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import split_dataset
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return split_dataset(ds, SPLIT_FRACTIONS)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Flagship composition: quality filter → dup-cluster keep-set →
     stratified mixing, end-to-end, hash-checked against the composed
@@ -1285,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": _q_column_profile,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "events_hopping": _q_events_hopping,
+        "split_dataset": _q_split_dataset,
         "minhash_recall": _q_minhash_recall,
         "simhash_pairs": _q_simhash_pairs,
         "simhash_recall": _q_simhash_recall,
@@ -1781,9 +1798,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id "
         "FROM embeddings e LEFT JOIN lab l USING (vec_id) ORDER BY vec_id"
     )
+    from raysearch.pipelines.sampling import split_case_sql
     from raysearch.pipelines.textstats import redact_sql
 
     out["redact_text"] = redact_sql(REDACT_GATE_PATTERNS)
+    out["split_dataset"] = (
+        f"SELECT doc_id, {split_case_sql(SPLIT_FRACTIONS)} AS split FROM documents"
+    )
     # global-prefix-sum window (the sequential twin of the bucketed
     # two-phase plan); zero-token docs get a zero-width chunk span
     out["pack_offsets"] = (

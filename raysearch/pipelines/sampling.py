@@ -117,3 +117,46 @@ def group_topn(ds, *, group_col: str, order_col: str, n: int,
         .groupby(group_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def split_dataset(ds, fractions: dict[str, float], *, id_col: str = "doc_id"):
+    """Deterministic train/val/test assignment: the id hash's position
+    among cumulative quantized fraction thresholds names the split.
+    Same zero-shuffle / zero-state properties as
+    :func:`stratified_sample`; an id's split never changes when the
+    corpus grows, shrinks, or is re-partitioned (pure function of id).
+
+    ``fractions`` values must sum to 1 (after 1/65536 quantization the
+    last split absorbs the rounding remainder).  Output: every input
+    row as ``(id_col, split)``."""
+    names = list(fractions)
+    if abs(sum(fractions.values()) - 1.0) > 1e-6:
+        raise ValueError("fractions must sum to 1")
+    cum, edges = 0.0, []
+    for g in names[:-1]:
+        cum += fractions[g]
+        edges.append(sample_threshold(cum))
+    bounds = np.array(edges + [(1 << 64) - 1], np.uint64)  # last absorbs
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ids * np.uint64(HASH_MUL) + np.uint64(HASH_ADD)
+        idx = np.searchsorted(bounds, key, side="right").clip(0, len(names) - 1)
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "split": pa.array(np.array(names, object)[idx], pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def split_case_sql(fractions: dict[str, float], id_col: str = "doc_id") -> str:
+    """DuckDB CASE expression naming the identical split per row."""
+    names = list(fractions)
+    cum, parts = 0.0, []
+    for g in names[:-1]:
+        cum += fractions[g]
+        parts.append(f"WHEN {sample_key_sql(id_col)} < {sample_threshold(cum)} THEN '{g}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

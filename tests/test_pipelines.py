@@ -1268,3 +1268,24 @@ def test_events_hopping_window_membership(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         events_hopping_window(ds, size_us=1000, hop_us=300)
+
+
+def test_split_dataset_fractions_and_stability(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import split_dataset
+
+    n = 30000
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_dataset(rd.from_arrow(tbl), fr).to_pandas()
+    share = out.split.value_counts(normalize=True)
+    assert abs(share["train"] - 0.8) < 0.01
+    assert abs(share["val"] - 0.1) < 0.01 and abs(share["test"] - 0.1) < 0.01
+    # stability: assignment of ids 0..999 unchanged when corpus shrinks
+    sub = split_dataset(rd.from_arrow(tbl.slice(0, 1000)), fr).to_pandas()
+    merged = sub.merge(out[out.doc_id < 1000], on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_dataset(rd.from_arrow(tbl), {"a": 0.5, "b": 0.4})
