@@ -1289,3 +1289,47 @@ def test_split_dataset_fractions_and_stability(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         split_dataset(rd.from_arrow(tbl), {"a": 0.5, "b": 0.4})
+
+
+def test_new_ops_edge_cases(ray_session):
+    """Empty/degenerate inputs across the round-3 curation operators."""
+    import ray.data as rd
+
+    from raysearch.pipelines.curation import curation_pipeline
+    from raysearch.pipelines.packing import pack_offsets
+    from raysearch.pipelines.sampling import group_topn, stratified_sample
+    from raysearch.pipelines.textstats import redact_text
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha beta", "gamma"], pa.string()),
+                "lang": pa.array(["xx", "yy"], pa.string()),
+            }
+        )
+    )
+    # rates covering no group -> empty survivor set (schema preserved)
+    out = stratified_sample(
+        docs.select_columns(["doc_id", "lang"]), {"zz": 1.0}
+    ).to_pandas()
+    assert len(out) == 0
+    # curation with all-drop rates -> empty but runs end-to-end
+    cur = curation_pipeline(
+        docs, {"zz": 1.0}, min_tokens=1, min_quality=0.0, max_stop_ratio=1.0
+    ).to_pandas()
+    assert len(cur) == 0
+    # group_topn with n larger than any group -> all rows ranked
+    docs2 = docs.map_batches(
+        lambda b: b.append_column("n_chars", pa.array([10, 5], pa.int64())),
+        batch_format="pyarrow",
+    )
+    gt = group_topn(docs2, group_col="lang", order_col="n_chars", n=99).to_pandas()
+    assert len(gt) == 2 and set(gt.rk) == {1}
+    # redact with empty pattern dict -> identity
+    rt = redact_text(docs, patterns={}).to_pandas().sort_values("doc_id")
+    assert rt.text.tolist() == ["alpha beta", "gamma"]
+    assert rt.n_redactions.tolist() == [0, 0]
+    # pack_offsets on a single tiny doc set
+    po = pack_offsets(docs, seq_len=2, bucket_size=1000).to_pandas()
+    assert po.start_off.tolist() == [0, 2] and po.chunk_first.tolist() == [0, 1]
