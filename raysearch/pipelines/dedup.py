@@ -328,7 +328,15 @@ def _simhash_task(batch: pa.Table):
 def _pairs_from_buckets(group: pd.DataFrame) -> pd.DataFrame:
     ids = np.unique(group["doc_id"].to_numpy())
     a, b = _emit_pairs_ids(ids)
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+    # dtype pinned: an EMPTY group would otherwise yield float64
+    # columns, and Ray's schema unification promotes int64→double
+    # depending on block arrival order (partitioning-dependent output)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(a, dtype="int64"),
+            "doc_b": pd.Series(b, dtype="int64"),
+        }
+    )
 
 
 def minhash_candidates(ds, n_perm: int = 64, bands: int = 16, shingle: int = 3):
@@ -527,7 +535,11 @@ def minhash_lsh_pairs(
             }
         )
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    # pinned output order: pair sets are tiny relative to the corpus
+    # (bounded by the LSH candidate count), so the final sort is cheap
+    # and makes the operator's block layout deterministic across
+    # parallelism levels — required for byte-stable downstream hashes.
+    return j.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
 
 
 # ---------------------------------------------------------------------------
@@ -608,9 +620,20 @@ def _exact_jaccard_from_shingles(tok, threshold: float):
     def emit(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(group["doc_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            # dtype pinned — see _pairs_from_buckets
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
         ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(ids[ii], dtype="int64"),
+                "doc_b": pd.Series(ids[jj], dtype="int64"),
+            }
+        )
 
     inter = (
         tok.groupby("shingle")
@@ -632,7 +655,11 @@ def _exact_jaccard_from_shingles(tok, threshold: float):
         out["jaccard"] = round_half_away(jac[keep], 4)
         return out
 
-    return inter.map_batches(finish, batch_format="pandas")
+    # pinned output order (see minhash_lsh_pairs): deterministic
+    # across block arrival order / parallelism.
+    return inter.map_batches(finish, batch_format="pandas").sort(
+        ["doc_a", "doc_b"]
+    )
 
 
 class _DistinctCharShingles:
@@ -751,7 +778,14 @@ def simhash_pairs(ds, max_hamming: int = 3):
         sims = sub["simhash"].to_numpy().astype(np.uint64)
         n = len(ids)
         if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            # dtype pinned — see _pairs_from_buckets
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
         if n > MAX_BUCKET_IDS:
             ai = np.zeros(n - 1, dtype=np.int64)
             bi = np.arange(1, n, dtype=np.int64)
@@ -767,8 +801,12 @@ def simhash_pairs(ds, max_hamming: int = 3):
     cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
     from ray.data.aggregate import Min
 
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+    # groupby output block order is not pinned across runs — sort the
+    # (tiny) pair set so the operator is deterministic end-to-end.
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["doc_a", "doc_b"])
     )
 
 
@@ -902,7 +940,14 @@ def embedding_near_dup(
             out_b.append(ids[jj[keep]])
             out_c.append(sim[ii[keep], jj[keep]])
         if not out_a:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            # dtype pinned — see _pairs_from_buckets
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         c = np.concatenate(out_c)
@@ -917,7 +962,11 @@ def embedding_near_dup(
     )
     from ray.data.aggregate import Max
 
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    return (
+        pairs.groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+        .sort(["vec_a", "vec_b"])
+    )
 
 
 def simhash_pairs_exact(ds, max_hamming: int = 3):
@@ -1073,6 +1122,7 @@ def connected_components(pairs, *, col_a: str = "doc_a", col_b: str = "doc_b",
     def msg_rows(b: pa.Table) -> pa.Table:
         return pa.table({"u": b["v"], "label": b["label"]})
 
+    converged = False
     for _ in range(max_rounds):
         msgs = copartition_attach(
             edges, labels, "u", edge_schema, {"label": pa.int64()}
@@ -1085,8 +1135,19 @@ def connected_components(pairs, *, col_a: str = "doc_a", col_b: str = "doc_b",
         )
         cur = labels.sum("label")
         if cur == prev:  # monotone ⇒ fixpoint
+            converged = True
             break
         prev = cur
+    if not converged:
+        # label propagation converges in O(graph diameter) rounds;
+        # exhausting max_rounds means components with diameter >
+        # max_rounds still carry split labels — silently returning
+        # them would corrupt any dedup keep-set built downstream.
+        raise RuntimeError(
+            f"connected_components: min-label propagation did not reach "
+            f"its fixpoint within max_rounds={max_rounds} (component "
+            f"diameter exceeds the round budget); raise max_rounds"
+        )
     return labels
 
 

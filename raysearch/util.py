@@ -88,7 +88,9 @@ def copartition_attach(
             return out_schema.empty_table()
         if semi:
             kept = g.take(pa.array(li))
-            return pa.table({c: kept[c] for c in left_cols})
+            return pa.table(
+                {c: kept[c] for c in left_cols}
+            ).cast(out_schema)
         rep = np.repeat(li, len(ri))
         til = np.tile(ri, len(li))
         lpart = g.take(pa.array(rep))
@@ -96,7 +98,13 @@ def copartition_attach(
         cols = {c: lpart[c] for c in left_cols}
         for c in pay_cols:
             cols[c] = rpart[c]
-        return pa.table(cols)
+        # cast back to the declared schema: the tagged union carries
+        # nulls in the other side's columns, and Ray's sort-based
+        # map_groups may route blocks through pandas, where a nullable
+        # int64 silently becomes float64 — WHICH blocks take that path
+        # depends on partitioning, so without this cast the output
+        # dtype (and the gate's value hash) is partitioning-dependent.
+        return pa.table(cols).cast(out_schema)
 
     tagged = left.map_batches(pad_left, batch_format="pyarrow").union(
         right.map_batches(pad_right, batch_format="pyarrow")
