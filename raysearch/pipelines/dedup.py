@@ -164,11 +164,30 @@ def _shingle_hash_arrays(
     matching :func:`jaccard_pairs_exact`'s domain, which excludes
     <k-token docs.  Empty docs contribute none either way."""
     parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+    return shingle_hashes_from_codes(
+        memo, parent, codes, uniq, batch.num_rows, k,
+        short_doc_fallback=short_doc_fallback,
+    )
+
+
+def shingle_hashes_from_codes(
+    memo: dict,
+    parent: np.ndarray,
+    codes: np.ndarray,
+    uniq: np.ndarray,
+    nrows: int,
+    k: int,
+    short_doc_fallback: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of :func:`_shingle_hash_arrays` operating on an already-
+    tokenized batch (``token_parent_codes`` output) — lets a fused
+    stage tokenize ONCE and derive both text metrics and shingle
+    hashes from the same token stream (curation first pass)."""
     if not len(codes):
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     th = _uniq_token_hashes(memo, uniq)[codes]
     n = len(th)
-    row_starts = np.searchsorted(parent, np.arange(batch.num_rows))
+    row_starts = np.searchsorted(parent, np.arange(nrows))
     row_counts = np.diff(np.concatenate((row_starts, [n])))
 
     if n >= k:
@@ -221,38 +240,56 @@ class _MinHashSigs:
         sh_parent, sh = _shingle_hash_arrays(
             self.lexer, self._tok_hash_memo, batch, self.shingle
         )
-        if not len(sh):
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "band": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.uint64()),
-                }
-            )
-        h = sh % MERSENNE
-        perm = (h[:, None] * self.a[None, :] + self.b[None, :]) % MERSENNE
-        doc_bounds = np.flatnonzero(
-            np.concatenate(([True], sh_parent[1:] != sh_parent[:-1]))
-        )
-        sig = np.minimum.reduceat(perm, doc_bounds, axis=0)  # (docs, n_perm)
-        sig_docs = doc_ids[sh_parent[doc_bounds]]
+        return _band_rows(doc_ids, sh_parent, sh, self.n_perm, self.bands)
 
-        out_doc, out_band, out_hash = [], [], []
-        for band in range(self.bands):
-            cols = sig[:, band * self.rows_per_band : (band + 1) * self.rows_per_band]
-            acc = np.full(len(sig), np.uint64(band + 1), dtype=np.uint64)
-            for j in range(self.rows_per_band):
-                acc = _mix_step(acc, cols[:, j].astype(np.uint64))
-            out_doc.append(sig_docs)
-            out_band.append(np.full(len(sig), band, dtype=np.int32))
-            out_hash.append(acc)
+
+def _band_rows(
+    doc_ids: np.ndarray,
+    sh_parent: np.ndarray,
+    sh: np.ndarray,
+    n_perm: int,
+    bands: int,
+) -> pa.Table:
+    """(per-shingle parent idx, uint64 shingle hash) → banded LSH rows
+    (doc_id, band, band_hash).  MinHash minima are duplicate-
+    insensitive, so multiset and sorted-unique shingle streams produce
+    identical signatures — this core serves both the text path
+    (:class:`_MinHashSigs`) and the precomputed-blob path
+    (:func:`_minhash_blob_task`)."""
+    if not len(sh):
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-                "band": pa.array(np.concatenate(out_band), pa.int32()),
-                "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.uint64()),
             }
         )
+    rows_per_band = n_perm // bands
+    a, b = _minhash_params(n_perm)
+    h = sh % MERSENNE
+    perm = (h[:, None] * a[None, :] + b[None, :]) % MERSENNE
+    doc_bounds = np.flatnonzero(
+        np.concatenate(([True], sh_parent[1:] != sh_parent[:-1]))
+    )
+    sig = np.minimum.reduceat(perm, doc_bounds, axis=0)  # (docs, n_perm)
+    sig_docs = doc_ids[sh_parent[doc_bounds]]
+
+    out_doc, out_band, out_hash = [], [], []
+    for band in range(bands):
+        cols = sig[:, band * rows_per_band : (band + 1) * rows_per_band]
+        acc = np.full(len(sig), np.uint64(band + 1), dtype=np.uint64)
+        for j in range(rows_per_band):
+            acc = _mix_step(acc, cols[:, j].astype(np.uint64))
+        out_doc.append(sig_docs)
+        out_band.append(np.full(len(sig), band, dtype=np.int32))
+        out_hash.append(acc)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "band": pa.array(np.concatenate(out_band), pa.int32()),
+            "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
+        }
+    )
 
 
 class _ShingleSets:
@@ -275,23 +312,86 @@ class _ShingleSets:
         sh_parent, sh = _shingle_hash_arrays(
             self.lexer, self._memo, batch, self.shingle, short_doc_fallback=False
         )
-        nrows = batch.num_rows
-        if len(sh):
-            order = np.lexsort((sh, sh_parent))
-            p, v = sh_parent[order], sh[order]
-            keep = np.concatenate(([True], (p[1:] != p[:-1]) | (v[1:] != v[:-1])))
-            p, v = p[keep], v[keep]
-        else:
-            p = np.empty(0, dtype=np.int64)
-            v = np.empty(0, dtype=np.uint64)
-        counts = np.bincount(p, minlength=nrows) if nrows else np.empty(0, np.int64)
-        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64) * 8
-        arr = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(),
-            nrows,
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(v.tobytes())],
-        )
+        arr = pack_shingle_blobs(batch.num_rows, sh_parent, sh)
         return pa.table({"doc_id": batch["doc_id"], "shingles": arr})
+
+
+def pack_shingle_blobs(
+    nrows: int, sh_parent: np.ndarray, sh: np.ndarray
+) -> pa.LargeBinaryArray:
+    """(per-shingle parent idx, uint64 hash) pairs → per-row SORTED-
+    UNIQUE uint64 sets packed into one large_binary column (the
+    :class:`_ShingleSets` layout; also built directly by the curation
+    pipeline's single-tokenize first pass)."""
+    if len(sh):
+        order = np.lexsort((sh, sh_parent))
+        p, v = sh_parent[order], sh[order]
+        keep = np.concatenate(([True], (p[1:] != p[:-1]) | (v[1:] != v[:-1])))
+        p, v = p[keep], v[keep]
+    else:
+        p = np.empty(0, dtype=np.int64)
+        v = np.empty(0, dtype=np.uint64)
+    counts = np.bincount(p, minlength=nrows) if nrows else np.empty(0, np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64) * 8
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        nrows,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(v.tobytes())],
+    )
+
+
+def _unpack_blob_col(col) -> tuple[np.ndarray, np.ndarray]:
+    """shingle-blob column → ``(parent_idx, uint64 values)`` without
+    per-row Python: Arrow binary values are stored back-to-back, so the
+    whole value region is one contiguous byte span sliced by the
+    offsets buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_large_binary(col.type):
+        col = col.cast(pa.large_binary())
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + n + 1
+    ]
+    counts = (off[1:] - off[:-1]) // 8
+    if off[-1] > off[0]:
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        vals = np.frombuffer(
+            data[off[0] : off[-1]].tobytes(), dtype=np.uint64
+        )
+    else:
+        vals = np.empty(0, np.uint64)
+    parent = np.repeat(np.arange(n, dtype=np.int64), counts)
+    return parent, vals
+
+
+def _minhash_blob_task(batch: pa.Table, *, n_perm: int, bands: int) -> pa.Table:
+    """(doc_id, shingles-blob) → banded LSH rows — the signature stage
+    when shingle sets were already computed (single-tokenize path)."""
+    parent, vals = _unpack_blob_col(batch["shingles"])
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return _band_rows(doc_ids, parent, vals, n_perm, bands)
+
+
+def minhash_candidates_from_shingles(sh_ds, n_perm: int = 64, bands: int = 16):
+    """Candidate pairs from a precomputed (doc_id, shingles) Dataset —
+    same bucket-groupby plan as :func:`minhash_candidates` but with no
+    tokenize stage.  Docs with <k tokens have empty blobs and emit no
+    bands; they can never pass exact verification (union == 0 ⇒ not a
+    pair), so dropping them here does not change the verified output."""
+    from ray.data.aggregate import Count
+
+    sigs = sh_ds.map_batches(
+        _minhash_blob_task,
+        fn_kwargs={"n_perm": n_perm, "bands": bands},
+        batch_format="pyarrow",
+    )
+    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
+        _pairs_from_buckets, batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
 _SIG_CACHE: dict[tuple | str, object] = {}
@@ -400,27 +500,35 @@ BROADCAST_ID_LIMIT = 10_000_000
 
 
 def minhash_lsh_pairs(
-    ds, threshold: float = 0.6, join_partitions: int = 8, **kw
+    ds, threshold: float = 0.6, join_partitions: int = 8, *,
+    shingle_ds=None, **kw
 ):
     """Candidates → exact shingle-Jaccard ≥ threshold, fully distributed.
 
-    Verification plan (round-2 rework; round 1 collected candidate
-    texts on the driver):
+    Single-tokenize plan (round-4 rework; round 3 tokenized the corpus
+    twice — once for signatures, once for verification sets):
 
-    1. ``minhash_candidates`` → (doc_a, doc_b) id pairs (materialized —
+    1. ONE streaming pass computes per-doc sorted-unique 64-bit
+       shingle-hash sets (:class:`_ShingleSets`), materialized (~8 B
+       per distinct shingle — comparable to the text bytes; the object
+       store spills if needed).  Callers that already hold such a
+       Dataset (the curation pipeline's fused first pass) hand it in
+       via ``shingle_ds`` and no text is read here at all;
+    2. MinHash signatures + banded LSH candidates are derived FROM the
+       blobs (:func:`minhash_candidates_from_shingles` — minima are
+       duplicate-insensitive, so set-based signatures equal the
+       multiset ones), yielding (doc_a, doc_b) id pairs (materialized —
        ids only, the smallest dataset in the job);
-    2. a second streaming pass computes per-doc sorted-unique 64-bit
-       shingle-hash sets (:class:`_ShingleSets`), pruned to candidate
-       docs — via a BROADCAST id set inside the same map when the
-       candidate count is ≤ ``BROADCAST_ID_LIMIT`` (no shuffle of the
-       corpus-sized shingle stream at all), else via a ``left_semi``
-       hash join;
-    3. two inner hash-merge attaches (:func:`~raysearch.util.
+    3. the blob Dataset is pruned to candidate docs — via a BROADCAST
+       id set inside the same map when the candidate count is ≤
+       ``BROADCAST_ID_LIMIT`` (no shuffle of the corpus-sized shingle
+       stream at all), else via a ``left_semi`` hash join;
+    4. two inner hash-merge attaches (:func:`~raysearch.util.
        copartition_attach` — union + one groupby per attach; Ray
        2.49's ``Dataset.join`` crashes on partitions that receive no
        blocks from one side, see the helper's docstring) bring in each
        pair's two sets;
-    4. a vectorized map computes exact Jaccard over the hash sets and
+    5. a vectorized map computes exact Jaccard over the hash sets and
        filters ≥ threshold.
 
     Only id pairs and candidate shingle sets shuffle; raw text never
@@ -429,14 +537,21 @@ def minhash_lsh_pairs(
     the merge exchange is sized by Ray's groupby shuffle."""
     import ray
 
-    cands = minhash_candidates(ds, **kw).materialize()
+    shingle = kw.get("shingle", 3)
+    if shingle_ds is None:
+        sh = ds.map_batches(
+            _shingle_set_task,
+            fn_kwargs={"shingle": shingle},
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        sh = shingle_ds.materialize()
+    cands = minhash_candidates_from_shingles(
+        sh, n_perm=kw.get("n_perm", 64), bands=kw.get("bands", 16)
+    ).materialize()
     n_cands = cands.count()
     if n_cands == 0:
         return _empty_pairs_ds()
-    shingle = kw.get("shingle", 3)
-    sh = ds.map_batches(
-        _shingle_set_task, fn_kwargs={"shingle": shingle}, batch_format="pyarrow"
-    )
     if n_cands <= BROADCAST_ID_LIMIT:
         # unique candidate ids straight off the materialized id-pair
         # blocks — np.unique on ≤ 2·n_cands int64 (bounded by the

@@ -142,26 +142,9 @@ class _DocMetrics:
         n = batch.num_rows
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        parent, terms = self.lexer.token_parent_pairs(batch["text"])
-        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
-        stop_mask = np.array([t in self.stops for t in terms], dtype=np.int64)
-        n_stop = np.bincount(parent, weights=stop_mask, minlength=n).astype(np.int64)
-        # distinct terms per doc
-        if len(terms):
-            codes, uniq = pd.factorize(terms)
-            pairs = np.unique(parent.astype(np.int64) * len(uniq) + codes)
-            distinct = np.bincount(pairs // len(uniq), minlength=n).astype(np.int64)
-        else:
-            distinct = np.zeros(n, dtype=np.int64)
-        nt = n_tokens.astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            stop_ratio = np.where(n_tokens > 0, n_stop / nt, 0.0)
-            distinct_ratio = np.where(n_tokens > 0, distinct / nt, 0.0)
-        quality = round_half_away(
-            0.5 * np.minimum(1.0, nt / 100.0)
-            + 0.3 * distinct_ratio
-            + 0.2 * (1.0 - stop_ratio),
-            4,
+        parent, codes, uniq = self.lexer.token_parent_codes(batch["text"])
+        n_tokens, distinct, stop_ratio, quality = quality_metrics_from_codes(
+            parent, codes, uniq, n
         )
         lang = np.where(stop_ratio > 0.05, "en", "unk")
         fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
@@ -176,6 +159,62 @@ class _DocMetrics:
                 "fingerprint": pa.array(fp, pa.string()),
             }
         )
+
+
+def quality_metrics_from_codes(
+    parent: np.ndarray, codes: np.ndarray, uniq, nrows: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Quality metrics from an already-tokenized batch
+    (``token_parent_codes`` output): ``(n_tokens, distinct_terms,
+    stop_ratio_raw, quality_4dp)``.  Shared by :class:`_DocMetrics`
+    and the curation pipeline's fused single-tokenize first pass so
+    both compute bit-identical keep decisions.  ``stop_ratio_raw`` is
+    UNROUNDED (the langid heuristic compares it at full precision);
+    round to 4 dp for output parity with the oracle."""
+    stops = set(QUALITY_STOPWORDS)
+    n_tokens = np.bincount(parent, minlength=nrows).astype(np.int64)
+    if len(codes):
+        stop_uniq = np.array([t in stops for t in uniq], dtype=np.int64)
+        n_stop = np.bincount(
+            parent, weights=stop_uniq[codes], minlength=nrows
+        ).astype(np.int64)
+        pairs = np.unique(parent.astype(np.int64) * len(uniq) + codes)
+        distinct = np.bincount(pairs // len(uniq), minlength=nrows).astype(
+            np.int64
+        )
+    else:
+        n_stop = np.zeros(nrows, dtype=np.int64)
+        distinct = np.zeros(nrows, dtype=np.int64)
+    nt = n_tokens.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.where(n_tokens > 0, n_stop / nt, 0.0)
+        distinct_ratio = np.where(n_tokens > 0, distinct / nt, 0.0)
+    quality = round_half_away(
+        0.5 * np.minimum(1.0, nt / 100.0)
+        + 0.3 * distinct_ratio
+        + 0.2 * (1.0 - stop_ratio),
+        4,
+    )
+    return n_tokens, distinct, stop_ratio, quality
+
+
+def quality_keep_mask(
+    n_tokens: np.ndarray,
+    quality_4dp: np.ndarray,
+    stop_ratio_4dp: np.ndarray,
+    *,
+    min_tokens: int,
+    min_quality: float,
+    max_stop_ratio: float,
+) -> np.ndarray:
+    """The :func:`quality_filter` keep rule on integer-scaled (×10⁴)
+    4-dp metrics — shared so the fused curation pass and the
+    standalone operator can never diverge on a last-ulp rounding."""
+    q_thr = int(round(min_quality * 10000))
+    s_thr = int(round(max_stop_ratio * 10000))
+    qi = np.rint(quality_4dp * 10000)
+    si = np.rint(stop_ratio_4dp * 10000)
+    return (n_tokens >= min_tokens) & (qi >= q_thr) & (si <= s_thr)
 
 
 def doc_metrics(ds):
@@ -396,16 +435,15 @@ def quality_filter(ds, *, min_tokens: int = 5, min_quality: float = 0.5,
 
     Output: ``(doc_id, n_tokens, quality, stop_ratio)`` of survivors.
     """
-    import pyarrow.compute as pc
-
-    q_thr = int(round(min_quality * 10000))
-    s_thr = int(round(max_stop_ratio * 10000))
-
     def keep(b: pa.Table) -> pa.Table:
-        qi = np.rint(b["quality"].to_numpy(zero_copy_only=False) * 10000)
-        si = np.rint(b["stop_ratio"].to_numpy(zero_copy_only=False) * 10000)
-        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
-        mask = (nt >= min_tokens) & (qi >= q_thr) & (si <= s_thr)
+        mask = quality_keep_mask(
+            b["n_tokens"].to_numpy(zero_copy_only=False),
+            b["quality"].to_numpy(zero_copy_only=False),
+            b["stop_ratio"].to_numpy(zero_copy_only=False),
+            min_tokens=min_tokens,
+            min_quality=min_quality,
+            max_stop_ratio=max_stop_ratio,
+        )
         return b.filter(pa.array(mask)).select(
             ["doc_id", "n_tokens", "quality", "stop_ratio"]
         )
