@@ -59,11 +59,18 @@ def encode_mp4(
     timescale: int = 1000,
     width: int = 64,
     height: int = 64,
+    codec: bytes = b"opqv",
 ) -> bytes:
     """One-track video MP4 with ``len(sample_sizes)`` samples of
     uniform duration ``frame_dur`` (in ``timescale`` units).  Sample
     bytes default to a deterministic fill; pass ``sample_payloads`` to
-    control them (each must match its size)."""
+    control them (each must match its size).  ``codec`` is the stsd
+    sample-entry 4cc: ``b"opqv"`` marks opaque/undecodable samples;
+    ``b"jpeg"`` (the ISO/QuickTime motion-JPEG entry) marks samples
+    that ARE baseline JPEG images — the one truly decodable video
+    codec path (raysearch.pipelines.jpeg_codec)."""
+    if len(codec) != 4:
+        raise ValueError("codec must be a 4cc")
     sizes = np.asarray(sample_sizes, dtype=np.int64)
     n = len(sizes)
     duration = n * frame_dur
@@ -110,9 +117,10 @@ def encode_mp4(
         vmhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
         dref = _full(b"dref", struct.pack(">I", 1) + _full(b"url ", b"", flags=1))
         dinf = _box(b"dinf", dref)
-        # stsd: one opaque sample entry ('opqv' — parser treats it as a
-        # codec tag, decode is NotImplemented)
-        entry = _box(b"opqv", b"\x00" * 6 + struct.pack(">H", 1))
+        # stsd: one sample entry whose 4cc is the codec tag ('opqv'
+        # opaque / 'jpeg' motion-JPEG — same 16-byte entry either way,
+        # so MOOV_BASE is codec-independent)
+        entry = _box(codec, b"\x00" * 6 + struct.pack(">H", 1))
         stsd = _full(b"stsd", struct.pack(">I", 1) + entry)
         stts = _full(b"stts", struct.pack(">III", 1, n, frame_dur))
         stsz = _full(
@@ -229,10 +237,18 @@ def parse_mp4(data: bytes) -> dict:
     offsets = chunk_offs[chunk_of_sample] + within
     if len(durations) != n_samples:
         raise ValueError("stts sample count != stsz sample count")
+    # codec 4cc from stsd's first sample entry: payload is
+    # version/flags(4) + entry_count(4) + entry(size(4) + 4cc(4) + …)
+    codec = ""
+    if b"stsd" in boxes:
+        s, e = boxes[b"stsd"]
+        if e - s >= 16:
+            codec = data[s + 12 : s + 16].decode("ascii", "replace")
     return {
         "timescale": int(timescale),
         "duration": int(duration),
         "durations": durations,
         "sizes": sizes,
         "offsets": offsets,
+        "codec": codec,
     }

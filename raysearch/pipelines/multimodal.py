@@ -105,6 +105,43 @@ def fake_media_table(n: int = 64, seed: int = 3) -> pa.Table:
     return pa.table({f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA})
 
 
+def mjpeg_media_table(n_videos: int = 8, seed: int = 5) -> pa.Table:
+    """Deterministic motion-JPEG video rows: genuine MP4 containers
+    (codec 4cc ``jpeg``) whose samples are REAL baseline-JPEG frames —
+    the decodable video codec path.  Frames are small flat-ish color
+    gradients so the JPEG roundtrip error stays tiny and the decoded
+    frames are visually checkable in tests."""
+    from raysearch.pipelines.jpeg_codec import encode_jpeg
+    from raysearch.pipelines.mp4_codec import encode_mp4
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n_videos):
+        w = int(rng.integers(2, 7)) * 8  # multiples of the MCU size
+        h = int(rng.integers(2, 7)) * 8
+        n_frames = int(rng.integers(3, 12))
+        frames = []
+        for j in range(n_frames):
+            base = int(rng.integers(30, 200))
+            img = np.empty((h, w, 3), np.uint8)
+            img[:, :, 0] = (base + j * 9) % 256
+            img[:, :, 1] = (np.arange(w)[None, :] * 2 + j) % 256
+            img[:, :, 2] = (np.arange(h)[:, None] * 3 + base) % 256
+            frames.append(encode_jpeg(img, quality=92))
+        sizes = np.array([len(f) for f in frames], dtype=np.int64)
+        payload = encode_mp4(
+            sizes, frames, frame_dur=40, width=w, height=h, codec=b"jpeg"
+        )
+        rows["media_id"].append(i)
+        rows["modality"].append("video")
+        rows["fmt"].append("mp4")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(n_frames * 40)
+        rows["payload"].append(payload)
+    return pa.table({f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA})
+
+
 def _fold_features(payload: bytes, dim: int = FEAT_DIM) -> np.ndarray:
     digest = hashlib.blake2b(payload, digest_size=dim * 4).digest()
     raw = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
@@ -327,4 +364,141 @@ def demux_frames(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),
+    )
+
+
+class VideoFrameDecodeStage:
+    """REAL video-frame decode (round 4): demux each MP4's sample
+    table, pick the sample covering every ``stride_ms`` tick, and —
+    for the motion-JPEG codec (stsd 4cc ``jpeg``, samples are baseline
+    JPEGs) — decode the frame's actual pixels with
+    :mod:`jpeg_codec` and emit its feature vector.  Codecs without a
+    pure-Python decode (H.264 etc.) follow ``on_unsupported``:
+    ``"skip"`` (the documented default at scale — rows drop and the
+    companion :func:`decode_skip_counts` makes the drops auditable) or
+    ``"error"``."""
+
+    def __init__(
+        self,
+        stride_ms: int = 1000,
+        feat_dim: int = FEAT_DIM,
+        on_unsupported: str = "skip",
+    ):
+        if on_unsupported not in ("error", "skip"):
+            raise ValueError(f"bad on_unsupported {on_unsupported!r}")
+        self.stride_ms = stride_ms
+        self.feat_dim = feat_dim
+        self.on_unsupported = on_unsupported
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raysearch.pipelines.jpeg_codec import decode_jpeg
+        from raysearch.pipelines.media_codec import image_features
+        from raysearch.pipelines.mp4_codec import parse_mp4
+
+        out = {
+            "media_id": [], "frame_ms": [], "sample_idx": [],
+            "width": [], "height": [], "feature": [],
+        }
+        for mid, mod, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["modality"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if mod != "video":
+                continue
+            info = parse_mp4(payload)
+            if info["codec"] != "jpeg":
+                if self.on_unsupported == "skip":
+                    continue
+                raise NotImplementedError(
+                    f"no pure-Python decode for video codec "
+                    f"{info['codec']!r} (motion-JPEG 'jpeg' decodes for "
+                    f"real; use on_unsupported='skip' to drop and count "
+                    f"other codecs)"
+                )
+            scale = info["timescale"]
+            ends_ms = np.cumsum(info["durations"]) * 1000 // scale
+            total_ms = int(ends_ms[-1]) if len(ends_ms) else 0
+            ticks = np.arange(0, total_ms, self.stride_ms, dtype=np.int64)
+            idx = np.searchsorted(ends_ms, ticks, side="right")
+            for t, s in zip(ticks.tolist(), idx.tolist()):
+                off = int(info["offsets"][s])
+                ln = int(info["sizes"][s])
+                img = decode_jpeg(payload[off : off + ln])
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                out["media_id"].append(mid)
+                out["frame_ms"].append(t)
+                out["sample_idx"].append(s)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["feature"].append(
+                    image_features(img, self.feat_dim).tolist()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_ms": pa.array(out["frame_ms"], pa.int64()),
+                "sample_idx": pa.array(out["sample_idx"], pa.int64()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "feature": pa.array(out["feature"], pa.list_(pa.float64())),
+            }
+        )
+
+
+def decode_video_frames(
+    ds,
+    stride_ms: int = 1000,
+    batch_size: int = DEFAULT_MEDIA_BATCH,
+    on_unsupported: str = "skip",
+):
+    """Decoded video-frame features via demux + motion-JPEG decode:
+    (media_id, frame_ms, sample_idx, width, height, feature)."""
+    return ds.map_batches(
+        VideoFrameDecodeStage,
+        fn_constructor_kwargs={
+            "stride_ms": stride_ms,
+            "on_unsupported": on_unsupported,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def decode_skip_counts(ds):
+    """The skip-and-count contract for ``on_unsupported="skip"``
+    pipelines: per format, how many rows the real-decode layer handles
+    vs drops — (fmt, n_rows, n_decoded, n_skipped), sorted by fmt.
+    Per-block partials then one tiny groupby (bounded by the number of
+    distinct formats); makes silent skips auditable at any scale."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    supported = list(DecodeStage.SUPPORTED)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fmt = b["fmt"]
+        dec = pc.is_in(fmt, value_set=pa.array(supported, pa.string()))
+        ones = np.ones(b.num_rows, np.int64)
+        dec_np = dec.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "fmt": fmt,
+                "n_rows": pa.array(ones, pa.int64()),
+                "n_decoded": pa.array(dec_np, pa.int64()),
+                "n_skipped": pa.array(ones - dec_np, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_decoded", alias_name="n_decoded"),
+            Sum("n_skipped", alias_name="n_skipped"),
+        )
+        .sort("fmt")
     )

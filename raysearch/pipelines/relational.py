@@ -66,9 +66,10 @@ def top_customers(orders, customer, k: int = 10):
     """Top-k customers by total order value: groupby-aggregate on the
     fact side only, Dataset-level ``sort(...).limit(k)`` for the
     reduce (the per-customer aggregate never lands on the driver), then
-    the customer name attached to just the k winners from the broadcast
-    dimension side — the J4 large⋈small pattern with the join deferred
-    past the top-k so it touches k rows, not |customers|."""
+    the customer name attached to just the k winners by broadcasting
+    the k winner KEYS and filtering the dimension distributed — the
+    join is deferred past the top-k so the driver touches k rows, not
+    |customers|, at any dimension width."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -87,9 +88,29 @@ def top_customers(orders, customer, k: int = 10):
         .sort(["total_spent", "o_custkey"], descending=[True, False])
         .limit(k)
     )
-    pdf = top.to_pandas()  # k rows
-    cust_pdf = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
-    names = dict(zip(cust_pdf.c_custkey, cust_pdf.c_name))
+    pdf = top.to_pandas()  # k rows — bounded by k by construction
+    # attach names by broadcasting the k WINNER KEYS (not the dim!)
+    # and filtering the customer table distributed: the driver never
+    # holds more than k dimension rows, however wide the dim grows
+    # (round 3 pulled the whole customer table into a driver dict).
+    import ray
+
+    keys = np.sort(pdf["o_custkey"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    def pick(b: pa.Table) -> pa.Table:
+        w = ray.get(keys_ref)  # sorted
+        d = b["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(w, d)
+        pos[pos >= len(w)] = len(w) - 1
+        return b.filter(pa.array(w[pos] == d))
+
+    winners = (
+        customer.select_columns(["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # ≤ k rows
+    )
+    names = dict(zip(winners.c_custkey, winners.c_name))
     pdf["c_name"] = pdf["o_custkey"].map(names)
     return rd.from_pandas(
         pdf[["o_custkey", "c_name", "total_spent", "n_orders"]].reset_index(drop=True)

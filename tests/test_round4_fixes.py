@@ -114,3 +114,127 @@ def test_connected_components_raises_when_rounds_exhausted(ray_session):
     labels = connected_components(pairs, max_rounds=64, driver_limit=0)
     pdf = labels.to_pandas()
     assert pdf["label"].nunique() == 1
+
+
+def test_top_customers_wide_dim_bounded(ray_session):
+    """top_customers must not pull the dimension to the driver: with a
+    wide customer table the result still attaches exactly the k
+    winners' names (keys broadcast, dim filtered distributed)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import top_customers
+
+    n_cust = 5000
+    rng = np.random.default_rng(11)
+    orders = rd.from_arrow(
+        pa.table(
+            {
+                "o_custkey": pa.array(
+                    rng.integers(0, n_cust, size=20000), pa.int64()
+                ),
+                "o_totalprice": pa.array(
+                    rng.uniform(1, 1000, size=20000), pa.float64()
+                ),
+            }
+        )
+    ).repartition(7)
+    customer = rd.from_arrow(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{i:09d}" for i in range(n_cust)], pa.string()
+                ),
+            }
+        )
+    ).repartition(5)
+    out = top_customers(orders, customer, k=10).to_pandas()
+    assert len(out) == 10
+    assert out["c_name"].notna().all()
+    assert (
+        out["c_name"]
+        == out["o_custkey"].map(lambda i: f"Customer#{i:09d}")
+    ).all()
+    # descending spend, custkey tiebreak
+    assert list(out["total_spent"]) == sorted(out["total_spent"], reverse=True)
+
+
+def test_mjpeg_video_frame_decode_real(ray_session):
+    """Motion-JPEG MP4 → demux → REAL per-frame JPEG decode: every
+    sampled frame's feature vector must equal decode_jpeg applied to
+    the demuxed byte range, and the decoded pixels must be close to
+    the encoder's source frames (JPEG is lossy but the fixture frames
+    are smooth gradients)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.jpeg_codec import decode_jpeg, encode_jpeg
+    from raysearch.pipelines.media_codec import image_features
+    from raysearch.pipelines.mp4_codec import encode_mp4, parse_mp4
+    from raysearch.pipelines.multimodal import (
+        decode_video_frames,
+        mjpeg_media_table,
+    )
+
+    tbl = mjpeg_media_table(4)
+    out = (
+        decode_video_frames(rd.from_arrow(tbl), stride_ms=40)
+        .to_pandas()
+        .sort_values(["media_id", "frame_ms"])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+    payloads = {m: p for m, p in zip(tbl["media_id"].to_pylist(),
+                                     tbl["payload"].to_pylist())}
+    # one frame per 40 ms tick per video
+    durs = {m: d for m, d in zip(tbl["media_id"].to_pylist(),
+                                 tbl["duration_ms"].to_pylist())}
+    assert len(out) == sum(d // 40 for d in durs.values())
+    for _, row in out.iterrows():
+        info = parse_mp4(payloads[row.media_id])
+        assert info["codec"] == "jpeg"
+        off = int(info["offsets"][row.sample_idx])
+        ln = int(info["sizes"][row.sample_idx])
+        img = decode_jpeg(payloads[row.media_id][off : off + ln])
+        assert (img.shape[1], img.shape[0]) == (row.width, row.height)
+        np.testing.assert_allclose(
+            np.asarray(row.feature), image_features(img, 16), rtol=0, atol=0
+        )
+
+    # pixel fidelity vs a known source frame
+    src = np.zeros((16, 16, 3), np.uint8)
+    src[:, :, 0] = 100
+    src[:, :, 1] = (np.arange(16)[None, :] * 2) % 256
+    src[:, :, 2] = (np.arange(16)[:, None] * 3) % 256
+    jb = encode_jpeg(src, quality=92)
+    mp4 = encode_mp4([len(jb)], [jb], codec=b"jpeg", width=16, height=16)
+    info = parse_mp4(mp4)
+    dec = decode_jpeg(mp4[info["offsets"][0] : info["offsets"][0] + info["sizes"][0]])
+    assert np.abs(dec.astype(int) - src.astype(int)).mean() < 8.0
+
+
+def test_video_decode_skip_and_error_contract(ray_session):
+    """Opaque-codec MP4s: on_unsupported='skip' drops them (the
+    documented default at scale) and decode_skip_counts makes the
+    drops auditable; on_unsupported='error' raises."""
+    import ray.data as rd
+
+    from raysearch.pipelines.multimodal import (
+        decode_skip_counts,
+        decode_video_frames,
+        fake_media_table,
+    )
+
+    media = rd.from_arrow(fake_media_table(24))
+    # fake_media_table videos are 'opqv' — all skipped, no error
+    out = decode_video_frames(media, stride_ms=1000).to_pandas()
+    assert len(out) == 0
+    with pytest.raises(Exception, match="opqv"):
+        decode_video_frames(
+            media, on_unsupported="error"
+        ).materialize()
+    counts = decode_skip_counts(media).to_pandas().set_index("fmt")
+    assert counts.loc["mp4", "n_skipped"] == counts.loc["mp4", "n_rows"]
+    for fmt in ("png", "jpeg", "wav"):
+        assert counts.loc[fmt, "n_skipped"] == 0
+        assert counts.loc[fmt, "n_decoded"] == counts.loc[fmt, "n_rows"]
+    assert counts["n_rows"].sum() == 24
