@@ -546,21 +546,24 @@ def _q_transcripts_doclens_sql(sf_dir: str):
 
     _, index = _simple_index(sf_dir)
     s = IndexSearcher(index)
-    rows = []
-    for i, conv in enumerate(s._conv_ids):
-        lo = int(s._conv_offsets[i])
-        n = int(s._conv_turns[i])
-        rows.append(
-            pd.DataFrame(
-                {
-                    "conv_id": conv,
-                    "turn_idx": np.arange(n, dtype=np.int32),
-                    "doc_id": np.arange(lo, lo + n, dtype=np.int64),
-                    "doc_len": s.doc_lens[lo : lo + n],
-                }
-            )
-        )
-    return pd.concat(rows, ignore_index=True)
+    # fully vectorized assembly (round 4: was a per-conversation
+    # driver loop): docs are laid out conv-major, so conv index and
+    # turn index derive from one repeat + one cumsum-offset subtraction
+    turns = np.asarray(s._conv_turns, dtype=np.int64)
+    offsets = np.asarray(s._conv_offsets, dtype=np.int64)
+    n_docs = int(turns.sum())
+    conv_idx = np.repeat(np.arange(len(turns)), turns)
+    starts = np.concatenate(([0], np.cumsum(turns)[:-1]))
+    pos_in_conv = np.arange(n_docs, dtype=np.int64) - starts[conv_idx]
+    doc_id = offsets[conv_idx] + pos_in_conv
+    return pd.DataFrame(
+        {
+            "conv_id": np.asarray(s._conv_ids, dtype=object)[conv_idx],
+            "turn_idx": pos_in_conv.astype(np.int32),
+            "doc_id": doc_id,
+            "doc_len": s.doc_lens[doc_id],
+        }
+    )
 
 
 def _q_transcripts_stats(sf_dir: str):

@@ -1,11 +1,17 @@
-"""Pure-stdlib baseline JPEG codec (encoder + decoder) — closes the
-last ``NotImplementedError`` decode surface in the multimodal pipeline
+"""Pure-stdlib JPEG codec (encoder + decoder) — closes the last
+``NotImplementedError`` decode surface in the multimodal pipeline
 (round 3; JPEG was previously stubbed as "needs external libraries",
 but baseline sequential JPEG is implementable with numpy alone).
 
 Scope (deliberately the minimal REAL subset):
 
 * baseline sequential DCT (SOF0), 8-bit samples;
+* progressive DCT (SOF2, round 4): multi-scan decode with spectral
+  selection AND successive approximation — DC first/refinement scans,
+  AC first scans with EOBn run codes, AC refinement scans with
+  correction bits (T.81 Annex G.2); plus a progressive ENCODER
+  (spectral selection + one successive-approximation level) so the
+  decode path is roundtrip-testable without external fixtures;
 * 1 component (grayscale) or 3 components (YCbCr) with 4:4:4 sampling
   — the encoder never subsamples, the decoder rejects subsampled
   chroma rather than silently mis-decoding;
@@ -383,20 +389,423 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, successive: bool = True
+) -> bytes:
+    """Progressive JFIF bytes (SOF2) for the same inputs as
+    :func:`encode_jpeg` — identical quantized coefficients, delivered
+    over a multi-scan script so :func:`decode_jpeg`'s progressive path
+    is roundtrip-testable without external fixtures:
+
+    * DC first scan (all components, Al=1 when ``successive``), then a
+      DC refinement scan (Ah=1, Al=0);
+    * per component: AC first scans over split spectral bands
+      ([1..5], [6..63]) at Al=1, then an AC refinement scan over the
+      full band (Ah=1, Al=0) — with ``successive=False`` the single
+      Al=0 first scans per band are emitted instead.
+
+    Decoding this stream MUST equal decoding the baseline stream of
+    the same image/quality bit-for-bit (asserted in tests): both
+    deliver the same quantized coefficients."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64))
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB uint8")
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    qtabs = [_quality_scale(_Q_LUMA, quality)]
+    if ncomp == 3:
+        qtabs.append(_quality_scale(_Q_CHROMA, quality))
+
+    by = (h + 7) // 8
+    bx = (w + 7) // 8
+    # quantized zigzag coefficients per component: (by, bx, 64) int64
+    zcoefs = []
+    for ci, plane in enumerate(planes):
+        pad = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") - 128.0
+        blocks = pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,byjk,lk->byil", _C, blocks, _C)
+        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8)
+        qc = np.round(coefs / q).astype(np.int64).reshape(by, bx, 64)
+        zcoefs.append(qc[..., _ZIGZAG])  # natural → zigzag order
+    al1 = 1 if successive else 0
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in enumerate(qtabs):
+        zz = q[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">HB", 3 + 64, tid) + bytes(
+            int(v) for v in zz
+        )
+    # SOF2 (progressive)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    hts = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if ncomp == 3:
+        hts += [
+            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in hts:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
+    ac_codes = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
+    if ncomp == 3:
+        dc_codes.append(_build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_codes.append(_build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+
+    def sos_header(comp_tables, ss, se, ah, al):
+        ns = len(comp_tables)
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid, tbl in comp_tables:
+            hdr += struct.pack("BB", cid, tbl)
+        return hdr + struct.pack("BBB", ss, se, (ah << 4) | al)
+
+    # --- DC first scan (all components, point transform Al) ---
+    out += sos_header(
+        [(ci + 1, (min(ci, 1) << 4)) for ci in range(ncomp)], 0, 0, 0, al1
+    )
+    bw = _BitWriter()
+    prev = [0] * ncomp
+    for my in range(by):
+        for mx in range(bx):
+            for ci in range(ncomp):
+                v = int(zcoefs[ci][my, mx, 0]) >> al1
+                diff = v - prev[ci]
+                prev[ci] = v
+                size, code = _magnitude(diff)
+                hc, hl = dc_codes[min(ci, 1)][size]
+                bw.write(hc, hl)
+                if size:
+                    bw.write(code, size)
+    bw.flush()
+    out += bw.buf
+
+    # --- AC scans ---
+    bands = [(1, 5), (6, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos_header([(ci + 1, min(ci, 1))], ss, se, 0, al1)
+            out += _encode_ac_first(zcoefs[ci], ac_codes[min(ci, 1)], ss, se, al1)
+    if successive:
+        # DC refinement: one raw bit per block per component
+        out += sos_header(
+            [(ci + 1, 0) for ci in range(ncomp)], 0, 0, 1, 0
+        )
+        bw = _BitWriter()
+        for my in range(by):
+            for mx in range(bx):
+                for ci in range(ncomp):
+                    bw.write(int(zcoefs[ci][my, mx, 0]) & 1, 1)
+        bw.flush()
+        out += bw.buf
+        # AC refinement per component over the full band
+        for ci in range(ncomp):
+            out += sos_header([(ci + 1, min(ci, 1))], 1, 63, 1, 0)
+            out += _encode_ac_refine(zcoefs[ci], ac_codes[min(ci, 1)], 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_ac_first(zc: np.ndarray, codes, ss: int, se: int, al: int) -> bytes:
+    """Entropy bytes of a progressive AC first scan (Ah=0) over band
+    [ss, se] with point transform ``al`` — EOB emitted per block
+    (eobrun=1; batching EOB runs is an optional optimization)."""
+    by, bx, _ = zc.shape
+    bw = _BitWriter()
+    for my in range(by):
+        for mx in range(bx):
+            zz = zc[my, mx]
+            run = 0
+            last = ss - 1
+            for k in range(ss, se + 1):
+                if abs(int(zz[k])) >> al:
+                    last = k
+            for k in range(ss, se + 1):
+                if k > last:
+                    break
+                v = int(zz[k])
+                a = abs(v) >> al
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    hc, hl = codes[0xF0]  # ZRL
+                    bw.write(hc, hl)
+                    run -= 16
+                sv = a if v > 0 else -a
+                size, code = _magnitude(sv)
+                hc, hl = codes[(run << 4) | size]
+                bw.write(hc, hl)
+                bw.write(code, size)
+                run = 0
+            if last < se:
+                hc, hl = codes[0x00]  # EOB (eobrun = 1)
+                bw.write(hc, hl)
+    bw.flush()
+    return bytes(bw.buf)
+
+
+def _encode_ac_refine(zc: np.ndarray, codes, ss: int, se: int, al: int) -> bytes:
+    """Entropy bytes of a progressive AC refinement scan (Ah=Al+1):
+    newly-nonzero coefficients as (run, 1)+sign symbols whose runs
+    count ZERO-HISTORY positions only, with each history coefficient's
+    correction bit emitted exactly where the decoder's walk for the
+    covering symbol reads it (the encoder mirrors
+    :func:`_scan_ac_refine`'s control flow position-for-position); EOB
+    per block with trailing correction bits for the rest of the band."""
+    by, bx, _ = zc.shape
+    bw = _BitWriter()
+    for my in range(by):
+        for mx in range(bx):
+            zz = zc[my, mx]
+            a = np.abs(zz[ss : se + 1].astype(np.int64)) >> al
+            hist = a > 1  # nonzero before this scan
+            new = a == 1  # becomes nonzero in this scan
+            corr = (np.abs(zz[ss : se + 1].astype(np.int64)) >> al) & 1
+            new_pos = np.flatnonzero(new)
+            k = 0  # offset within the band
+            n_band = se - ss + 1
+            for np_i in new_pos.tolist():
+                # zero-history run length between k and the new coef
+                r = int(np.count_nonzero(~hist[k:np_i] & ~new[k:np_i]))
+                while r > 15:
+                    # ZRL: decoder walks from k consuming 16
+                    # zero-history positions, reading a correction bit
+                    # at every history position it passes
+                    hc, hl = codes[0xF0]
+                    bw.write(hc, hl)
+                    zeros = 0
+                    while zeros < 16:
+                        if hist[k]:
+                            bw.write(int(corr[k]), 1)
+                        else:
+                            zeros += 1
+                        k += 1
+                    r -= 16
+                hc, hl = codes[(r << 4) | 1]
+                bw.write(hc, hl)
+                bw.write(1 if int(zz[ss + np_i]) > 0 else 0, 1)
+                # decoder walk: history bits between k and the placement
+                while k < np_i:
+                    if hist[k]:
+                        bw.write(int(corr[k]), 1)
+                    k += 1
+                k = np_i + 1
+            if k < n_band:
+                # EOB (run of 1): decoder reads correction bits for the
+                # remaining history coefficients in the band
+                hc, hl = codes[0x00]
+                bw.write(hc, hl)
+                for p in range(k, n_band):
+                    if hist[p]:
+                        bw.write(int(corr[p]), 1)
+    bw.flush()
+    return bytes(bw.buf)
+
+
+def _scan_baseline(reader, scan_comps, coefs_z, huff, by, bx, restart_interval):
+    """Baseline sequential scan: full DC+AC per block, MCU-interleaved."""
+    prev_dc = {idx: 0 for idx, _, _ in scan_comps}
+    mcu = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.byte_align()
+                reader.skip_restart()
+                for k in prev_dc:
+                    prev_dc[k] = 0
+            mcu += 1
+            for idx, dct, act in scan_comps:
+                try:
+                    zz = coefs_z[idx][my, mx]
+                    size = _decode_huff(reader, huff[(0, dct)])
+                    diff = _extend(reader.read_bits(size), size) if size else 0
+                    prev_dc[idx] += diff
+                    zz[0] = prev_dc[idx]
+                    i = 1
+                    while i < 64:
+                        rs = _decode_huff(reader, huff[(1, act)])
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                i += 16  # ZRL
+                                continue
+                            break  # EOB
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC run overflow")
+                        zz[i] = _extend(reader.read_bits(size), size)
+                        i += 1
+                except _RestartMarker:
+                    raise ValueError("unexpected restart marker") from None
+
+
+def _scan_dc_first(reader, scan_comps, coefs_z, huff, by, bx, al,
+                   restart_interval):
+    """Progressive DC first scan (Ah=0): diffs of the point-transformed
+    DC values, stored shifted left by Al (T.81 G.1.2.1)."""
+    prev_dc = {idx: 0 for idx, _, _ in scan_comps}
+    mcu = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.byte_align()
+                reader.skip_restart()
+                for k in prev_dc:
+                    prev_dc[k] = 0
+            mcu += 1
+            for idx, dct, _ in scan_comps:
+                size = _decode_huff(reader, huff[(0, dct)])
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                prev_dc[idx] += diff
+                coefs_z[idx][my, mx, 0] = prev_dc[idx] << al
+
+
+def _scan_dc_refine(reader, scan_comps, coefs_z, by, bx, al,
+                    restart_interval):
+    """Progressive DC refinement (Ah>0): one raw bit per block, ORed in
+    at position Al — two's-complement OR reconstructs negatives exactly
+    because the first scan stored an arithmetic-shifted value."""
+    p1 = np.int64(1 << al)
+    mcu = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.byte_align()
+                reader.skip_restart()
+            mcu += 1
+            for idx, _, _ in scan_comps:
+                if reader.read_bit():
+                    coefs_z[idx][my, mx, 0] |= p1
+
+
+def _scan_ac_first(reader, idx, act, coefs_z, huff, by, bx, ss, se, al,
+                   restart_interval):
+    """Progressive AC first scan (Ah=0) over one component's band
+    [Ss, Se]: run/size coding with EOBn end-of-band run codes."""
+    eobrun = 0
+    blk = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_interval and blk and blk % restart_interval == 0:
+                reader.byte_align()
+                reader.skip_restart()
+                eobrun = 0
+            blk += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            zz = coefs_z[idx][my, mx]
+            k = ss
+            while k <= se:
+                rs = _decode_huff(reader, huff[(1, act)])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflow in progressive band")
+                zz[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+
+
+def _scan_ac_refine(reader, idx, act, coefs_z, huff, by, bx, ss, se, al,
+                    restart_interval):
+    """Progressive AC refinement (Ah>0): correction bits for
+    already-nonzero coefficients, ±1<<Al for newly-nonzero ones, EOB
+    runs with trailing correction bits (T.81 G.2 / the standard
+    decode_mcu_AC_refine control flow)."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    eobrun = 0
+    blk = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_interval and blk and blk % restart_interval == 0:
+                reader.byte_align()
+                reader.skip_restart()
+                eobrun = 0
+            blk += 1
+            zz = coefs_z[idx][my, mx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(reader, huff[(1, act)])
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("bad size in AC refinement")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        coef = int(zz[k])
+                        if coef != 0:
+                            if reader.read_bit():
+                                if (coef & p1) == 0:
+                                    zz[k] = coef + (p1 if coef >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if val:
+                                    zz[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    coef = int(zz[k])
+                    if coef != 0:
+                        if reader.read_bit():
+                            if (coef & p1) == 0:
+                                zz[k] = coef + (p1 if coef >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline sequential JFIF bytes to (h, w) grayscale or
-    (h, w, 3) RGB uint8.  Supports 4:4:4 or single-component streams,
-    stream-carried DQT/DHT, DRI/RSTn; rejects progressive (SOF2) and
-    subsampled chroma explicitly."""
+    """Decode JFIF bytes to (h, w) grayscale or (h, w, 3) RGB uint8.
+    Baseline sequential (SOF0/1) AND progressive (SOF2, round 4 —
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOBn runs).  Supports 4:4:4 or single-component
+    streams, stream-carried DQT/DHT, DRI/RSTn; rejects subsampled
+    chroma explicitly."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
-    h = w = 0
+    h = w = by = bx = 0
+    progressive = False
     restart_interval = 0
-    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    coefs_z: list[np.ndarray] = []  # per comp: (by, bx, 64) zigzag ints
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -432,7 +841,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nvals])
                 huff[(tc, th)] = _build_decode_map(bits, vals)
                 p += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -443,67 +853,70 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     "subsampled chroma not supported (encoder is 4:4:4)"
                 )
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            by = (h + 7) // 8
+            bx = (w + 7) // 8
+            coefs_z = [
+                np.zeros((by, bx, 64), dtype=np.int64) for _ in range(ncomp)
+            ]
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_comps = []
             for si in range(ns):
                 cs, tables = seg[1 + 2 * si], seg[2 + 2 * si]
                 idx = next(i for i, (cid, _, _) in enumerate(comps) if cid == cs)
                 scan_comps.append((idx, tables >> 4, tables & 0x0F))
+            ss_, se_, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             pos += seglen
-            break
+            reader = _BitReader(data, pos)
+            saw_scan = True
+            if not progressive:
+                _scan_baseline(
+                    reader, scan_comps, coefs_z, huff, by, bx, restart_interval
+                )
+            elif ss_ == 0:  # DC scan (Se must be 0)
+                if ah == 0:
+                    _scan_dc_first(
+                        reader, scan_comps, coefs_z, huff, by, bx, al,
+                        restart_interval,
+                    )
+                else:
+                    _scan_dc_refine(
+                        reader, scan_comps, coefs_z, by, bx, al,
+                        restart_interval,
+                    )
+            else:  # AC scan: exactly one component
+                if ns != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                idx, _, act = scan_comps[0]
+                if ah == 0:
+                    _scan_ac_first(
+                        reader, idx, act, coefs_z, huff, by, bx, ss_, se_,
+                        al, restart_interval,
+                    )
+                else:
+                    _scan_ac_refine(
+                        reader, idx, act, coefs_z, huff, by, bx, ss_, se_,
+                        al, restart_interval,
+                    )
+            pos = reader.pos  # just before the next marker
+            continue
         pos += seglen
-    if not scan_comps or not h:
+    if not saw_scan or not h:
         raise ValueError("no scan found")
 
     ncomp = len(comps)
-    by = (h + 7) // 8
-    bx = (w + 7) // 8
-    coefs = [np.zeros((by, bx, 8, 8), dtype=np.float64) for _ in range(ncomp)]
-    reader = _BitReader(data, pos)
-    prev_dc = [0] * ncomp
-    mcu = 0
-    for my in range(by):
-        for mx in range(bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.byte_align()
-                reader.skip_restart()
-                prev_dc = [0] * ncomp
-            mcu += 1
-            for idx, dct, act in scan_comps:
-                try:
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _decode_huff(reader, huff[(0, dct)])
-                    diff = _extend(reader.read_bits(size), size) if size else 0
-                    prev_dc[idx] += diff
-                    zz[0] = prev_dc[idx]
-                    i = 1
-                    while i < 64:
-                        rs = _decode_huff(reader, huff[(1, act)])
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:
-                                i += 16  # ZRL
-                                continue
-                            break  # EOB
-                        i += run
-                        if i > 63:
-                            raise ValueError("AC run overflow")
-                        zz[i] = _extend(reader.read_bits(size), size)
-                        i += 1
-                except _RestartMarker:
-                    raise ValueError("unexpected restart marker") from None
-                nat = np.empty(64, dtype=np.int64)
-                nat[_ZIGZAG] = zz
-                q = qtabs[comps[idx][2]]
-                coefs[idx][my, mx] = nat.reshape(8, 8) * q
     planes = []
     for ci in range(ncomp):
-        spat = np.einsum("ji,byjk,kl->byil", _C, coefs[ci], _C) + 128.0
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = coefs_z[ci]
+        q = qtabs[comps[ci][2]].reshape(64)
+        blocks = (nat * q).reshape(by, bx, 8, 8)
+        spat = np.einsum("ji,byjk,kl->byil", _C, blocks, _C) + 128.0
         img = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)[:h, :w]
         planes.append(img)
     if ncomp == 1:

@@ -15,12 +15,17 @@ Round 3: baseline JPEG decode is real too (:mod:`jpeg_codec`, numpy
 Huffman + IDCT), and the video CONTAINER layer is real — the fixture
 writes genuine minimal MP4 files and :class:`DemuxFrameStage`
 box-walks their ISO-BMFF sample tables (:mod:`mp4_codec`) to map
-stride ticks to sample indices and absolute byte ranges.  The only
-remaining stub surface is the codec layer external libraries would
-provide (H.264 entropy decode, progressive JPEG): DecodeStage raises
-``NotImplementedError`` per such row unless configured to skip or
-fake — exactly the decode this environment cannot provide, not the
-pipeline around it.
+stride ticks to sample indices and absolute byte ranges.
+
+Round 4: JPEG decode covers progressive (SOF2) streams too, and
+motion-JPEG MP4s decode actual frame pixels
+(:class:`VideoFrameDecodeStage`).  The only remaining stub surface is
+the codec layer external libraries would provide (H.264 entropy
+decode): DecodeStage raises ``NotImplementedError`` per such row
+unless configured to skip or fake — exactly the decode this
+environment cannot provide, not the pipeline around it — and the
+skip-and-count contract (:func:`decode_skip_counts`) makes the drops
+auditable, which is the documented default at 100 TB scale.
 """
 
 from __future__ import annotations
@@ -153,10 +158,10 @@ class DecodeStage:
     state would load once per actor in ``__init__``).
 
     * ``fake=False`` (default): REAL decode — PNG via
-      :func:`media_codec.decode_png`, baseline JPEG via
-      :func:`jpeg_codec.decode_jpeg` (round 3 — pure numpy Huffman +
-      IDCT), WAV via :func:`media_codec.decode_wav`; formats with no
-      stdlib codec (MP4/H.264 video, progressive JPEG) follow
+      :func:`media_codec.decode_png`, baseline AND progressive JPEG
+      via :func:`jpeg_codec.decode_jpeg` (numpy Huffman + IDCT), WAV
+      via :func:`media_codec.decode_wav`; formats with no
+      stdlib codec (MP4/H.264 video) follow
       ``on_unsupported``: ``"error"`` (raise NotImplementedError, the
       default), ``"skip"`` (drop the row), or ``"fake"``
       (deterministic blake2b-folded vector, clearly tagged by

@@ -238,3 +238,90 @@ def test_video_decode_skip_and_error_contract(ray_session):
         assert counts.loc[fmt, "n_skipped"] == 0
         assert counts.loc[fmt, "n_decoded"] == counts.loc[fmt, "n_rows"]
     assert counts["n_rows"].sum() == 24
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (round 4): SOF2 multi-scan decode with spectral
+# selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _test_images():
+    rng = np.random.default_rng(21)
+    imgs = [
+        # smooth gradient (few AC coefs, long EOB runs)
+        (np.arange(24)[None, :, None] * 10 + np.arange(16)[:, None, None] * 5)
+        .astype(np.uint8)
+        .repeat(3, axis=2),
+        # pure noise (dense AC, exercises ZRL + refinement interleave)
+        rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8),
+        # grayscale
+        rng.integers(0, 256, size=(9, 31)).astype(np.uint8),
+        # flat block (all-zero AC everywhere)
+        np.full((8, 8, 3), 130, np.uint8),
+    ]
+    return imgs
+
+
+@pytest.mark.parametrize("successive", [True, False])
+@pytest.mark.parametrize("quality", [92, 60])
+def test_progressive_jpeg_equals_baseline(successive, quality):
+    """A progressive stream of the same image/quality carries the SAME
+    quantized coefficients as the baseline stream, so decode must be
+    bit-identical between the two paths."""
+    from raysearch.pipelines.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for img in _test_images():
+        base = decode_jpeg(encode_jpeg(img, quality=quality))
+        prog_bytes = encode_jpeg_progressive(
+            img, quality=quality, successive=successive
+        )
+        # really SOF2 on the wire
+        assert b"\xff\xc2" in prog_bytes[:200]
+        prog = decode_jpeg(prog_bytes)
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_jpeg_multiscan_structure():
+    """The progressive stream carries the expected number of SOS scans
+    (1 DC first + 2 AC bands x ncomp + DC refine + AC refine x ncomp)."""
+    from raysearch.pipelines.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    b = encode_jpeg_progressive(img, successive=True)
+    assert b.count(b"\xff\xda") == 1 + 2 * 3 + 1 + 3
+    gray = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    bg = encode_jpeg_progressive(gray, successive=False)
+    assert bg.count(b"\xff\xda") == 1 + 2
+
+
+def test_decode_stage_handles_progressive_payload(ray_session):
+    """DecodeStage feature-extracts a progressive JPEG payload exactly
+    like the equivalent baseline payload (no skip, no error)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.jpeg_codec import encode_jpeg, encode_jpeg_progressive
+    from raysearch.pipelines.multimodal import MEDIA_SCHEMA, decode_features
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+    rows = {
+        "media_id": [0, 1],
+        "modality": ["image", "image"],
+        "fmt": ["jpeg", "jpeg"],
+        "width": [24, 24],
+        "height": [24, 24],
+        "duration_ms": [0, 0],
+        "payload": [encode_jpeg(img, 85), encode_jpeg_progressive(img, 85)],
+    }
+    tbl = pa.table({f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA})
+    out = decode_features(rd.from_arrow(tbl)).to_pandas().set_index("media_id")
+    assert len(out) == 2
+    np.testing.assert_array_equal(
+        np.asarray(out.loc[0, "feature"]), np.asarray(out.loc[1, "feature"])
+    )
