@@ -277,43 +277,69 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """Baseline JFIF bytes for a (h, w) grayscale or (h, w, 3) RGB
-    uint8 image; 4:4:4 (no chroma subsampling)."""
+def _encoder_planes_and_sampling(img, subsampling: str):
+    """Shared encoder front end: color transform + (optional) 4:2:0
+    chroma box-downsample.  Returns (planes, H, V, h, w)."""
     img = np.asarray(img)
     if img.ndim == 2:
-        planes = [img.astype(np.float64)]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(img.astype(np.float64))
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-    else:
+        return [img.astype(np.float64)], [1], [1], img.shape[0], img.shape[1]
+    if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB uint8")
-    h, w = planes[0].shape
-    ncomp = len(planes)
+    h, w = img.shape[:2]
+    ycc = _rgb_to_ycbcr(img.astype(np.float64))
+    planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    if subsampling == "444":
+        return planes, [1, 1, 1], [1, 1, 1], h, w
+    if subsampling != "420":
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    # 2x2 box mean over the even-padded plane
+    he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    for ci in (1, 2):
+        p = np.pad(
+            planes[ci], ((0, he - h), (0, we - w)), mode="edge"
+        )
+        planes[ci] = p.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
+    return planes, [2, 1, 1], [2, 1, 1], h, w
 
-    qtabs = [_quality_scale(_Q_LUMA, quality)]
-    if ncomp == 3:
-        qtabs.append(_quality_scale(_Q_CHROMA, quality))
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    # APP0 JFIF
+def _quantized_grids(planes, qtabs, hs, vs, h, w):
+    """Per-component quantized zigzag coefficient grids on the
+    MCU-padded geometry: list of (grid_h, grid_w, 64) int64."""
+    hmax, vmax = max(hs), max(vs)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for ci, plane in enumerate(planes):
+        gh, gw = mcuy * vs[ci], mcux * hs[ci]
+        ph, pw = plane.shape
+        pad = np.pad(
+            plane, ((0, gh * 8 - ph), (0, gw * 8 - pw)), mode="edge"
+        ) - 128.0
+        blocks = pad.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ij,byjk,lk->byil", _C, blocks, _C)
+        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8)
+        qc = np.round(coefs / q).astype(np.int64).reshape(gh, gw, 64)
+        grids.append(qc[..., _ZIGZAG])
+    return grids, mcux, mcuy
+
+
+def _encode_headers(out, qtabs, h, w, ncomp, hs, vs, sof_marker: bytes):
     out += (
         b"\xff\xe0"
         + struct.pack(">H", 16)
         + b"JFIF\x00\x01\x01\x00"
         + struct.pack(">HHBB", 1, 1, 0, 0)
     )
-    # DQT (natural order -> zigzag order on the wire)
     for tid, q in enumerate(qtabs):
         zz = q[_ZIGZAG]
         out += b"\xff\xdb" + struct.pack(">HB", 3 + 64, tid) + bytes(
             int(v) for v in zz
         )
-    # SOF0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
-    # DHT: DC/AC luma (+ chroma)
+        out += struct.pack(
+            "BBB", ci + 1, (hs[ci] << 4) | vs[ci], 0 if ci == 0 else 1
+        )
     hts = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
     if ncomp == 3:
         hts += [
@@ -323,6 +349,24 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     for tc_th, bits, vals in hts:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
+    return out
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Baseline JFIF bytes for a (h, w) grayscale or (h, w, 3) RGB
+    uint8 image; ``subsampling`` is ``"444"`` (default) or ``"420"``
+    (2x2 box-downsampled chroma, MCU-interleaved — the common web
+    JPEG layout, round 4)."""
+    planes, hs, vs, h, w = _encoder_planes_and_sampling(img, subsampling)
+    ncomp = len(planes)
+    qtabs = [_quality_scale(_Q_LUMA, quality)]
+    if ncomp == 3:
+        qtabs.append(_quality_scale(_Q_CHROMA, quality))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out = _encode_headers(out, qtabs, h, w, ncomp, hs, vs, b"\xff\xc0")
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
@@ -335,54 +379,45 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         dc_codes.append(_build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
         ac_codes.append(_build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
 
+    zgrids, mcux, mcuy = _quantized_grids(planes, qtabs, hs, vs, h, w)
     bw = _BitWriter()
-    by = (h + 7) // 8
-    bx = (w + 7) // 8
     prev_dc = [0] * ncomp
-    # quantized coefficients per component, precomputed vectorized:
-    # pad to block multiple, blockize, DCT all blocks at once
-    qcoefs = []
-    for ci, plane in enumerate(planes):
-        pad = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") - 128.0
-        blocks = pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-        coefs = np.einsum("ij,byjk,lk->byil", _C, blocks, _C)
-        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8)
-        qc = np.round(coefs / q).astype(np.int64)
-        qcoefs.append(qc)
-    for my in range(by):
-        for mx in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(ncomp):
                 ti = min(ci, 1)
-                zz = qcoefs[ci][my, mx].reshape(64)[_ZIGZAG]
-                # DC
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size, code = _magnitude(diff)
-                hc, hl = dc_codes[ti][size]
-                bw.write(hc, hl)
-                if size:
-                    bw.write(code, size)
-                # AC with run-lengths
-                run = 0
-                last_nz = np.flatnonzero(zz[1:])
-                last = int(last_nz[-1]) + 1 if len(last_nz) else 0
-                for i in range(1, last + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_codes[ti][0xF0]  # ZRL
+                for v in range(vs[ci]):
+                    for u in range(hs[ci]):
+                        zz = zgrids[ci][my * vs[ci] + v, mx * hs[ci] + u]
+                        # DC
+                        diff = int(zz[0]) - prev_dc[ci]
+                        prev_dc[ci] = int(zz[0])
+                        size, code = _magnitude(diff)
+                        hc, hl = dc_codes[ti][size]
                         bw.write(hc, hl)
-                        run -= 16
-                    size, code = _magnitude(v)
-                    hc, hl = ac_codes[ti][(run << 4) | size]
-                    bw.write(hc, hl)
-                    bw.write(code, size)
-                    run = 0
-                if last < 63:
-                    hc, hl = ac_codes[ti][0x00]  # EOB
-                    bw.write(hc, hl)
+                        if size:
+                            bw.write(code, size)
+                        # AC with run-lengths
+                        run = 0
+                        last_nz = np.flatnonzero(zz[1:])
+                        last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+                        for i in range(1, last + 1):
+                            av = int(zz[i])
+                            if av == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                hc, hl = ac_codes[ti][0xF0]  # ZRL
+                                bw.write(hc, hl)
+                                run -= 16
+                            size, code = _magnitude(av)
+                            hc, hl = ac_codes[ti][(run << 4) | size]
+                            bw.write(hc, hl)
+                            bw.write(code, size)
+                            run = 0
+                        if last < 63:
+                            hc, hl = ac_codes[ti][0x00]  # EOB
+                            bw.write(hc, hl)
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -390,75 +425,40 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 85, successive: bool = True
+    img: np.ndarray, quality: int = 85, successive: bool = True,
+    subsampling: str = "444",
 ) -> bytes:
     """Progressive JFIF bytes (SOF2) for the same inputs as
     :func:`encode_jpeg` — identical quantized coefficients, delivered
     over a multi-scan script so :func:`decode_jpeg`'s progressive path
     is roundtrip-testable without external fixtures:
 
-    * DC first scan (all components, Al=1 when ``successive``), then a
-      DC refinement scan (Ah=1, Al=0);
+    * DC first scan (all components, MCU-interleaved, Al=1 when
+      ``successive``), then a DC refinement scan (Ah=1, Al=0);
     * per component: AC first scans over split spectral bands
-      ([1..5], [6..63]) at Al=1, then an AC refinement scan over the
-      full band (Ah=1, Al=0) — with ``successive=False`` the single
-      Al=0 first scans per band are emitted instead.
+      ([1..5], [6..63]) at Al=1 on the component's own
+      (non-interleaved) block grid, then an AC refinement scan over
+      the full band (Ah=1, Al=0) — with ``successive=False`` the
+      single Al=0 first scans per band are emitted instead.
 
+    ``subsampling`` as in :func:`encode_jpeg` ("444"/"420").
     Decoding this stream MUST equal decoding the baseline stream of
-    the same image/quality bit-for-bit (asserted in tests): both
-    deliver the same quantized coefficients."""
-    img = np.asarray(img)
-    if img.ndim == 2:
-        planes = [img.astype(np.float64)]
-    elif img.ndim == 3 and img.shape[2] == 3:
-        ycc = _rgb_to_ycbcr(img.astype(np.float64))
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-    else:
-        raise ValueError("expected (h, w) grayscale or (h, w, 3) RGB uint8")
-    h, w = planes[0].shape
+    the same image/quality/subsampling bit-for-bit (asserted in
+    tests): both deliver the same quantized coefficients."""
+    planes, hs, vs, h, w = _encoder_planes_and_sampling(img, subsampling)
     ncomp = len(planes)
     qtabs = [_quality_scale(_Q_LUMA, quality)]
     if ncomp == 3:
         qtabs.append(_quality_scale(_Q_CHROMA, quality))
-
-    by = (h + 7) // 8
-    bx = (w + 7) // 8
-    # quantized zigzag coefficients per component: (by, bx, 64) int64
-    zcoefs = []
-    for ci, plane in enumerate(planes):
-        pad = np.pad(plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge") - 128.0
-        blocks = pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-        coefs = np.einsum("ij,byjk,lk->byil", _C, blocks, _C)
-        q = qtabs[min(ci, len(qtabs) - 1)].reshape(8, 8)
-        qc = np.round(coefs / q).astype(np.int64).reshape(by, bx, 64)
-        zcoefs.append(qc[..., _ZIGZAG])  # natural → zigzag order
+    zcoefs, mcux, mcuy = _quantized_grids(planes, qtabs, hs, vs, h, w)
+    # non-interleaved (AC-scan) grid per component
+    hmax, vmax = max(hs), max(vs)
+    bw_c = [((w * hs[i] + hmax - 1) // hmax + 7) // 8 for i in range(ncomp)]
+    bh_c = [((h * vs[i] + vmax - 1) // vmax + 7) // 8 for i in range(ncomp)]
     al1 = 1 if successive else 0
 
     out = bytearray(b"\xff\xd8")
-    out += (
-        b"\xff\xe0"
-        + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
-    for tid, q in enumerate(qtabs):
-        zz = q[_ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">HB", 3 + 64, tid) + bytes(
-            int(v) for v in zz
-        )
-    # SOF2 (progressive)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
-    hts = [(0x00, _DC_LUMA_BITS, _DC_LUMA_VALS), (0x10, _AC_LUMA_BITS, _AC_LUMA_VALS)]
-    if ncomp == 3:
-        hts += [
-            (0x01, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-            (0x11, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-        ]
-    for tc_th, bits, vals in hts:
-        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
+    out = _encode_headers(out, qtabs, h, w, ncomp, hs, vs, b"\xff\xc2")
 
     dc_codes = [_build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)]
     ac_codes = [_build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)]
@@ -473,48 +473,61 @@ def encode_jpeg_progressive(
             hdr += struct.pack("BB", cid, tbl)
         return hdr + struct.pack("BBB", ss, se, (ah << 4) | al)
 
+    def dc_blocks():
+        """MCU-interleaved (comp, by, bx) order when ncomp > 1, raster
+        otherwise — mirrors the decoder's _scan_units exactly."""
+        if ncomp > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(ncomp):
+                        for v in range(vs[ci]):
+                            for u in range(hs[ci]):
+                                yield ci, my * vs[ci] + v, mx * hs[ci] + u
+        else:
+            for my in range(bh_c[0]):
+                for mx in range(bw_c[0]):
+                    yield 0, my, mx
+
     # --- DC first scan (all components, point transform Al) ---
     out += sos_header(
         [(ci + 1, (min(ci, 1) << 4)) for ci in range(ncomp)], 0, 0, 0, al1
     )
     bw = _BitWriter()
     prev = [0] * ncomp
-    for my in range(by):
-        for mx in range(bx):
-            for ci in range(ncomp):
-                v = int(zcoefs[ci][my, mx, 0]) >> al1
-                diff = v - prev[ci]
-                prev[ci] = v
-                size, code = _magnitude(diff)
-                hc, hl = dc_codes[min(ci, 1)][size]
-                bw.write(hc, hl)
-                if size:
-                    bw.write(code, size)
+    for ci, my, mx in dc_blocks():
+        v = int(zcoefs[ci][my, mx, 0]) >> al1
+        diff = v - prev[ci]
+        prev[ci] = v
+        size, code = _magnitude(diff)
+        hc, hl = dc_codes[min(ci, 1)][size]
+        bw.write(hc, hl)
+        if size:
+            bw.write(code, size)
     bw.flush()
     out += bw.buf
 
-    # --- AC scans ---
+    # --- AC scans (component grid, not the MCU-padded grid) ---
     bands = [(1, 5), (6, 63)]
     for ci in range(ncomp):
+        zc = zcoefs[ci][: bh_c[ci], : bw_c[ci]]
         for ss, se in bands:
             out += sos_header([(ci + 1, min(ci, 1))], ss, se, 0, al1)
-            out += _encode_ac_first(zcoefs[ci], ac_codes[min(ci, 1)], ss, se, al1)
+            out += _encode_ac_first(zc, ac_codes[min(ci, 1)], ss, se, al1)
     if successive:
         # DC refinement: one raw bit per block per component
         out += sos_header(
             [(ci + 1, 0) for ci in range(ncomp)], 0, 0, 1, 0
         )
         bw = _BitWriter()
-        for my in range(by):
-            for mx in range(bx):
-                for ci in range(ncomp):
-                    bw.write(int(zcoefs[ci][my, mx, 0]) & 1, 1)
+        for ci, my, mx in dc_blocks():
+            bw.write(int(zcoefs[ci][my, mx, 0]) & 1, 1)
         bw.flush()
         out += bw.buf
         # AC refinement per component over the full band
         for ci in range(ncomp):
+            zc = zcoefs[ci][: bh_c[ci], : bw_c[ci]]
             out += sos_header([(ci + 1, min(ci, 1))], 1, 63, 1, 0)
-            out += _encode_ac_refine(zcoefs[ci], ac_codes[min(ci, 1)], 1, 63, 0)
+            out += _encode_ac_refine(zc, ac_codes[min(ci, 1)], 1, 63, 0)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -616,80 +629,97 @@ def _encode_ac_refine(zc: np.ndarray, codes, ss: int, se: int, al: int) -> bytes
     return bytes(bw.buf)
 
 
-def _scan_baseline(reader, scan_comps, coefs_z, huff, by, bx, restart_interval):
-    """Baseline sequential scan: full DC+AC per block, MCU-interleaved."""
+def _scan_units(scan_comps, geom):
+    """Yield one restart unit at a time as a list of (comp_idx, by, bx)
+    block coordinates: an MCU (per-component Hi×Vi blocks, T.81 A.2.3
+    order) when the scan is interleaved, a single block of the
+    component's own grid otherwise."""
+    if len(scan_comps) > 1:
+        for my in range(geom["mcuy"]):
+            for mx in range(geom["mcux"]):
+                unit = []
+                for idx, _, _ in scan_comps:
+                    hi, vi = geom["H"][idx], geom["V"][idx]
+                    for v in range(vi):
+                        for u in range(hi):
+                            unit.append((idx, my * vi + v, mx * hi + u))
+                yield unit
+    else:
+        idx = scan_comps[0][0]
+        for by in range(geom["bh"][idx]):
+            for bx in range(geom["bw"][idx]):
+                yield [(idx, by, bx)]
+
+
+def _scan_baseline(reader, scan_comps, coefs_z, huff, geom, restart_interval):
+    """Baseline sequential scan: full DC+AC per block, MCU-interleaved
+    (or single-component raster when ns == 1)."""
     prev_dc = {idx: 0 for idx, _, _ in scan_comps}
-    mcu = 0
-    for my in range(by):
-        for mx in range(bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.byte_align()
-                reader.skip_restart()
-                for k in prev_dc:
-                    prev_dc[k] = 0
-            mcu += 1
-            for idx, dct, act in scan_comps:
-                try:
-                    zz = coefs_z[idx][my, mx]
-                    size = _decode_huff(reader, huff[(0, dct)])
-                    diff = _extend(reader.read_bits(size), size) if size else 0
-                    prev_dc[idx] += diff
-                    zz[0] = prev_dc[idx]
-                    i = 1
-                    while i < 64:
-                        rs = _decode_huff(reader, huff[(1, act)])
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:
-                                i += 16  # ZRL
-                                continue
-                            break  # EOB
-                        i += run
-                        if i > 63:
-                            raise ValueError("AC run overflow")
-                        zz[i] = _extend(reader.read_bits(size), size)
-                        i += 1
-                except _RestartMarker:
-                    raise ValueError("unexpected restart marker") from None
+    tables = {idx: (dct, act) for idx, dct, act in scan_comps}
+    for ui, unit in enumerate(_scan_units(scan_comps, geom)):
+        if restart_interval and ui and ui % restart_interval == 0:
+            reader.byte_align()
+            reader.skip_restart()
+            for k in prev_dc:
+                prev_dc[k] = 0
+        for idx, my, mx in unit:
+            dct, act = tables[idx]
+            try:
+                zz = coefs_z[idx][my, mx]
+                size = _decode_huff(reader, huff[(0, dct)])
+                diff = _extend(reader.read_bits(size), size) if size else 0
+                prev_dc[idx] += diff
+                zz[0] = prev_dc[idx]
+                i = 1
+                while i < 64:
+                    rs = _decode_huff(reader, huff[(1, act)])
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:
+                            i += 16  # ZRL
+                            continue
+                        break  # EOB
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run overflow")
+                    zz[i] = _extend(reader.read_bits(size), size)
+                    i += 1
+            except _RestartMarker:
+                raise ValueError("unexpected restart marker") from None
 
 
-def _scan_dc_first(reader, scan_comps, coefs_z, huff, by, bx, al,
+def _scan_dc_first(reader, scan_comps, coefs_z, huff, geom, al,
                    restart_interval):
     """Progressive DC first scan (Ah=0): diffs of the point-transformed
     DC values, stored shifted left by Al (T.81 G.1.2.1)."""
     prev_dc = {idx: 0 for idx, _, _ in scan_comps}
-    mcu = 0
-    for my in range(by):
-        for mx in range(bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.byte_align()
-                reader.skip_restart()
-                for k in prev_dc:
-                    prev_dc[k] = 0
-            mcu += 1
-            for idx, dct, _ in scan_comps:
-                size = _decode_huff(reader, huff[(0, dct)])
-                diff = _extend(reader.read_bits(size), size) if size else 0
-                prev_dc[idx] += diff
-                coefs_z[idx][my, mx, 0] = prev_dc[idx] << al
+    tables = {idx: dct for idx, dct, _ in scan_comps}
+    for ui, unit in enumerate(_scan_units(scan_comps, geom)):
+        if restart_interval and ui and ui % restart_interval == 0:
+            reader.byte_align()
+            reader.skip_restart()
+            for k in prev_dc:
+                prev_dc[k] = 0
+        for idx, my, mx in unit:
+            size = _decode_huff(reader, huff[(0, tables[idx])])
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            prev_dc[idx] += diff
+            coefs_z[idx][my, mx, 0] = prev_dc[idx] << al
 
 
-def _scan_dc_refine(reader, scan_comps, coefs_z, by, bx, al,
+def _scan_dc_refine(reader, scan_comps, coefs_z, geom, al,
                     restart_interval):
     """Progressive DC refinement (Ah>0): one raw bit per block, ORed in
     at position Al — two's-complement OR reconstructs negatives exactly
     because the first scan stored an arithmetic-shifted value."""
     p1 = np.int64(1 << al)
-    mcu = 0
-    for my in range(by):
-        for mx in range(bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                reader.byte_align()
-                reader.skip_restart()
-            mcu += 1
-            for idx, _, _ in scan_comps:
-                if reader.read_bit():
-                    coefs_z[idx][my, mx, 0] |= p1
+    for ui, unit in enumerate(_scan_units(scan_comps, geom)):
+        if restart_interval and ui and ui % restart_interval == 0:
+            reader.byte_align()
+            reader.skip_restart()
+        for idx, my, mx in unit:
+            if reader.read_bit():
+                coefs_z[idx][my, mx, 0] |= p1
 
 
 def _scan_ac_first(reader, idx, act, coefs_z, huff, by, bx, ss, se, al,
@@ -792,19 +822,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode JFIF bytes to (h, w) grayscale or (h, w, 3) RGB uint8.
     Baseline sequential (SOF0/1) AND progressive (SOF2, round 4 —
     spectral selection + successive approximation, DC/AC first and
-    refinement scans, EOBn runs).  Supports 4:4:4 or single-component
-    streams, stream-carried DQT/DHT, DRI/RSTn; rejects subsampled
-    chroma explicitly."""
+    refinement scans, EOBn runs).  Handles subsampled chroma (4:2:0 /
+    4:2:2 / any integer-ratio sampling — round 4; upsampling by sample
+    replication), single-component streams, stream-carried DQT/DHT,
+    DRI/RSTn."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
-    h = w = by = bx = 0
+    h = w = 0
+    geom: dict = {}
     progressive = False
     restart_interval = 0
-    coefs_z: list[np.ndarray] = []  # per comp: (by, bx, 64) zigzag ints
+    coefs_z: list[np.ndarray] = []  # per comp: (grid_h, grid_w, 64) zigzag
     saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -849,14 +881,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, samp, tq))
-            if any(s != 0x11 for _, s, _ in comps):
+            hs = [s >> 4 for _, s, _ in comps]
+            vs = [s & 0x0F for _, s, _ in comps]
+            hmax, vmax = max(hs), max(vs)
+            if any(hmax % x or x < 1 for x in hs) or any(
+                vmax % x or x < 1 for x in vs
+            ):
                 raise NotImplementedError(
-                    "subsampled chroma not supported (encoder is 4:4:4)"
+                    f"non-integer chroma upsampling factors {list(zip(hs, vs))}"
                 )
-            by = (h + 7) // 8
-            bx = (w + 7) // 8
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            geom = {
+                "H": hs,
+                "V": vs,
+                "mcux": mcux,
+                "mcuy": mcuy,
+                # per-component true dims and non-interleaved block grid
+                "cw": [(w * hs[i] + hmax - 1) // hmax for i in range(ncomp)],
+                "ch": [(h * vs[i] + vmax - 1) // vmax for i in range(ncomp)],
+            }
+            geom["bw"] = [(cw + 7) // 8 for cw in geom["cw"]]
+            geom["bh"] = [(ch + 7) // 8 for ch in geom["ch"]]
+            # coefficient stores use the MCU-padded grid (covers the
+            # non-interleaved grid: ceil(cw/8) <= mcux*Hi)
             coefs_z = [
-                np.zeros((by, bx, 64), dtype=np.int64) for _ in range(ncomp)
+                np.zeros((mcuy * vs[i], mcux * hs[i], 64), dtype=np.int64)
+                for i in range(ncomp)
             ]
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -876,17 +927,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             saw_scan = True
             if not progressive:
                 _scan_baseline(
-                    reader, scan_comps, coefs_z, huff, by, bx, restart_interval
+                    reader, scan_comps, coefs_z, huff, geom, restart_interval
                 )
             elif ss_ == 0:  # DC scan (Se must be 0)
                 if ah == 0:
                     _scan_dc_first(
-                        reader, scan_comps, coefs_z, huff, by, bx, al,
+                        reader, scan_comps, coefs_z, huff, geom, al,
                         restart_interval,
                     )
                 else:
                     _scan_dc_refine(
-                        reader, scan_comps, coefs_z, by, bx, al,
+                        reader, scan_comps, coefs_z, geom, al,
                         restart_interval,
                     )
             else:  # AC scan: exactly one component
@@ -895,12 +946,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 idx, _, act = scan_comps[0]
                 if ah == 0:
                     _scan_ac_first(
-                        reader, idx, act, coefs_z, huff, by, bx, ss_, se_,
+                        reader, idx, act, coefs_z, huff,
+                        geom["bh"][idx], geom["bw"][idx], ss_, se_,
                         al, restart_interval,
                     )
                 else:
                     _scan_ac_refine(
-                        reader, idx, act, coefs_z, huff, by, bx, ss_, se_,
+                        reader, idx, act, coefs_z, huff,
+                        geom["bh"][idx], geom["bw"][idx], ss_, se_,
                         al, restart_interval,
                     )
             pos = reader.pos  # just before the next marker
@@ -910,15 +963,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("no scan found")
 
     ncomp = len(comps)
+    hmax, vmax = max(geom["H"]), max(geom["V"])
     planes = []
     for ci in range(ncomp):
-        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        gh, gw = coefs_z[ci].shape[:2]
+        nat = np.zeros((gh, gw, 64), dtype=np.float64)
         nat[:, :, _ZIGZAG] = coefs_z[ci]
         q = qtabs[comps[ci][2]].reshape(64)
-        blocks = (nat * q).reshape(by, bx, 8, 8)
+        blocks = (nat * q).reshape(gh, gw, 8, 8)
         spat = np.einsum("ji,byjk,kl->byil", _C, blocks, _C) + 128.0
-        img = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)[:h, :w]
-        planes.append(img)
+        img = spat.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        img = img[: geom["ch"][ci], : geom["cw"][ci]]
+        fy, fx = vmax // geom["V"][ci], hmax // geom["H"][ci]
+        if fy > 1 or fx > 1:  # chroma upsample by sample replication
+            img = np.repeat(np.repeat(img, fy, axis=0), fx, axis=1)
+        planes.append(img[:h, :w])
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))

@@ -325,3 +325,56 @@ def test_decode_stage_handles_progressive_payload(ray_session):
     np.testing.assert_array_equal(
         np.asarray(out.loc[0, "feature"]), np.asarray(out.loc[1, "feature"])
     )
+
+
+@pytest.mark.parametrize("size", [(16, 16), (17, 23), (8, 9), (33, 31)])
+def test_jpeg_420_roundtrip_fidelity(size):
+    """4:2:0 encode → decode: correct shape at odd/even dims, luma and
+    (smooth) chroma close to the source."""
+    from raysearch.pipelines.jpeg_codec import decode_jpeg, encode_jpeg
+
+    h, w = size
+    img = np.empty((h, w, 3), np.uint8)
+    img[:, :, 0] = (np.arange(w)[None, :] * 3) % 256
+    img[:, :, 1] = (np.arange(h)[:, None] * 5) % 256
+    img[:, :, 2] = 90
+    dec = decode_jpeg(encode_jpeg(img, quality=92, subsampling="420"))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < 12.0, err
+
+
+@pytest.mark.parametrize("successive", [True, False])
+def test_progressive_420_equals_baseline_420(successive):
+    """Progressive 4:2:0 carries the same quantized coefficients as
+    baseline 4:2:0 — decode must be bit-identical (exercises the
+    MCU-interleaved DC scans and per-component AC grids)."""
+    from raysearch.pipelines.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    for hw in ((16, 16), (19, 27)):
+        img = rng.integers(0, 256, size=(*hw, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=70, subsampling="420"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=70, successive=successive, subsampling="420"
+            )
+        )
+        np.testing.assert_array_equal(base, prog)
+
+
+def test_jpeg_444_unchanged_by_subsampling_param():
+    """subsampling='444' must produce the exact bytes the pre-round-4
+    encoder produced (the MJPEG fixtures and media goldens depend on
+    byte stability)."""
+    from raysearch.pipelines.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(12, 20, 3)).astype(np.uint8)
+    assert encode_jpeg(img, 85) == encode_jpeg(img, 85, subsampling="444")
+    dec = decode_jpeg(encode_jpeg(img, 85))
+    assert dec.shape == img.shape
