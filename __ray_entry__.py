@@ -1101,14 +1101,11 @@ def _q_ivf_recall(sf_dir: str):
     approx = ivf_topk_indexed(
         _ivf_index_dir(sf_dir), queries, qids, k=ANN_K
     ).to_pandas()
-    recalls = [
-        len(
-            set(exact[exact.query_id == qid].vec_id)
-            & set(approx[approx.query_id == qid].vec_id)
-        )
-        / max(1, len(set(exact[exact.query_id == qid].vec_id)))
-        for qid in qids
-    ]
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / max(1, len(e)))
     # single hash-checkable FLOOR row (round 4): the oracle pins the
     # floor semantics (`SELECT ... TRUE AS meets_floor`), so an IVF
     # recall regression below 0.95 flips this row red at the gate.

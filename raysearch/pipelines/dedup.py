@@ -66,11 +66,20 @@ def _stable_u64(values: list[str]) -> np.ndarray:
     )
 
 
+_MINHASH_PARAM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
 def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.uint64)
-    return a, b
+    # memoized: _band_rows runs once per signature batch on the hot
+    # path and must not regenerate 2×n_perm PCG64 draws each time
+    key = (n_perm, seed)
+    cached = _MINHASH_PARAM_CACHE.get(key)
+    if cached is None:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.uint64)
+        b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.uint64)
+        cached = _MINHASH_PARAM_CACHE[key] = (a, b)
+    return cached
 
 
 def _emit_pairs_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -501,7 +510,7 @@ BROADCAST_ID_LIMIT = 10_000_000
 
 def minhash_lsh_pairs(
     ds, threshold: float = 0.6, join_partitions: int = 8, *,
-    shingle_ds=None, **kw
+    shingle_ds=None, shingle: int = 3, n_perm: int = 64, bands: int = 16,
 ):
     """Candidates → exact shingle-Jaccard ≥ threshold, fully distributed.
 
@@ -537,7 +546,6 @@ def minhash_lsh_pairs(
     the merge exchange is sized by Ray's groupby shuffle."""
     import ray
 
-    shingle = kw.get("shingle", 3)
     if shingle_ds is None:
         sh = ds.map_batches(
             _shingle_set_task,
@@ -547,7 +555,7 @@ def minhash_lsh_pairs(
     else:
         sh = shingle_ds.materialize()
     cands = minhash_candidates_from_shingles(
-        sh, n_perm=kw.get("n_perm", 64), bands=kw.get("bands", 16)
+        sh, n_perm=n_perm, bands=bands
     ).materialize()
     n_cands = cands.count()
     if n_cands == 0:
@@ -573,16 +581,9 @@ def minhash_lsh_pairs(
                 ]
             )
         )
-        ids_ref = ray.put(id_arr)
+        from raysearch.util import broadcast_id_filter
 
-        def keep_cands(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(ids_ref)  # sorted
-            d = batch["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(wanted, d)
-            pos[pos >= len(wanted)] = len(wanted) - 1
-            return batch.filter(pa.array(wanted[pos] == d))
-
-        cand_sh = sh.map_batches(keep_cands, batch_format="pyarrow").materialize()
+        cand_sh = broadcast_id_filter(sh, "doc_id", id_arr).materialize()
     else:
         from ray.data.aggregate import Count
 

@@ -290,16 +290,20 @@ def _encoder_planes_and_sampling(img, subsampling: str):
     planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     if subsampling == "444":
         return planes, [1, 1, 1], [1, 1, 1], h, w
-    if subsampling != "420":
+    if subsampling == "420":
+        fy, fx = 2, 2
+    elif subsampling == "422":
+        fy, fx = 1, 2
+    else:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    # 2x2 box mean over the even-padded plane
-    he, we = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    # fy x fx box mean over the factor-padded plane
+    he, we = (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
     for ci in (1, 2):
         p = np.pad(
             planes[ci], ((0, he - h), (0, we - w)), mode="edge"
         )
-        planes[ci] = p.reshape(he // 2, 2, we // 2, 2).mean(axis=(1, 3))
-    return planes, [2, 1, 1], [2, 1, 1], h, w
+        planes[ci] = p.reshape(he // fy, fy, we // fx, fx).mean(axis=(1, 3))
+    return planes, [fx, 1, 1], [fy, 1, 1], h, w
 
 
 def _quantized_grids(planes, qtabs, hs, vs, h, w):
@@ -587,7 +591,7 @@ def _encode_ac_refine(zc: np.ndarray, codes, ss: int, se: int, al: int) -> bytes
             a = np.abs(zz[ss : se + 1].astype(np.int64)) >> al
             hist = a > 1  # nonzero before this scan
             new = a == 1  # becomes nonzero in this scan
-            corr = (np.abs(zz[ss : se + 1].astype(np.int64)) >> al) & 1
+            corr = a & 1
             new_pos = np.flatnonzero(new)
             k = 0  # offset within the band
             n_band = se - ss + 1
@@ -884,8 +888,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             hs = [s >> 4 for _, s, _ in comps]
             vs = [s & 0x0F for _, s, _ in comps]
             hmax, vmax = max(hs), max(vs)
-            if any(hmax % x or x < 1 for x in hs) or any(
-                vmax % x or x < 1 for x in vs
+            if any(x < 1 or hmax % x for x in hs) or any(
+                x < 1 or vmax % x for x in vs
             ):
                 raise NotImplementedError(
                     f"non-integer chroma upsampling factors {list(zip(hs, vs))}"

@@ -93,22 +93,14 @@ def top_customers(orders, customer, k: int = 10):
     # and filtering the customer table distributed: the driver never
     # holds more than k dimension rows, however wide the dim grows
     # (round 3 pulled the whole customer table into a driver dict).
-    import ray
-
-    keys = np.sort(pdf["o_custkey"].to_numpy(np.int64))
-    keys_ref = ray.put(keys)
-
-    def pick(b: pa.Table) -> pa.Table:
-        w = ray.get(keys_ref)  # sorted
-        d = b["c_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(w, d)
-        pos[pos >= len(w)] = len(w) - 1
-        return b.filter(pa.array(w[pos] == d))
+    from raysearch.util import broadcast_id_filter
 
     winners = (
-        customer.select_columns(["c_custkey", "c_name"])
-        .map_batches(pick, batch_format="pyarrow")
-        .to_pandas()  # ≤ k rows
+        broadcast_id_filter(
+            customer.select_columns(["c_custkey", "c_name"]),
+            "c_custkey",
+            pdf["o_custkey"].to_numpy(np.int64),
+        ).to_pandas()  # ≤ k rows
     )
     names = dict(zip(winners.c_custkey, winners.c_name))
     pdf["c_name"] = pdf["o_custkey"].map(names)

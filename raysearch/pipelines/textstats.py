@@ -28,6 +28,7 @@ from raysearch.util import round_half_away
 
 #: fixed stop list for quality metrics — mirrored verbatim in oracle SQL
 QUALITY_STOPWORDS = ("the", "a", "of", "and", "or", "in", "on", "to")
+_STOPSET = frozenset(QUALITY_STOPWORDS)
 
 
 class _TokenizeBatch:
@@ -136,7 +137,6 @@ class _DocMetrics:
 
     def __init__(self):
         self.lexer = Lexer("simple")
-        self.stops = set(QUALITY_STOPWORDS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -171,10 +171,9 @@ def quality_metrics_from_codes(
     both compute bit-identical keep decisions.  ``stop_ratio_raw`` is
     UNROUNDED (the langid heuristic compares it at full precision);
     round to 4 dp for output parity with the oracle."""
-    stops = set(QUALITY_STOPWORDS)
     n_tokens = np.bincount(parent, minlength=nrows).astype(np.int64)
     if len(codes):
-        stop_uniq = np.array([t in stops for t in uniq], dtype=np.int64)
+        stop_uniq = np.array([t in _STOPSET for t in uniq], dtype=np.int64)
         n_stop = np.bincount(
             parent, weights=stop_uniq[codes], minlength=nrows
         ).astype(np.int64)

@@ -15,6 +15,29 @@ def round_half_away(x, decimals: int = 4):
     return np.sign(a) * np.floor(np.abs(a) * factor + 0.5) / factor
 
 
+def broadcast_id_filter(ds, col: str, ids: "np.ndarray"):
+    """Semi-filter ``ds`` to rows whose ``col`` is in ``ids`` via ONE
+    ``ray.put`` of the sorted id array and a searchsorted membership
+    test inside ``map_batches`` — the canonical bounded small-side
+    broadcast (no shuffle of ``ds`` at all).  ``ids`` must be modest
+    (callers cap it, e.g. dedup.BROADCAST_ID_LIMIT / top-k winners)."""
+    import ray
+
+    ids = np.sort(np.asarray(ids))
+    ids_ref = ray.put(ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        w = ray.get(ids_ref)  # sorted
+        if len(w) == 0:
+            return b.slice(0, 0)
+        d = b[col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(w, d)
+        pos[pos >= len(w)] = len(w) - 1
+        return b.filter(pa.array(w[pos] == d))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def copartition_attach(
     left,
     right,

@@ -378,3 +378,28 @@ def test_jpeg_444_unchanged_by_subsampling_param():
     assert encode_jpeg(img, 85) == encode_jpeg(img, 85, subsampling="444")
     dec = decode_jpeg(encode_jpeg(img, 85))
     assert dec.shape == img.shape
+
+
+def test_jpeg_422_roundtrip_and_progressive():
+    """4:2:2 (horizontal-only chroma subsampling) decodes correctly in
+    both baseline and progressive paths."""
+    from raysearch.pipelines.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    img = np.empty((21, 18, 3), np.uint8)
+    img[:, :, 0] = (np.arange(18)[None, :] * 7) % 256
+    img[:, :, 1] = (np.arange(21)[:, None] * 4) % 256
+    img[:, :, 2] = 160
+    base = decode_jpeg(encode_jpeg(img, quality=92, subsampling="422"))
+    assert base.shape == img.shape
+    assert np.abs(base.astype(int) - img.astype(int)).mean() < 12.0
+    noisy = rng.integers(0, 256, size=(13, 22, 3)).astype(np.uint8)
+    b = decode_jpeg(encode_jpeg(noisy, quality=70, subsampling="422"))
+    p = decode_jpeg(
+        encode_jpeg_progressive(noisy, quality=70, subsampling="422")
+    )
+    np.testing.assert_array_equal(b, p)
