@@ -90,10 +90,14 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (h, w, ch).  8-bit, non-interlaced."""
+    """PNG bytes → uint8 array (h, w, ch).  Non-interlaced; 8-bit in
+    all color types, 16-bit (downscaled to 8 via the MSB) for
+    gray/RGB/alpha types, and 8-bit palette images (PLTE lookup, tRNS
+    alpha when present — round 4)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, ihdr = 8, [], None
+    plte = trns = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -101,6 +105,10 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -108,18 +116,30 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+    palette = color_type == 3
+    if (
+        interlace != 0
+        or color_type not in (0, 2, 3, 4, 6)
+        or depth not in (8, 16)
+        or (palette and depth != 8)
+    ):
         raise NotImplementedError(
             f"unsupported PNG (depth={depth} color={color_type} "
             f"interlace={interlace})"
         )
-    ch = _CHANNELS[color_type]
+    if palette and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    # scanline filters operate on BYTES with a left-offset of
+    # bytes-per-pixel, so 16-bit rows unfilter as pixels of 2·ch bytes
+    ch = 1 if palette else _CHANNELS[color_type]
+    wire_ch = ch * (2 if depth == 16 else 1)
     raw = zlib.decompress(b"".join(idat))
-    stride = 1 + w * ch
+    stride = 1 + w * wire_ch
     if len(raw) != stride * h:
         raise ValueError("bad PNG payload length")
-    out = np.zeros((h, w, ch), dtype=np.uint8)
-    prev = np.zeros((w, ch), dtype=np.uint8)
+    out = np.zeros((h, w, wire_ch), dtype=np.uint8)
+    prev = np.zeros((w, wire_ch), dtype=np.uint8)
+    ch = wire_ch  # unfilter loop below works in wire bytes-per-pixel
     for y in range(h):
         row = np.frombuffer(raw, np.uint8, count=stride, offset=y * stride)
         ft, line = int(row[0]), row[1:].reshape(w, ch).copy()
@@ -150,6 +170,18 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad scanline filter {ft}")
         out[y] = cur
         prev = cur
+    if depth == 16:
+        # big-endian 16-bit samples → 8-bit via the high byte
+        out = out.reshape(h, w, wire_ch // 2, 2)[..., 0]
+    if palette:
+        rgb = plte[out[:, :, 0]]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate(
+                (rgb, alpha[out[:, :, 0]][:, :, None]), axis=2
+            )
+        return rgb
     return out
 
 

@@ -403,3 +403,68 @@ def test_jpeg_422_roundtrip_and_progressive():
         encode_jpeg_progressive(noisy, quality=70, subsampling="422")
     )
     np.testing.assert_array_equal(b, p)
+
+
+def test_png_palette_and_16bit_decode():
+    """Palette (PLTE + optional tRNS) and 16-bit PNGs decode (round
+    4); fixtures are built chunk-by-chunk so the decoder is tested
+    against the wire format, not the encoder."""
+    import struct
+    import zlib
+
+    from raysearch.pipelines.media_codec import _PNG_SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(17)
+    # --- palette image ---
+    h, w, n_pal = 9, 13, 7
+    pal = rng.integers(0, 256, size=(n_pal, 3)).astype(np.uint8)
+    idx = rng.integers(0, n_pal, size=(h, w)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(png), pal[idx])
+    # with tRNS alpha
+    trns = np.array([0, 255, 128], np.uint8)
+    png_a = (
+        _PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"tRNS", trns.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    dec = decode_png(png_a)
+    assert dec.shape == (h, w, 4)
+    np.testing.assert_array_equal(dec[:, :, :3], pal[idx])
+    exp_alpha = np.full(n_pal, 255, np.uint8)
+    exp_alpha[:3] = trns
+    np.testing.assert_array_equal(dec[:, :, 3], exp_alpha[idx])
+    # --- 16-bit RGB (filter 0 and filter 2 rows) ---
+    img16 = rng.integers(0, 65536, size=(6, 5, 3)).astype(np.uint16)
+    be = img16.byteswap().view(np.uint8).reshape(6, 5 * 6) if \
+        img16.dtype.byteorder != ">" else img16.view(np.uint8)
+    rows = []
+    prev = np.zeros(5 * 6, np.uint8)
+    for y in range(6):
+        if y % 2 == 0:
+            rows.append(b"\x00" + be[y].tobytes())
+        else:  # Up filter on byte level
+            rows.append(
+                b"\x02" + ((be[y].astype(np.int16) - prev) % 256)
+                .astype(np.uint8).tobytes()
+            )
+        prev = be[y]
+    png16 = (
+        _PNG_SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 16, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(
+        decode_png(png16), (img16 >> 8).astype(np.uint8)
+    )
