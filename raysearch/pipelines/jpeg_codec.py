@@ -357,12 +357,15 @@ def _encode_headers(out, qtabs, h, w, ncomp, hs, vs, sof_marker: bytes):
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+    img: np.ndarray, quality: int = 85, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF bytes for a (h, w) grayscale or (h, w, 3) RGB
-    uint8 image; ``subsampling`` is ``"444"`` (default) or ``"420"``
+    uint8 image; ``subsampling`` is ``"444"`` (default), ``"420"``
     (2x2 box-downsampled chroma, MCU-interleaved — the common web
-    JPEG layout, round 4)."""
+    JPEG layout, round 4) or ``"422"``.  ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs
+    (resetting DC prediction) — the layout camera JPEGs use."""
     planes, hs, vs, h, w = _encoder_planes_and_sampling(img, subsampling)
     ncomp = len(planes)
     qtabs = [_quality_scale(_Q_LUMA, quality)]
@@ -371,6 +374,8 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out = _encode_headers(out, qtabs, h, w, ncomp, hs, vs, b"\xff\xc0")
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
@@ -386,8 +391,18 @@ def encode_jpeg(
     zgrids, mcux, mcuy = _quantized_grids(planes, qtabs, hs, vs, h, w)
     bw = _BitWriter()
     prev_dc = [0] * ncomp
+    mcu_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # byte-align (1-fill), emit RSTn (cycles 0..7), reset
+                # DC prediction — the marker bytes bypass stuffing
+                bw.flush()
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + (mcu_n // restart_interval - 1) % 8]
+                )
+                prev_dc = [0] * ncomp
+            mcu_n += 1
             for ci in range(ncomp):
                 ti = min(ci, 1)
                 for v in range(vs[ci]):

@@ -468,3 +468,24 @@ def test_png_palette_and_16bit_decode():
     np.testing.assert_array_equal(
         decode_png(png16), (img16 >> 8).astype(np.uint8)
     )
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_jpeg_restart_markers_roundtrip(subsampling):
+    """DRI + RSTn restart markers: the decoder must byte-align, skip
+    the marker and reset DC prediction at every interval; decode must
+    be bit-identical to the no-restart stream of the same image."""
+    from raysearch.pipelines.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, size=(40, 56, 3)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, 80, subsampling=subsampling))
+    for ri in (1, 3, 7):
+        b = encode_jpeg(
+            img, 80, subsampling=subsampling, restart_interval=ri
+        )
+        assert b"\xff\xdd" in b  # DRI present
+        assert b.count(b"\xff\xd0") + sum(
+            b.count(bytes([0xFF, 0xD0 + i])) for i in range(1, 8)
+        ) > 0
+        np.testing.assert_array_equal(decode_jpeg(b), plain)
