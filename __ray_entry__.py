@@ -781,6 +781,25 @@ def _q_near_dup_recall(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing ≥5 distinct
+    word-3-grams with the benchmark subset (doc_id % 50 == 0 — eval
+    sets are tiny next to the corpus, so the benchmark shingle
+    universe broadcasts; the corpus streams with no shuffle)."""
+    from raysearch.pipelines.dedup import contamination_flags
+
+    def bench_only(b):
+        import numpy as np
+        import pyarrow as pa
+
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(d % 50 == 0))
+
+    docs = _docs(sf_dir)
+    bench = _docs(sf_dir).map_batches(bench_only, batch_format="pyarrow")
+    return contamination_flags(docs, bench, shingle=3, min_overlap=5)
+
+
 def _q_jaccard_pairs_exact(sf_dir: str):
     from raysearch.pipelines.dedup import jaccard_pairs_exact
 
@@ -1406,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_video_frames": _q_media_video_frames,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -2031,6 +2051,21 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n_lsh, "
         "CAST(0 AS BIGINT) AS false_positives, "
         "CAST(1.0 AS DOUBLE) AS recall FROM p"
+    )
+    # benchmark decontamination: distinct-shingle overlap counts per
+    # corpus doc vs the doc_id%50==0 benchmark subset (engine counts
+    # hash matches, oracle counts string matches — equal absent 64-bit
+    # collisions, the jaccard_pairs_exact argument)
+    out["decontaminate"] = (
+        "WITH arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle "
+        "FROM arr, UNNEST(range(1, len(toks)-1)) AS t(i) WHERE len(toks) >= 3), "
+        "bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0), "
+        "ov AS (SELECT s.doc_id, count(*) AS n FROM sh s JOIN bsh USING (shingle) GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap, "
+        "COALESCE(o.n, 0) >= 5 AS contaminated "
+        "FROM documents d LEFT JOIN ov o USING (doc_id) ORDER BY d.doc_id"
     )
     # IVF recall floor row: the oracle pins the floor semantics; an
     # IVF regression below 0.95 mean recall@10 flips meets_floor.

@@ -403,6 +403,85 @@ def minhash_candidates_from_shingles(sh_ds, n_perm: int = 64, bands: int = 16):
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
+#: contamination: benchmark shingle universes above this count must be
+#: checked with a distributed semi-join instead of a driver broadcast
+BENCH_SHINGLE_LIMIT = 50_000_000  # uint64s ≈ 400 MB broadcast object
+
+
+def contamination_flags(
+    docs, benchmark, shingle: int = 3, min_overlap: int = 5
+):
+    """Benchmark decontamination — the training-data hygiene step that
+    flags corpus documents sharing word-``shingle``-grams with an
+    evaluation/benchmark set (so they can be dropped before training).
+
+    Plan: the benchmark side (small by contract — eval sets are KB-GB
+    while the corpus is TB) is reduced to its DISTINCT shingle-hash
+    universe, collected and broadcast once via ``ray.put`` (capped at
+    ``BENCH_SHINGLE_LIMIT``); ONE streaming pass over the corpus then
+    counts each document's distinct shingle hits via a vectorized
+    ``searchsorted`` membership test — no corpus shuffle at all.
+
+    Output: ``(doc_id, n_overlap, contaminated)`` for EVERY corpus
+    document, sorted by doc_id (docs with <k tokens have empty shingle
+    sets and n_overlap 0 — the exact-Jaccard domain convention).
+
+    Reference analog: none (the reference has no training-data
+    hygiene); this is a §brief LLM-pipeline operator.  Hash-domain
+    equality with the SQL oracle follows the jaccard_pairs_exact
+    argument: distinct-hash counts equal distinct-string counts absent
+    64-bit collisions."""
+    import ray
+
+    bench_sh = benchmark.map_batches(
+        _shingle_set_task, fn_kwargs={"shingle": shingle},
+        batch_format="pyarrow",
+    )
+    vals = []
+    n_total = 0
+    for b in bench_sh.iter_batches(batch_format="pyarrow", batch_size=None):
+        _, v = _unpack_blob_col(b["shingles"])
+        n_total += len(v)
+        if n_total > BENCH_SHINGLE_LIMIT:
+            raise ValueError(
+                f"benchmark shingle universe exceeds BENCH_SHINGLE_LIMIT="
+                f"{BENCH_SHINGLE_LIMIT}; use a distributed semi-join for "
+                f"benchmark sets this large"
+            )
+        vals.append(v)
+    uni = (
+        np.unique(np.concatenate(vals)) if vals else np.empty(0, np.uint64)
+    )
+    uni_ref = ray.put(uni)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        w = ray.get(uni_ref)  # sorted unique
+        parent, v = _unpack_blob_col(batch["shingles"])
+        if len(w) and len(v):
+            pos = np.searchsorted(w, v)
+            pos[pos >= len(w)] = len(w) - 1
+            hit = (w[pos] == v).astype(np.int64)
+        else:
+            hit = np.zeros(len(v), np.int64)
+        n_ov = np.bincount(parent, weights=hit, minlength=batch.num_rows)
+        n_ov = n_ov.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_overlap": pa.array(n_ov, pa.int64()),
+                "contaminated": pa.array(n_ov >= min_overlap),
+            }
+        )
+
+    corpus_sh = docs.map_batches(
+        _shingle_set_task, fn_kwargs={"shingle": shingle},
+        batch_format="pyarrow",
+    )
+    return corpus_sh.map_batches(overlap, batch_format="pyarrow").sort(
+        "doc_id"
+    )
+
+
 _SIG_CACHE: dict[tuple | str, object] = {}
 
 

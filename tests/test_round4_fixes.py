@@ -489,3 +489,45 @@ def test_jpeg_restart_markers_roundtrip(subsampling):
             b.count(bytes([0xFF, 0xD0 + i])) for i in range(1, 8)
         ) > 0
         np.testing.assert_array_equal(decode_jpeg(b), plain)
+
+
+def test_contamination_flags_hand_computed(ray_session):
+    """Decontamination: planted benchmark doc, an exact copy, a
+    partial overlap below threshold, and a clean doc."""
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import contamination_flags
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        bench_text,                                   # 0: the benchmark doc
+        bench_text,                                   # 1: exact copy — 6 shingles overlap
+        "alpha beta gamma nothing else here at all",  # 2: 1 shingle overlap
+        "completely unrelated words in this one doc", # 3: clean
+        "tiny",                                       # 4: <3 tokens, empty set
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    bench = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0], pa.int64()),
+             "text": pa.array([bench_text], pa.string())}
+        )
+    )
+    out = (
+        contamination_flags(docs, bench, shingle=3, min_overlap=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert list(out.index) == [0, 1, 2, 3, 4]  # sorted, every doc present
+    assert out.loc[0, "n_overlap"] == 6 and out.loc[0, "contaminated"]
+    assert out.loc[1, "n_overlap"] == 6 and out.loc[1, "contaminated"]
+    assert out.loc[2, "n_overlap"] == 1 and not out.loc[2, "contaminated"]
+    assert out.loc[3, "n_overlap"] == 0 and not out.loc[3, "contaminated"]
+    assert out.loc[4, "n_overlap"] == 0 and not out.loc[4, "contaminated"]
