@@ -12,14 +12,16 @@ Scope (deliberately the minimal REAL subset):
   correction bits (T.81 Annex G.2); plus a progressive ENCODER
   (spectral selection + one successive-approximation level) so the
   decode path is roundtrip-testable without external fixtures;
-* 1 component (grayscale) or 3 components (YCbCr) with 4:4:4 sampling
-  — the encoder never subsamples, the decoder rejects subsampled
-  chroma rather than silently mis-decoding;
+* 1 component (grayscale) or 3 components (YCbCr) with 4:4:4, 4:2:2
+  and 4:2:0 chroma sampling (round 4) — both encoder and decoder
+  handle all three via the interleaved-MCU layout; other sampling
+  geometries are rejected rather than silently mis-decoded;
 * standard Annex-K quantization + Huffman tables in the encoder
   (libjpeg-style quality scaling); the decoder reads whatever DQT/DHT
   tables the stream carries;
-* byte stuffing (0xFF00) and DRI/RSTn restart markers in the decoder;
-  the encoder emits no restarts.
+* byte stuffing (0xFF00) and DRI/RSTn restart markers in BOTH
+  directions (round 4): the decoder resyncs on RSTn, the encoder
+  emits DRI + restart markers when ``restart_interval`` is set.
 
 Like the PNG/WAV codecs this is per-payload Python+numpy work wrapped
 by an actor-pool ``map_batches`` stage — the Ray-side contract is
@@ -460,7 +462,7 @@ def encode_jpeg_progressive(
       the full band (Ah=1, Al=0) — with ``successive=False`` the
       single Al=0 first scans per band are emitted instead.
 
-    ``subsampling`` as in :func:`encode_jpeg` ("444"/"420").
+    ``subsampling`` as in :func:`encode_jpeg` ("444"/"422"/"420").
     Decoding this stream MUST equal decoding the baseline stream of
     the same image/quality/subsampling bit-for-bit (asserted in
     tests): both deliver the same quantized coefficients."""

@@ -330,7 +330,10 @@ class DemuxFrameStage:
                 continue
             try:
                 info = parse_mp4(payload)
-            except ValueError:
+            except Exception:
+                # any malformed container (not just the parser's own
+                # ValueErrors — truncated boxes can surface as
+                # struct.error / IndexError) drops under "skip"
                 if self.on_bad == "skip":
                     continue
                 raise
@@ -411,7 +414,17 @@ class VideoFrameDecodeStage:
         ):
             if mod != "video":
                 continue
-            info = parse_mp4(payload)
+            # corrupt / non-ISO-BMFF payloads follow the SAME
+            # skip-and-count contract as unsupported codecs (round 5,
+            # ADVICE r04): a malformed container must drop a row, not
+            # kill the batch — at 100 TB "one bad file fails the
+            # stage" is not an acceptable failure mode.
+            try:
+                info = parse_mp4(payload)
+            except Exception:
+                if self.on_unsupported == "skip":
+                    continue
+                raise
             if info["codec"] != "jpeg":
                 if self.on_unsupported == "skip":
                     continue
@@ -429,7 +442,14 @@ class VideoFrameDecodeStage:
             for t, s in zip(ticks.tolist(), idx.tolist()):
                 off = int(info["offsets"][s])
                 ln = int(info["sizes"][s])
-                img = decode_jpeg(payload[off : off + ln])
+                try:
+                    img = decode_jpeg(payload[off : off + ln])
+                except Exception:
+                    # truncated / corrupt frame bytes: drop this FRAME
+                    # under "skip" (the media row keeps its good frames)
+                    if self.on_unsupported == "skip":
+                        continue
+                    raise
                 if img.ndim == 2:
                     img = img[:, :, None]
                 out["media_id"].append(mid)
@@ -477,7 +497,18 @@ def decode_skip_counts(ds):
     pipelines: per format, how many rows the real-decode layer handles
     vs drops — (fmt, n_rows, n_decoded, n_skipped), sorted by fmt.
     Per-block partials then one tiny groupby (bounded by the number of
-    distinct formats); makes silent skips auditable at any scale."""
+    distinct formats); makes silent skips auditable at any scale.
+
+    Contract semantics (deliberate): ``n_decoded`` is the STATIC
+    per-format capability count — rows whose ``fmt`` is in
+    ``DecodeStage.SUPPORTED`` — not a per-row decode outcome.  A
+    supported-format row can still fail in the decode layer (e.g. an
+    interlaced PNG raises ``NotImplementedError``, a corrupt payload
+    raises in the codec); those failures surface from the decode stage
+    itself under ITS ``on_unsupported``/``on_bad`` policy.  Keeping
+    this operator metadata-only is what lets it skip the ``payload``
+    column entirely (a fmt-column-only scan at 100 TB vs re-decoding
+    the corpus just to count)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 

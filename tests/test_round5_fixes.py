@@ -1,0 +1,120 @@
+"""Round-5 regression tests: media_demux output order pinned across
+partitionings (the round-4 gate's one red row — VERDICT r04 #1) and the
+corrupt-container skip-and-count contract (ADVICE r04: a malformed MP4
+payload must drop under ``skip``, not kill the batch)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _frame_hash(df: pd.DataFrame) -> str:
+    """Order-SENSITIVE value hash (mirrors the driver gate's check)."""
+    df = df[sorted(df.columns)]
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.6f").encode()
+    ).hexdigest()
+
+
+def test_media_demux_deterministic_across_partitionings(ray_session):
+    """The gate path (demux_frames + pinned sort) must emit
+    byte-identical output regardless of input partitioning — the exact
+    defect class that made media_demux the one red r04 gate row."""
+    import ray.data as rd
+
+    from raysearch.pipelines.multimodal import demux_frames, fake_media_table
+
+    tbl = fake_media_table(24)
+    hashes = []
+    for n_blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        out = (
+            demux_frames(ds)
+            .sort(["media_id", "frame_ms"])
+            .to_pandas()
+        )
+        assert len(out) > 0
+        hashes.append(_frame_hash(out))
+    assert hashes[0] == hashes[1], (
+        "media_demux output is partitioning-dependent (order not pinned)"
+    )
+
+
+def _media_with_corrupt_video(n_good: int = 4, frame_trunc: bool = False) -> pa.Table:
+    """MJPEG videos plus malformed payloads: pure garbage (no ftyp)
+    and a mid-moov truncation (malformed box walk).  With
+    ``frame_trunc`` also a copy whose CONTAINER parses but whose mdat
+    frame bytes are cut off — the sample table points past EOF, so
+    demux succeeds but per-frame decode must skip."""
+    from raysearch.pipelines.multimodal import MEDIA_SCHEMA, mjpeg_media_table
+
+    good = mjpeg_media_table(n_good)
+    pay = good["payload"].to_pylist()
+    rows = {f.name: good[f.name].to_pylist() for f in MEDIA_SCHEMA}
+    next_id = max(rows["media_id"]) + 1
+    bads = [b"\x00garbage not an mp4 at all", pay[0][:200]]
+    if frame_trunc:
+        from raysearch.pipelines.mp4_codec import parse_mp4
+
+        info = parse_mp4(pay[0])
+        # keep the full box structure up to the first sample, then cut
+        bads.append(pay[0][: int(info["offsets"][0]) + 4])
+    for bad in bads:
+        rows["media_id"].append(next_id)
+        rows["modality"].append("video")
+        rows["fmt"].append("mp4")
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["duration_ms"].append(0)
+        rows["payload"].append(bad)
+        next_id += 1
+    return pa.table({f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA})
+
+
+def test_demux_skips_corrupt_containers(ray_session):
+    """demux_frames(on_bad='skip') drops malformed payloads and keeps
+    every frame of the good ones; on_bad='error' raises."""
+    import ray.data as rd
+
+    from raysearch.pipelines.multimodal import demux_frames
+
+    tbl = _media_with_corrupt_video(4)
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = demux_frames(ds, stride_ms=40, on_bad="skip").to_pandas()
+    good_ids = set(tbl["media_id"].to_pylist()[:4])
+    assert set(out["media_id"]) == good_ids
+    with pytest.raises(Exception):
+        demux_frames(
+            rd.from_arrow(tbl), stride_ms=40, on_bad="error"
+        ).materialize()
+
+
+def test_video_decode_skips_corrupt_containers_and_frames(ray_session):
+    """decode_video_frames(on_unsupported='skip') survives corrupt
+    containers AND truncated frame bytes; 'error' raises on them."""
+    import ray.data as rd
+
+    from raysearch.pipelines.multimodal import (
+        decode_video_frames,
+        mjpeg_media_table,
+    )
+
+    tbl = _media_with_corrupt_video(4, frame_trunc=True)
+    out = decode_video_frames(
+        rd.from_arrow(tbl).repartition(3), stride_ms=40
+    ).to_pandas()
+    good = mjpeg_media_table(4)
+    durs = dict(
+        zip(good["media_id"].to_pylist(), good["duration_ms"].to_pylist())
+    )
+    assert len(out) == sum(d // 40 for d in durs.values())
+    assert set(out["media_id"]) == set(durs)
+    with pytest.raises(Exception):
+        decode_video_frames(
+            rd.from_arrow(tbl), stride_ms=40, on_unsupported="error"
+        ).materialize()
