@@ -95,6 +95,89 @@ def _emit_pairs_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return ids[ii], ids[jj]
 
 
+#: dup-bucket key universes above this count fall back to the fully
+#: distributed per-group plan instead of a driver broadcast (uint64
+#: keys ≈ 400 MB object at the cap)
+DUP_KEY_LIMIT = 50_000_000
+
+
+def _dup_bucket_prefilter(sigs, key_fn):
+    """Prune an LSH band-row Dataset to rows whose bucket has ≥2
+    members BEFORE the per-bucket pair emission (round 5).
+
+    ``groupby(bucket).map_groups(emit)`` invokes a pandas UDF once per
+    bucket, and in a near-dup workload almost every bucket is a
+    singleton that emits nothing — at sf0.1 that was ~80k UDF calls for
+    256 surviving pairs (the round-4 ``minhash_pairs`` 2× bench
+    regression was dominated by it).  Instead: one vectorized
+    ``groupby(key).Count`` (Arrow hash aggregate, no per-group Python),
+    a distributed ``n ≥ 2`` filter so only DUP keys reach the driver,
+    then a broadcast ``searchsorted`` membership filter over the band
+    rows.  The per-group UDF afterwards touches only real candidate
+    buckets.
+
+    ``key_fn(batch) -> np.uint64[n]`` maps each row to its bucket key
+    (collisions across buckets are harmless: they only ADD rows to the
+    exact per-bucket groupby downstream, never drop a dup bucket —
+    counts per merged key are a superset of counts per true key).
+
+    Returns the filtered Dataset, or ``None`` when the dup-key universe
+    exceeds ``DUP_KEY_LIMIT`` (caller falls back to the full
+    ``map_groups`` plan — correct at any scale, just slower)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def add_key(b: pa.Table) -> pa.Table:
+        # int64 VIEW of the uint64 key: Ray's groupby pickles uint64
+        # keys into an object extension column (no zero-copy pandas
+        # dtype), while int64 stays a native Arrow column; membership
+        # below is view-consistent on both sides.
+        k = np.ascontiguousarray(key_fn(b), dtype=np.uint64).view(np.int64)
+        return b.append_column("_bkey", pa.array(k, pa.int64()))
+
+    keyed = sigs.map_batches(add_key, batch_format="pyarrow").materialize()
+    counts = keyed.groupby("_bkey").aggregate(Count(alias_name="_n"))
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b["_n"], 2)).select(["_bkey"])
+
+    vals: list[np.ndarray] = []
+    n_hot = 0
+    for b in counts.map_batches(dup_only, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        v = b["_bkey"].to_numpy(zero_copy_only=False)
+        n_hot += len(v)
+        if n_hot > DUP_KEY_LIMIT:
+            return None
+        vals.append(v)
+    hot = (
+        np.unique(np.concatenate(vals)) if vals else np.empty(0, np.int64)
+    )
+    hot_ref = ray.put(hot)
+
+    def member(b: pa.Table) -> pa.Table:
+        w = ray.get(hot_ref)
+        v = b["_bkey"].to_numpy(zero_copy_only=False)
+        if len(w) and len(v):
+            pos = np.searchsorted(w, v)
+            pos[pos >= len(w)] = len(w) - 1
+            keep = w[pos] == v
+        else:
+            keep = np.zeros(len(v), bool)
+        return b.drop_columns(["_bkey"]).filter(pa.array(keep))
+
+    return keyed.map_batches(member, batch_format="pyarrow")
+
+
+def _band_hash_key(b: pa.Table) -> np.ndarray:
+    """MinHash bucket key: band_hash alone (its init mixes the band in,
+    so it already separates bands up to 64-bit collisions)."""
+    return b["band_hash"].to_numpy(zero_copy_only=False)
+
+
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
@@ -397,9 +480,10 @@ def minhash_candidates_from_shingles(sh_ds, n_perm: int = 64, bands: int = 16):
         fn_kwargs={"n_perm": n_perm, "bands": bands},
         batch_format="pyarrow",
     )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_buckets, batch_format="pandas"
-    )
+    pre = _dup_bucket_prefilter(sigs, _band_hash_key)
+    pairs = (sigs if pre is None else pre).groupby(
+        ["band", "band_hash"]
+    ).map_groups(_pairs_from_buckets, batch_format="pandas")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
@@ -535,9 +619,10 @@ def minhash_candidates(ds, n_perm: int = 64, bands: int = 16, shingle: int = 3):
         fn_kwargs={"n_perm": n_perm, "bands": bands, "shingle": shingle},
         batch_format="pyarrow",
     )
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_buckets, batch_format="pandas"
-    )
+    pre = _dup_bucket_prefilter(sigs, _band_hash_key)
+    pairs = (sigs if pre is None else pre).groupby(
+        ["band", "band_hash"]
+    ).map_groups(_pairs_from_buckets, batch_format="pandas")
     from ray.data.aggregate import Count
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
@@ -585,6 +670,89 @@ def _empty_pairs_ds():
 #: candidate pair counts up to this broadcast their id set instead of
 #: running a semi-join (≤ ~2 ids/pair × 8 B ≈ 160 MB object at the cap)
 BROADCAST_ID_LIMIT = 10_000_000
+
+#: candidate shingle-set bytes up to this are broadcast as one CSR
+#: object for single-map pair verification; above it the sets stay
+#: distributed and verification runs as two hash-merge attaches
+VERIFY_BROADCAST_BYTES = 256 << 20
+
+
+def _collect_blob_csr(blob_ds):
+    """(doc_id, shingles-blob) Dataset → driver CSR ``(ids_sorted,
+    offsets, values)`` for broadcast lookup, or ``None`` when the total
+    value bytes exceed ``VERIFY_BROADCAST_BYTES`` (caller falls back to
+    the distributed attach plan)."""
+    ids_l, vals_l, cnt_l = [], [], []
+    total = 0
+    for b in blob_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        parent, v = _unpack_blob_col(b["shingles"])
+        total += v.nbytes
+        if total > VERIFY_BROADCAST_BYTES:
+            return None
+        ids_l.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        vals_l.append(v)
+        cnt_l.append(np.bincount(parent, minlength=b.num_rows).astype(np.int64))
+    if not ids_l:
+        return (
+            np.empty(0, np.int64),
+            np.zeros(1, np.int64),
+            np.empty(0, np.uint64),
+        )
+    ids = np.concatenate(ids_l)
+    vals = np.concatenate(vals_l) if total else np.empty(0, np.uint64)
+    counts = np.concatenate(cnt_l)
+    order = np.argsort(ids, kind="stable")
+    # gather each id's value run into sorted-id order, vectorized
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    lens = counts[order]
+    out_off = np.concatenate(([0], np.cumsum(lens)))
+    idx = np.repeat(starts[order] - out_off[:-1], lens) + np.arange(
+        out_off[-1], dtype=np.int64
+    )
+    return ids[order], out_off, vals[idx]
+
+
+def _verify_pairs_broadcast(cands, csr, threshold: float):
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against
+    a broadcast CSR of candidate shingle sets — one streaming map, no
+    shuffle; output order pinned like the attach path."""
+    import ray
+
+    from raysearch.util import round_half_away
+
+    csr_ref = ray.put(csr)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_s, off, vals = ray.get(csr_ref)
+        da = batch["doc_a"].to_numpy(zero_copy_only=False)
+        db = batch["doc_b"].to_numpy(zero_copy_only=False)
+        n = len(da)
+        jac = np.empty(n, dtype=np.float64)
+        ia = np.searchsorted(ids_s, da)
+        ib = np.searchsorted(ids_s, db)
+        for i in range(n):
+            a, b = int(ia[i]), int(ib[i])
+            sa = vals[off[a] : off[a + 1]]
+            sb = vals[off[b] : off[b + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            # union == 0 ⇔ both docs have < k tokens — outside the
+            # exact operator's domain, never a verified pair
+            jac[i] = (inter / union) if union else 0.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "jaccard": pa.array(
+                    round_half_away(jac[keep], 4), pa.float64()
+                ),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
+    )
 
 
 def minhash_lsh_pairs(
@@ -663,6 +831,14 @@ def minhash_lsh_pairs(
         from raysearch.util import broadcast_id_filter
 
         cand_sh = broadcast_id_filter(sh, "doc_id", id_arr).materialize()
+        bcast = _collect_blob_csr(cand_sh)
+        if bcast is not None:
+            # candidate shingle sets fit the broadcast budget: verify
+            # pairs in ONE map over the (tiny) pair Dataset against a
+            # ray.put CSR of the sets — zero attach shuffles (round 5;
+            # the two copartition_attach exchanges below cost several
+            # seconds of fixed shuffle overhead even on 256 pairs)
+            return _verify_pairs_broadcast(cands, bcast, threshold)
     else:
         from ray.data.aggregate import Count
 
@@ -992,8 +1168,14 @@ def simhash_pairs(ds, max_hamming: int = 3):
             {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]], "hamming": dist[keep]}
         )
 
+    # NOTE: no _dup_bucket_prefilter here — simhash band keys are only
+    # 16 bits, so beyond ~65k docs per band every bucket has ≥2 members
+    # and the prefilter's extra count-shuffle is pure overhead
+    # (measured +2 s at sf0.1 for zero rows pruned at scale).
     sigs = ds.map_batches(_simhash_task, batch_format="pyarrow")
-    cand = sigs.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
+    cand = sigs.groupby(["band", "band_key"]).map_groups(
+        pairs, batch_format="pandas"
+    )
     from ray.data.aggregate import Min
 
     # groupby output block order is not pinned across runs — sort the
