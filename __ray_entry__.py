@@ -1316,22 +1316,37 @@ def _q_media_skip_counts(sf_dir: str):
 
 
 def _q_media_video_frames(sf_dir: str):
-    """REAL video-frame decode (round 4): motion-JPEG MP4s (genuine
-    containers, samples are baseline JPEGs) → demux → per-tick frame
-    pixel decode via jpeg_codec → feature vectors.  No SQL twin (SQL
-    cannot run an IDCT); pixel-exactness is pytest-verified against
-    decode_jpeg on the demuxed byte ranges and tolerance-checked
-    against the encoder's source frames."""
+    """REAL video-frame decode: motion-JPEG MP4s (round 4) AND MPEG-1
+    intra MP4s (round 5, mpeg1_codec) → demux → per-tick frame pixel
+    decode → feature vectors.  No SQL twin (SQL cannot run an IDCT);
+    pixel-exactness is pytest-verified against the codecs on the
+    demuxed byte ranges and tolerance-checked against the encoders'
+    source frames."""
     import ray.data as rd
 
     from raysearch.pipelines.multimodal import (
         decode_video_frames,
         mjpeg_media_table,
+        mpeg1_media_table,
     )
 
-    return decode_video_frames(
-        rd.from_arrow(mjpeg_media_table(8)), stride_ms=40
-    ).sort(["media_id", "frame_ms"])
+    mj = rd.from_arrow(mjpeg_media_table(8))
+
+    def shift_ids(b):
+        import pyarrow.compute as pc
+
+        return b.set_column(
+            b.schema.get_field_index("media_id"),
+            "media_id",
+            pc.add(b["media_id"], 1000),
+        )
+
+    m1 = rd.from_arrow(mpeg1_media_table(6)).map_batches(
+        shift_ids, batch_format="pyarrow"
+    )
+    return decode_video_frames(mj.union(m1), stride_ms=40).sort(
+        ["media_id", "frame_ms"]
+    )
 
 
 def _q_media_demux(sf_dir: str):

@@ -67,8 +67,10 @@ def encode_mp4(
     control them (each must match its size).  ``codec`` is the stsd
     sample-entry 4cc: ``b"opqv"`` marks opaque/undecodable samples;
     ``b"jpeg"`` (the ISO/QuickTime motion-JPEG entry) marks samples
-    that ARE baseline JPEG images — the one truly decodable video
-    codec path (raysearch.pipelines.jpeg_codec)."""
+    that ARE baseline JPEG images and ``b"mp1v"`` marks samples that
+    are self-contained MPEG-1 I-frame streams — the two truly
+    decodable video codec paths (raysearch.pipelines.jpeg_codec /
+    mpeg1_codec)."""
     if len(codec) != 4:
         raise ValueError("codec must be a 4cc")
     sizes = np.asarray(sample_sizes, dtype=np.int64)

@@ -19,13 +19,17 @@ stride ticks to sample indices and absolute byte ranges.
 
 Round 4: JPEG decode covers progressive (SOF2) streams too, and
 motion-JPEG MP4s decode actual frame pixels
-(:class:`VideoFrameDecodeStage`).  The only remaining stub surface is
-the codec layer external libraries would provide (H.264 entropy
-decode): DecodeStage raises ``NotImplementedError`` per such row
-unless configured to skip or fake — exactly the decode this
-environment cannot provide, not the pipeline around it — and the
-skip-and-count contract (:func:`decode_skip_counts`) makes the drops
-auditable, which is the documented default at 100 TB scale.
+(:class:`VideoFrameDecodeStage`).
+
+Round 5: MPEG-1 intra-coded MP4s (4cc ``mp1v``) decode for real too
+(:mod:`mpeg1_codec`), and malformed containers / truncated frame
+bytes follow the same skip-and-count contract as unsupported codecs.
+The only remaining stub surface is the codec layer external libraries
+would provide (inter-frame H.264 entropy decode): per such row the
+stage raises ``NotImplementedError`` unless configured to skip — and
+the skip-and-count contract (:func:`decode_skip_counts`) makes the
+drops auditable, which is the documented default at 100 TB scale
+(SURVEY §2.11).
 """
 
 from __future__ import annotations
@@ -136,6 +140,42 @@ def mjpeg_media_table(n_videos: int = 8, seed: int = 5) -> pa.Table:
         sizes = np.array([len(f) for f in frames], dtype=np.int64)
         payload = encode_mp4(
             sizes, frames, frame_dur=40, width=w, height=h, codec=b"jpeg"
+        )
+        rows["media_id"].append(i)
+        rows["modality"].append("video")
+        rows["fmt"].append("mp4")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(n_frames * 40)
+        rows["payload"].append(payload)
+    return pa.table({f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA})
+
+
+def mpeg1_media_table(n_videos: int = 6, seed: int = 11) -> pa.Table:
+    """Deterministic MPEG-1 video rows: genuine MP4 containers (codec
+    4cc ``mp1v``) whose samples are REAL self-contained MPEG-1
+    I-frame elementary streams (:mod:`mpeg1_codec`) — the second
+    decodable video codec path (round 5, SURVEY §2.11)."""
+    from raysearch.pipelines.mp4_codec import encode_mp4
+    from raysearch.pipelines.mpeg1_codec import encode_mpeg1_iframe
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n_videos):
+        w = int(rng.integers(1, 4)) * 16  # macroblock multiples
+        h = int(rng.integers(1, 4)) * 16
+        n_frames = int(rng.integers(3, 10))
+        frames = []
+        for j in range(n_frames):
+            base = int(rng.integers(30, 200))
+            img = np.empty((h, w, 3), np.uint8)
+            img[:, :, 0] = (base + j * 9) % 256
+            img[:, :, 1] = (np.arange(w)[None, :] * 2 + j) % 256
+            img[:, :, 2] = (np.arange(h)[:, None] * 3 + base) % 256
+            frames.append(encode_mpeg1_iframe(img, quantizer_scale=2))
+        sizes = np.array([len(f) for f in frames], dtype=np.int64)
+        payload = encode_mp4(
+            sizes, frames, frame_dur=40, width=w, height=h, codec=b"mp1v"
         )
         rows["media_id"].append(i)
         rows["modality"].append("video")
@@ -375,16 +415,37 @@ def demux_frames(
     )
 
 
+#: video codec 4cc → per-sample pure-numpy frame decoder
+def _decode_mjpeg_sample(data: bytes) -> np.ndarray:
+    from raysearch.pipelines.jpeg_codec import decode_jpeg
+
+    return decode_jpeg(data)
+
+
+def _decode_mpeg1_sample(data: bytes) -> np.ndarray:
+    from raysearch.pipelines.mpeg1_codec import decode_mpeg1_iframe
+
+    return decode_mpeg1_iframe(data)
+
+
+VIDEO_DECODERS = {
+    "jpeg": _decode_mjpeg_sample,
+    "mp1v": _decode_mpeg1_sample,
+}
+
+
 class VideoFrameDecodeStage:
-    """REAL video-frame decode (round 4): demux each MP4's sample
-    table, pick the sample covering every ``stride_ms`` tick, and —
-    for the motion-JPEG codec (stsd 4cc ``jpeg``, samples are baseline
-    JPEGs) — decode the frame's actual pixels with
-    :mod:`jpeg_codec` and emit its feature vector.  Codecs without a
-    pure-Python decode (H.264 etc.) follow ``on_unsupported``:
-    ``"skip"`` (the documented default at scale — rows drop and the
-    companion :func:`decode_skip_counts` makes the drops auditable) or
-    ``"error"``."""
+    """REAL video-frame decode: demux each MP4's sample table, pick
+    the sample covering every ``stride_ms`` tick, and decode the
+    frame's actual pixels + feature vector for the codecs with a
+    pure-numpy decoder (``VIDEO_DECODERS``): motion-JPEG (stsd 4cc
+    ``jpeg``, samples are baseline JPEGs, round 4) and MPEG-1 intra
+    (4cc ``mp1v``, samples are self-contained I-frame elementary
+    streams, round 5 — :mod:`mpeg1_codec`).  Inter-coded codecs
+    (H.264 etc.) follow ``on_unsupported``: ``"skip"`` (the documented
+    default at scale — rows drop and the companion
+    :func:`decode_skip_counts` makes the drops auditable) or
+    ``"error"`` (SURVEY §2.11)."""
 
     def __init__(
         self,
@@ -399,7 +460,6 @@ class VideoFrameDecodeStage:
         self.on_unsupported = on_unsupported
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from raysearch.pipelines.jpeg_codec import decode_jpeg
         from raysearch.pipelines.media_codec import image_features
         from raysearch.pipelines.mp4_codec import parse_mp4
 
@@ -425,14 +485,16 @@ class VideoFrameDecodeStage:
                 if self.on_unsupported == "skip":
                     continue
                 raise
-            if info["codec"] != "jpeg":
+            decoder = VIDEO_DECODERS.get(info["codec"])
+            if decoder is None:
                 if self.on_unsupported == "skip":
                     continue
                 raise NotImplementedError(
                     f"no pure-Python decode for video codec "
-                    f"{info['codec']!r} (motion-JPEG 'jpeg' decodes for "
-                    f"real; use on_unsupported='skip' to drop and count "
-                    f"other codecs)"
+                    f"{info['codec']!r} (motion-JPEG 'jpeg' and MPEG-1 "
+                    f"intra 'mp1v' decode for real; use "
+                    f"on_unsupported='skip' to drop and count other "
+                    f"codecs)"
                 )
             scale = info["timescale"]
             ends_ms = np.cumsum(info["durations"]) * 1000 // scale
@@ -443,7 +505,7 @@ class VideoFrameDecodeStage:
                 off = int(info["offsets"][s])
                 ln = int(info["sizes"][s])
                 try:
-                    img = decode_jpeg(payload[off : off + ln])
+                    img = decoder(payload[off : off + ln])
                 except Exception:
                     # truncated / corrupt frame bytes: drop this FRAME
                     # under "skip" (the media row keeps its good frames)
