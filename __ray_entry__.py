@@ -1012,6 +1012,21 @@ def _q_split_dataset(sf_dir: str):
     return split_dataset(ds, SPLIT_FRACTIONS)
 
 
+def _q_hll_vocab_registers(sf_dir: str):
+    """HyperLogLog distinct-token sketch (round 5) — the register
+    table is a deterministic integer function of md5, so the DuckDB
+    twin is EXACT, not approximate-vs-exact (sketch.py module doc).
+    One streaming pass + a ≤ blocks×4096-row exchange at any scale."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import hll_vocab_registers
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return hll_vocab_registers(ds)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Flagship composition: quality filter → dup-cluster keep-set →
     stratified mixing, end-to-end, hash-checked against the composed
@@ -1457,7 +1472,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": _q_column_profile,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "events_hopping": _q_events_hopping,
-        "split_dataset": _q_split_dataset,
+        # round 5: hll_vocab_registers (the round's new sketch
+        # operator) admitted above the cap per the r04 lesson — new
+        # operators get driver-checked immediately; split_dataset
+        # demoted (pure id-hash CASE, pytest-pinned, and its sibling
+        # stratified_sample — the same _split_u01 hash idiom — stays
+        # above the cap, so the mechanism remains driver-checked).
+        "hll_vocab_registers": _q_hll_vocab_registers,
         # round 5: decontaminate promoted above the cap (it was the
         # round-4 operator the driver never checked — VERDICT r04 #3);
         # minhash_recall demoted in its place (recall floor is also
@@ -1470,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_skip_counts": _q_media_skip_counts,
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
+        "split_dataset": _q_split_dataset,
         "minhash_recall": _q_minhash_recall,
         "simhash_recall": _q_simhash_recall,
         "jaccard_pairs_exact": _q_jaccard_pairs_exact,
@@ -1982,6 +2004,22 @@ def oracle_sql() -> dict[str, str]:
     out["redact_text"] = redact_sql(REDACT_GATE_PATTERNS)
     out["split_dataset"] = (
         f"SELECT doc_id, {split_case_sql(SPLIT_FRACTIONS)} AS split FROM documents"
+    )
+    # HLL registers are a deterministic integer function of md5 —
+    # DuckDB md5_number_upper == first 8 md5 bytes little-endian
+    # (test_sketch.py pins the parity), bitlength via bin(); the twin
+    # is therefore EXACT (sketch.py module doc explains the formula)
+    out["hll_vocab_registers"] = (
+        "WITH tok AS (SELECT t.term FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        "FROM documents) t WHERE t.term <> ''), "
+        "h AS (SELECT md5_number_upper(term) AS h64 FROM tok), "
+        "r AS (SELECT CAST(h64 >> 52 AS BIGINT) AS bucket, "
+        "CAST(CASE WHEN (h64 & ((1::UBIGINT << 52) - 1)) = 0 THEN 53 "
+        "ELSE 53 - length(bin(h64 & ((1::UBIGINT << 52) - 1))) END "
+        "AS BIGINT) AS register FROM h) "
+        "SELECT bucket, max(register) AS register FROM r "
+        "GROUP BY bucket ORDER BY bucket"
     )
     # global-prefix-sum window (the sequential twin of the bucketed
     # two-phase plan); zero-token docs get a zero-width chunk span

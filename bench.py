@@ -137,6 +137,8 @@ def _pipeline_bench() -> dict:
         "pack_offsets": E._q_pack_offsets,
         "hashed_features": E._q_hashed_features,
         "curation_pipeline": E._q_curation_pipeline,
+        # round-5 addition (new key)
+        "hll_vocab_registers": E._q_hll_vocab_registers,
     }
     out = {}
     for name, fn in stages.items():

@@ -6,7 +6,8 @@ and duplicate clustering (dedup.py), similarity search over embeddings
 (simsearch.py), text analysis / quality filtering / redaction
 (textstats.py), sampling and windowed ranking (sampling.py), sequence
 packing (packing.py), feature extraction (features.py), dataset
-profiling (profile.py), the composed curation flagship (curation.py),
+profiling (profile.py), cardinality
+sketches (sketch.py), the composed curation flagship (curation.py),
 multimodal binary-column plumbing (multimodal.py), and generic
 relational aggregates/joins/windows (relational.py).  All are
 Ray-Data-first: vectorized map_batches over Arrow batches, partial

@@ -1,0 +1,137 @@
+"""Distributed cardinality sketch: HyperLogLog registers over the
+corpus token vocabulary, with EXACT SQL-oracle parity.
+
+The classic 100-TB question "how many distinct tokens / urls / users
+does this corpus have?" is an all-to-all ``unique`` in naive form; the
+HLL sketch answers it with ONE streaming pass and a fixed-size
+exchange.  Plan (textbook partial-aggregate shape):
+
+1. ``map_batches``: each block tokenizes its rows (the shared
+   SQL-parity ``Lexer("simple")``), hashes its DISTINCT tokens, and
+   folds them into a local ``m = 2^p`` register array
+   (``np.maximum.at``) — emitted as at most ``m`` (bucket, register)
+   rows per block.  Duplicate tokens across blocks are harmless: HLL
+   registers are a max, insensitive to multiplicity.
+2. one tiny ``groupby(bucket).max`` — the ONLY exchange, bounded by
+   ``blocks × m`` integer rows regardless of corpus size.
+3. ``sort("bucket")`` pins the (at most ``m``-row) output order.
+
+Register math (and why the oracle is exact, not approximate-vs-exact):
+the registers are a DETERMINISTIC integer function of the md5 hash of
+each token, so a SQL engine can replicate them bit-for-bit —
+``md5_number_upper(term)`` in DuckDB equals the first 8 bytes of
+Python's ``hashlib.md5`` digest read little-endian (verified in
+tests).  With ``h`` that u64 and ``p`` bucket bits:
+
+    bucket   = h >> (64 - p)
+    w        = h & ((1 << (64 - p)) - 1)
+    register = (64 - p + 1) - bitlength(w)      # w == 0 → 64 - p + 1
+
+``bitlength(w) = length(bin(w))`` in SQL; in numpy it is the binary
+exponent from ``np.frexp`` — exact because ``w < 2^52 < 2^53`` is
+representable in float64.  The ESTIMATE (``hll_estimate``) is the
+standard bias-corrected harmonic mean (Flajolet et al. 2007, public
+paper) and is checked in pytest against the exact distinct count; the
+gate row hashes the integer registers, where exactness is bitwise.
+
+Reference analog: none (the reference engine has no sketches); this is
+a §brief "novel sketch" custom operator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from raysearch.lex import Lexer
+
+#: default precision: m = 4096 registers, relative error ≈ 1.04/√m ≈ 1.6%
+HLL_P = 12
+
+
+def md5_u64(values) -> np.ndarray:
+    """First 8 md5 digest bytes, little-endian — DuckDB
+    ``md5_number_upper`` parity (the SQL twin's hash)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "little")
+            for v in values
+        ],
+        dtype=np.uint64,
+    )
+
+
+def hll_fold(reg: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    """Fold u64 hashes into an existing ``2^p`` register array in
+    place (max-merge — associative, commutative, idempotent)."""
+    if not len(hashes):
+        return
+    wbits = 64 - p
+    bucket = (hashes >> np.uint64(wbits)).astype(np.int64)
+    w = (hashes & np.uint64((1 << wbits) - 1)).astype(np.float64)
+    blen = np.zeros(len(hashes), np.int64)
+    nz = w > 0
+    # exact integer bitlength: w < 2^52 is exactly representable, and
+    # frexp returns the true binary exponent (w = mant · 2^exp)
+    blen[nz] = np.frexp(w[nz])[1]
+    rank = np.int64(wbits + 1) - blen
+    np.maximum.at(reg, bucket, rank)
+
+
+_LEXER_CACHE: dict[str, Lexer] = {}
+
+
+def _hll_partial_task(batch: pa.Table, *, p: int) -> pa.Table:
+    lexer = _LEXER_CACHE.get("simple")
+    if lexer is None:
+        lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+    reg = np.zeros(1 << p, np.int64)
+    _, _, uniq = lexer.token_parent_codes(batch["text"])
+    hll_fold(reg, md5_u64(list(uniq)), p)
+    nzb = np.nonzero(reg)[0]
+    return pa.table(
+        {
+            "bucket": pa.array(nzb, pa.int64()),
+            "register": pa.array(reg[nzb], pa.int64()),
+        }
+    )
+
+
+def hll_vocab_registers(ds, p: int = HLL_P):
+    """documents(text) → the corpus vocabulary's HLL register table
+    ``(bucket, register)``, ≤ ``2^p`` rows, sorted by bucket."""
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(
+            _hll_partial_task, fn_kwargs={"p": p}, batch_format="pyarrow"
+        )
+        .groupby("bucket")
+        .aggregate(Max("register", alias_name="register"))
+        .sort("bucket")
+    )
+
+
+def hll_estimate(buckets: np.ndarray, registers: np.ndarray, p: int = HLL_P) -> float:
+    """Bias-corrected HLL cardinality estimate from a (possibly sparse)
+    register table — absent buckets are zero registers."""
+    m = 1 << p
+    full = np.zeros(m, np.float64)
+    full[np.asarray(buckets, np.int64)] = np.asarray(registers, np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-full))
+    zeros = m - np.count_nonzero(full)
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear-counting small-range correction
+    return float(e)
+
+
+def hll_vocab_estimate(ds, p: int = HLL_P) -> float:
+    """Convenience: documents(text) → estimated distinct-token count
+    (driver receives only the ≤ 2^p register rows)."""
+    t = hll_vocab_registers(ds, p).to_pandas()
+    return hll_estimate(
+        t["bucket"].to_numpy(), t["register"].to_numpy(), p
+    )

@@ -1,0 +1,126 @@
+"""HyperLogLog vocabulary sketch (raysearch/pipelines/sketch.py):
+hash parity with the SQL twin, register math vs brute force, partition
+invariance, and estimate accuracy vs the exact distinct count."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raysearch.pipelines.sketch import (
+    HLL_P,
+    hll_estimate,
+    hll_fold,
+    hll_vocab_registers,
+    md5_u64,
+)
+
+
+def test_md5_u64_matches_duckdb_md5_number_upper():
+    import duckdb
+
+    words = ["hello", "", "a", "zebra42", "ünïcode", "the"]
+    got = md5_u64(words)
+    want = [
+        duckdb.sql("SELECT md5_number_upper(?)", params=[w]).fetchone()[0]
+        for w in words
+    ]
+    assert [int(x) for x in got] == [int(w) for w in want]
+
+
+def test_fold_matches_bit_twiddled_brute_force():
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    hashes[0] = 0  # w == 0 edge: rank must be wbits+1
+    p = HLL_P
+    reg = np.zeros(1 << p, np.int64)
+    hll_fold(reg, hashes, p)
+    brute = np.zeros(1 << p, np.int64)
+    wbits = 64 - p
+    for h in hashes.tolist():
+        bucket = h >> wbits
+        w = h & ((1 << wbits) - 1)
+        rank = (wbits + 1) - w.bit_length()  # bit_length(0) == 0
+        brute[bucket] = max(brute[bucket], rank)
+    assert (reg == brute).all()
+
+
+def _vocab_docs(n_docs: int = 60, vocab: int = 3000):
+    """Deterministic corpus with a known-ish vocabulary: doc i holds a
+    slice of `tok000..tokV-1` plus shared stop-ish words."""
+    import ray.data as rd
+
+    rows = []
+    for i in range(n_docs):
+        lo = (i * vocab // n_docs)
+        hi = ((i + 1) * vocab // n_docs)
+        toks = [f"tok{j:05d}" for j in range(lo, hi)]
+        rows.append(
+            {"doc_id": i, "text": "the and of " + " ".join(toks)}
+        )
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_registers_partition_invariant_and_equal_brute(ray_session):
+    ds = _vocab_docs()
+    a = hll_vocab_registers(ds.repartition(1)).to_pandas()
+    b = hll_vocab_registers(ds.repartition(7)).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # brute force: same tokenizer contract ([a-z0-9]+ of lowered text)
+    import re
+
+    vocab = set()
+    for row in ds.take_all():
+        vocab.update(
+            t for t in re.split(r"[^a-z0-9]+", row["text"].lower()) if t
+        )
+    brute = np.zeros(1 << HLL_P, np.int64)
+    hll_fold(brute, md5_u64(sorted(vocab)), HLL_P)
+    nz = np.nonzero(brute)[0]
+    assert a["bucket"].tolist() == nz.tolist()
+    assert a["register"].tolist() == brute[nz].tolist()
+
+
+def test_estimate_within_hll_error_band(ray_session):
+    ds = _vocab_docs(n_docs=80, vocab=20000)
+    t = hll_vocab_registers(ds).to_pandas()
+    est = hll_estimate(t["bucket"].to_numpy(), t["register"].to_numpy())
+    exact = 20000 + 3  # tokNNNNN vocab + {the, and, of}
+    assert abs(est - exact) / exact < 0.05  # 3σ ≈ 4.9% at p=12
+
+
+def test_oracle_sql_twin_bitwise_equal(ray_session, tmp_path):
+    """The DuckDB twin (same formula in SQL) reproduces the engine's
+    registers bit-for-bit on a real corpus slice."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    ds = _vocab_docs(n_docs=30, vocab=1500)
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(ds.to_pandas()), path)
+    got = hll_vocab_registers(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = con.execute(
+        "WITH tok AS (SELECT t.term FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        "FROM documents) t WHERE t.term <> ''), "
+        "h AS (SELECT md5_number_upper(term) AS h64 FROM tok), "
+        "r AS (SELECT CAST(h64 >> 52 AS BIGINT) AS bucket, "
+        "CAST(CASE WHEN (h64 & ((1::UBIGINT << 52) - 1)) = 0 THEN 53 "
+        "ELSE 53 - length(bin(h64 & ((1::UBIGINT << 52) - 1))) END "
+        "AS BIGINT) AS register FROM h) "
+        "SELECT bucket, max(register) AS register FROM r "
+        "GROUP BY bucket ORDER BY bucket"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
