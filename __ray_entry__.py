@@ -1027,6 +1027,19 @@ def _q_hll_vocab_registers(sf_dir: str):
     return hll_vocab_registers(ds)
 
 
+def _q_hll_lang_registers(sf_dir: str):
+    """Grouped HLL: distinct-token registers per language — the
+    grouped-sketch pattern replacing groupby(lang).unique(token)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import hll_grouped_registers
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return hll_grouped_registers(ds, key="lang")
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Flagship composition: quality filter → dup-cluster keep-set →
     stratified mixing, end-to-end, hash-checked against the composed
@@ -1492,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
         "split_dataset": _q_split_dataset,
+        "hll_lang_registers": _q_hll_lang_registers,
         "minhash_recall": _q_minhash_recall,
         "simhash_recall": _q_simhash_recall,
         "jaccard_pairs_exact": _q_jaccard_pairs_exact,
@@ -2020,6 +2034,18 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS register FROM h) "
         "SELECT bucket, max(register) AS register FROM r "
         "GROUP BY bucket ORDER BY bucket"
+    )
+    out["hll_lang_registers"] = (
+        "WITH tok AS (SELECT lang, t.term FROM (SELECT lang, unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        "FROM documents) t WHERE t.term <> ''), "
+        "h AS (SELECT lang, md5_number_upper(term) AS h64 FROM tok), "
+        "r AS (SELECT lang, CAST(h64 >> 52 AS BIGINT) AS bucket, "
+        "CAST(CASE WHEN (h64 & ((1::UBIGINT << 52) - 1)) = 0 THEN 53 "
+        "ELSE 53 - length(bin(h64 & ((1::UBIGINT << 52) - 1))) END "
+        "AS BIGINT) AS register FROM h) "
+        "SELECT lang, bucket, max(register) AS register FROM r "
+        "GROUP BY lang, bucket ORDER BY lang, bucket"
     )
     # global-prefix-sum window (the sequential twin of the bucketed
     # two-phase plan); zero-token docs get a zero-width chunk span

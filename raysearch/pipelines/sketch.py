@@ -114,6 +114,59 @@ def hll_vocab_registers(ds, p: int = HLL_P):
     )
 
 
+def _hll_grouped_partial_task(batch: pa.Table, *, key: str, p: int) -> pa.Table:
+    """Per-block grouped partial: one sparse register set per distinct
+    ``key`` value in the block — the grouped-sketch pattern that
+    replaces ``groupby(key).unique(col)`` (an all-to-all over every
+    distinct value) with a ≤ groups×2^p integer exchange."""
+    lexer = _LEXER_CACHE.get("simple")
+    if lexer is None:
+        lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+    parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+    huniq = md5_u64(list(uniq))
+    keys = batch[key].to_numpy(zero_copy_only=False)
+    gvals, ginv = np.unique(keys, return_inverse=True)
+    m = 1 << p
+    wbits = 64 - p
+    # per-token (group, bucket) max-rank fold, fully vectorized
+    h = huniq[codes]
+    g = ginv[parent].astype(np.int64)
+    bucket = (h >> np.uint64(wbits)).astype(np.int64)
+    w = (h & np.uint64((1 << wbits) - 1)).astype(np.float64)
+    blen = np.zeros(len(h), np.int64)
+    nz = w > 0
+    blen[nz] = np.frexp(w[nz])[1]
+    rank = np.int64(wbits + 1) - blen
+    reg = np.zeros(len(gvals) * m, np.int64)
+    np.maximum.at(reg, g * m + bucket, rank)
+    nzi = np.nonzero(reg)[0]
+    return pa.table(
+        {
+            key: pa.array(gvals[nzi // m], pa.string()),
+            "bucket": pa.array(nzi % m, pa.int64()),
+            "register": pa.array(reg[nzi], pa.int64()),
+        }
+    )
+
+
+def hll_grouped_registers(ds, key: str = "lang", p: int = HLL_P):
+    """documents(key, text) → per-group HLL register table
+    ``(key, bucket, register)`` sorted by (key, bucket) — distinct-
+    token cardinality per group without shuffling any token."""
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(
+            _hll_grouped_partial_task,
+            fn_kwargs={"key": key, "p": p},
+            batch_format="pyarrow",
+        )
+        .groupby([key, "bucket"])
+        .aggregate(Max("register", alias_name="register"))
+        .sort([key, "bucket"])
+    )
+
+
 def hll_estimate(buckets: np.ndarray, registers: np.ndarray, p: int = HLL_P) -> float:
     """Bias-corrected HLL cardinality estimate from a (possibly sparse)
     register table — absent buckets are zero registers."""

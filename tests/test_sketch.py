@@ -124,3 +124,49 @@ def test_oracle_sql_twin_bitwise_equal(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_grouped_registers_match_per_group_brute(ray_session):
+    """Grouped HLL == independent per-group HLL folds (brute), and is
+    partition-invariant."""
+    import re
+
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import hll_grouped_registers
+
+    rows = []
+    langs = ["en", "de", "fr"]
+    for i in range(45):
+        lang = langs[i % 3]
+        toks = [f"{lang}tok{j}" for j in range(i, i + 20)]
+        rows.append({"doc_id": i, "lang": lang, "text": " ".join(toks)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    a = hll_grouped_registers(ds.repartition(1), key="lang").to_pandas()
+    b = hll_grouped_registers(ds.repartition(6), key="lang").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    out = []
+    for lang in langs:
+        vocab = set()
+        for r in rows:
+            if r["lang"] == lang:
+                vocab.update(
+                    t
+                    for t in re.split(r"[^a-z0-9]+", r["text"].lower())
+                    if t
+                )
+        reg = np.zeros(1 << HLL_P, np.int64)
+        hll_fold(reg, md5_u64(sorted(vocab)), HLL_P)
+        nz = np.nonzero(reg)[0]
+        out.extend(
+            {"lang": lang, "bucket": int(z), "register": int(reg[z])}
+            for z in nz
+        )
+    brute = (
+        pd.DataFrame(out)
+        .sort_values(["lang", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), brute)
