@@ -1027,6 +1027,20 @@ def _q_hll_vocab_registers(sf_dir: str):
     return hll_vocab_registers(ds)
 
 
+def _q_cm_token_counters(sf_dir: str):
+    """Count-Min token-frequency sketch (round 5) — linear sketch,
+    per-block partial grids summed by one bounded groupby; the DuckDB
+    twin recomputes the salted md5 cells exactly (sketch.py)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import cm_token_counters
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return cm_token_counters(ds)
+
+
 def _q_hll_lang_registers(sf_dir: str):
     """Grouped HLL: distinct-token registers per language — the
     grouped-sketch pattern replacing groupby(lang).unique(token)."""
@@ -1506,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-covered; oracles retained where they exist) ----
         "split_dataset": _q_split_dataset,
         "hll_lang_registers": _q_hll_lang_registers,
+        "cm_token_counters": _q_cm_token_counters,
         "minhash_recall": _q_minhash_recall,
         "simhash_recall": _q_simhash_recall,
         "jaccard_pairs_exact": _q_jaccard_pairs_exact,
@@ -2046,6 +2061,21 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS register FROM h) "
         "SELECT lang, bucket, max(register) AS register FROM r "
         "GROUP BY lang, bucket ORDER BY lang, bucket"
+    )
+    # Count-Min is linear: the oracle sums exact per-term counts into
+    # the same salted-md5 cells the engine's per-block partials use
+    out["cm_token_counters"] = (
+        "WITH tok AS (SELECT t.term FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        "FROM documents) t WHERE t.term <> ''), "
+        "tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term), "
+        "rws AS (SELECT unnest([0, 1, 2, 3]) AS r), "
+        "cells AS (SELECT r, CAST(md5_number_upper("
+        "CAST(r AS VARCHAR) || ':' || term) % 1024 AS BIGINT) AS cell, "
+        "n FROM rws CROSS JOIN tf) "
+        "SELECT CAST(r AS BIGINT) AS row, cell, "
+        "CAST(sum(n) AS BIGINT) AS n FROM cells "
+        "GROUP BY r, cell ORDER BY row, cell"
     )
     # global-prefix-sum window (the sequential twin of the bucketed
     # two-phase plan); zero-token docs get a zero-width chunk span

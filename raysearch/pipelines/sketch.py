@@ -1,5 +1,8 @@
-"""Distributed cardinality sketch: HyperLogLog registers over the
-corpus token vocabulary, with EXACT SQL-oracle parity.
+"""Distributed sketches with EXACT SQL-oracle parity: HyperLogLog
+registers over the corpus token vocabulary (cardinality), and a
+Count-Min sketch over token occurrences (frequency).  Both are
+deterministic integer functions of md5, so their DuckDB twins are
+bitwise oracles, not approximate-vs-exact comparisons.
 
 The classic 100-TB question "how many distinct tokens / urls / users
 does this corpus have?" is an all-to-all ``unique`` in naive form; the
@@ -165,6 +168,87 @@ def hll_grouped_registers(ds, key: str = "lang", p: int = HLL_P):
         .aggregate(Max("register", alias_name="register"))
         .sort([key, "bucket"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (Cormode & Muthukrishnan 2005, public paper)
+# ---------------------------------------------------------------------------
+
+#: default geometry: d salted hash rows × w counters; point-query
+#: overestimate ≤ e/w · N with prob ≥ 1 - e^-d (N = total token count)
+CM_D = 4
+CM_W = 1024
+
+
+def _cm_partial_task(batch: pa.Table, *, d: int, w: int) -> pa.Table:
+    """Per-block Count-Min partial: token-OCCURRENCE counts folded
+    into a local d×w counter grid (sum-merge — the sketch is linear,
+    so per-block partials + one groupby-sum equal the global sketch)."""
+    lexer = _LEXER_CACHE.get("simple")
+    if lexer is None:
+        lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+    _, codes, uniq = lexer.token_parent_codes(batch["text"])
+    grid = np.zeros(d * w, np.int64)
+    if len(codes):
+        tf = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        for r in range(d):
+            # salted hash "r:term" — SQL-replicable (md5_number_upper
+            # of the same concatenation; parity pinned in tests)
+            cell = (md5_u64([f"{r}:{t}" for t in uniq]) % np.uint64(w)).astype(
+                np.int64
+            )
+            np.add.at(grid, r * w + cell, tf)
+    nzi = np.nonzero(grid)[0]
+    return pa.table(
+        {
+            "row": pa.array(nzi // w, pa.int64()),
+            "cell": pa.array(nzi % w, pa.int64()),
+            "n": pa.array(grid[nzi], pa.int64()),
+        }
+    )
+
+
+def cm_token_counters(ds, d: int = CM_D, w: int = CM_W):
+    """documents(text) → the corpus token-frequency Count-Min sketch
+    ``(row, cell, n)``, ≤ d·w rows, sorted by (row, cell).  Linear
+    sketch: one streaming pass, a ≤ blocks×d·w integer exchange, and
+    (unlike a full term_df groupby) an exchange bounded by the sketch
+    geometry rather than the vocabulary."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(
+            _cm_partial_task, fn_kwargs={"d": d, "w": w},
+            batch_format="pyarrow",
+        )
+        .groupby(["row", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["row", "cell"])
+    )
+
+
+def cm_estimate(
+    rows: np.ndarray,
+    cells: np.ndarray,
+    counts: np.ndarray,
+    terms: list[str],
+    d: int = CM_D,
+    w: int = CM_W,
+) -> np.ndarray:
+    """Point-query estimates for ``terms`` from a (possibly sparse)
+    sketch table — min over the d salted rows; always ≥ the true
+    count, ≤ true + (e/w)·N with probability ≥ 1 - e^-d."""
+    grid = np.zeros((d, w), np.int64)
+    grid[np.asarray(rows, np.int64), np.asarray(cells, np.int64)] = np.asarray(
+        counts, np.int64
+    )
+    est = np.full(len(terms), np.iinfo(np.int64).max, np.int64)
+    for r in range(d):
+        cell = (md5_u64([f"{r}:{t}" for t in terms]) % np.uint64(w)).astype(
+            np.int64
+        )
+        est = np.minimum(est, grid[r, cell])
+    return est
 
 
 def hll_estimate(buckets: np.ndarray, registers: np.ndarray, p: int = HLL_P) -> float:

@@ -170,3 +170,81 @@ def test_grouped_registers_match_per_group_brute(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a.reset_index(drop=True), brute)
+
+
+def test_cm_sketch_matches_brute_and_partition_invariant(ray_session):
+    from raysearch.pipelines.sketch import (
+        CM_D,
+        CM_W,
+        cm_token_counters,
+    )
+
+    ds = _vocab_docs(n_docs=40, vocab=2000)
+    a = cm_token_counters(ds.repartition(1)).to_pandas()
+    b = cm_token_counters(ds.repartition(6)).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # brute force over exact occurrence counts
+    import re
+    from collections import Counter
+
+    tf = Counter()
+    for r in ds.take_all():
+        tf.update(t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t)
+    grid = np.zeros((CM_D, CM_W), np.int64)
+    terms = sorted(tf)
+    for d in range(CM_D):
+        cells = md5_u64([f"{d}:{t}" for t in terms]) % np.uint64(CM_W)
+        np.add.at(grid, (d, cells.astype(np.int64)), [tf[t] for t in terms])
+    nz = np.nonzero(grid.ravel())[0]
+    assert a["row"].tolist() == (nz // CM_W).tolist()
+    assert a["cell"].tolist() == (nz % CM_W).tolist()
+    assert a["n"].tolist() == grid.ravel()[nz].tolist()
+
+
+def test_cm_point_queries_bounded_overestimates(ray_session):
+    from raysearch.pipelines.sketch import CM_W, cm_estimate, cm_token_counters
+
+    # skewed counts: term j appears j+1 times
+    import ray.data as rd
+
+    rows = []
+    doc = []
+    for j in range(400):
+        doc.extend([f"w{j:04d}"] * (j + 1))
+    rows.append({"doc_id": 0, "text": " ".join(doc[: len(doc) // 2])})
+    rows.append({"doc_id": 1, "text": " ".join(doc[len(doc) // 2 :])})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    t = cm_token_counters(ds).to_pandas()
+    terms = [f"w{j:04d}" for j in range(400)]
+    est = cm_estimate(
+        t["row"].to_numpy(), t["cell"].to_numpy(), t["n"].to_numpy(), terms
+    )
+    exact = np.arange(1, 401, dtype=np.int64)
+    n_total = int(exact.sum())
+    assert (est >= exact).all()  # CM never underestimates
+    # standard guarantee: overestimate ≤ (e/w)·N w.h.p.; 3x slack
+    assert (est - exact).max() <= 3 * np.e / CM_W * n_total
+
+
+def test_cm_oracle_sql_twin_bitwise_equal(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from raysearch.pipelines.sketch import cm_token_counters
+
+    ds = _vocab_docs(n_docs=25, vocab=900)
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(ds.to_pandas()), path)
+    got = cm_token_counters(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    import __ray_entry__ as E
+
+    want = con.execute(E.oracle_sql()["cm_token_counters"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
