@@ -248,3 +248,17 @@ def test_cm_oracle_sql_twin_bitwise_equal(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_cm_estimate_unseen_terms_and_sparse_grid():
+    """Point queries against a sparse sketch: a term whose d cells are
+    all absent estimates 0 (never negative, never KeyError)."""
+    from raysearch.pipelines.sketch import cm_estimate
+
+    # sketch containing a single populated cell per row
+    rows = np.array([0, 1, 2, 3])
+    cells = np.array([5, 6, 7, 8])
+    counts = np.array([10, 10, 10, 10])
+    est = cm_estimate(rows, cells, counts, ["almost-surely-unseen-term"])
+    assert est.shape == (1,)
+    assert 0 <= est[0] <= 10
