@@ -1012,6 +1012,42 @@ def _q_split_dataset(sf_dir: str):
     return split_dataset(ds, SPLIT_FRACTIONS)
 
 
+PRIORITY_SAMPLE_K = 50
+QUANTILE_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def _q_priority_sample(sf_dir: str):
+    """Exactly-k uniform sample (round 5) — global bottom-k under the
+    bijective Fibonacci id hash: per-block partial bottom-k, one
+    k×blocks-row candidate sort; identical rows at any partitioning.
+    Oracle: ``ORDER BY <hash> LIMIT k`` with ``row_number`` (HUGEINT
+    arithmetic, integer-exact)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import priority_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return priority_sample(ds, PRIORITY_SAMPLE_K, keep_cols=["lang"])
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Exact quantiles of an integer column (round 5) without a global
+    sort: distributed value-count histogram (exchange bounded by the
+    value DOMAIN, not rows) + driver CDF walk.  Semantics =
+    ``quantile_disc`` (value at 1-based position ceil(q·n)), pinned
+    against DuckDB in tests."""
+    import ray.data as rd
+
+    from raysearch.pipelines.profile import exact_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )
+    return exact_quantiles(ds, "n_chars", QUANTILE_QS)
+
+
 def _q_hll_vocab_registers(sf_dir: str):
     """HyperLogLog distinct-token sketch (round 5) — the register
     table is a deterministic integer function of md5, so the DuckDB
@@ -1530,6 +1566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_video_frames": _q_media_video_frames,
+        "priority_sample": _q_priority_sample,
+        "length_quantiles": _q_length_quantiles,
     }
 
 
@@ -2033,6 +2071,22 @@ def oracle_sql() -> dict[str, str]:
     out["redact_text"] = redact_sql(REDACT_GATE_PATTERNS)
     out["split_dataset"] = (
         f"SELECT doc_id, {split_case_sql(SPLIT_FRACTIONS)} AS split FROM documents"
+    )
+    from raysearch.pipelines.sampling import priority_sample_sql
+
+    out["priority_sample"] = priority_sample_sql(
+        PRIORITY_SAMPLE_K, keep_cols=["lang"]
+    )
+    # quantile_disc requires constant q -> one aggregate per q
+    out["length_quantiles"] = (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+            f"FROM documents"
+            for q in QUANTILE_QS
+        )
+        + ") ORDER BY q"
     )
     # HLL registers are a deterministic integer function of md5 —
     # DuckDB md5_number_upper == first 8 md5 bytes little-endian

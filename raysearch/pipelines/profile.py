@@ -76,3 +76,80 @@ def column_profile(ds, columns: list[str], decimals: int = 2):
         )
 
     return folded.map_batches(finish, batch_format="pyarrow").sort("col_name")
+
+
+#: Safety bound on the histogram the driver folds: distinct values of
+#: the profiled column.  Length/score columns have a few thousand
+#: distinct values at ANY corpus scale (the histogram size is a
+#: property of the value domain, not the row count); a column that
+#: blows past this (e.g. a unique id) is the wrong input for an exact
+#: value-histogram quantile and should use a mergeable sketch instead.
+MAX_QUANTILE_BINS = 1_000_000
+
+
+def exact_quantiles(ds, col: str, qs: list[float]):
+    """EXACT quantiles of an integer-domain column (lengths, counts,
+    scores) at any scale, without a global sort.
+
+    Plan: per-block value-counts (``pc.value_counts`` — each block
+    emits one row per DISTINCT value it contains), one small
+    ``groupby(value).sum`` folds them, and the driver walks the
+    cumulative histogram — the exchange and the driver pull are both
+    bounded by the value domain (≤ :data:`MAX_QUANTILE_BINS`,
+    asserted), never by the row count.  This beats a distributed sort
+    because a quantile only needs the CDF, and an integer column's CDF
+    is a histogram.
+
+    Semantics = SQL ``quantile_disc``/``percentile_disc``: the value
+    at 1-based position ``ceil(q * n)`` of the sorted column (checked
+    empirically against DuckDB in the tests).  Output one row per q:
+    ``(q, value)``, sorted by ``q``; nulls are excluded (SQL
+    aggregate-null semantics).
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.drop_null(b[col]))
+        return pa.table(
+            {
+                "value": pc.cast(vc.field("values"), pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    import ray as _ray
+
+    parts = [p for p in _ray.get(hist.to_arrow_refs()) if p.num_rows]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"value": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if merged.num_rows > MAX_QUANTILE_BINS:
+        raise ValueError(
+            f"{col}: {merged.num_rows} distinct values exceeds "
+            f"MAX_QUANTILE_BINS={MAX_QUANTILE_BINS}; use a sketch"
+        )
+    # driver-side histogram sort: bounded by the value domain, not rows
+    order = np.argsort(merged["value"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    values = merged["value"].to_numpy(zero_copy_only=False)[order]
+    cum = np.cumsum(merged["n"].to_numpy(zero_copy_only=False)[order])
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            out_q.append(float(q)); out_v.append(None)
+            continue
+        pos = max(1, int(np.ceil(q * n)))  # 1-based percentile_disc
+        out_q.append(float(q))
+        out_v.append(int(values[np.searchsorted(cum, pos, side="left")]))
+    res = pa.table({"q": pa.array(out_q, pa.float64()),
+                    "value": pa.array(out_v, pa.int64())})
+    import ray.data as rd
+
+    return rd.from_arrow(res.sort_by("q"))

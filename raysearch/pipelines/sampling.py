@@ -160,3 +160,59 @@ def split_case_sql(fractions: dict[str, float], id_col: str = "doc_id") -> str:
         cum += fractions[g]
         parts.append(f"WHEN {sample_key_sql(id_col)} < {sample_threshold(cum)} THEN '{g}'")
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def priority_sample(ds, k: int, *, id_col: str = "doc_id",
+                    keep_cols: list[str] | None = None):
+    """Exactly-``k`` uniform-without-replacement sample: the global
+    bottom-``k`` rows under the Fibonacci id hash (priority sampling
+    with a deterministic priority).  The multiplier is odd, so the
+    hash is a bijection mod 2⁶⁴ — distinct ids get distinct keys, the
+    order is total, and the SAME k rows come back regardless of
+    partitioning, retries, or corpus block layout; growing the corpus
+    only perturbs the sample by the new ids' keys (bounded churn, the
+    classic bottom-k sketch property).
+
+    Plan: per-block partial bottom-``k`` (each block emits ≤ k rows),
+    then ONE small ``sort().limit(k)`` over ≤ k × blocks candidate
+    rows — the corpus itself is never shuffled and the driver never
+    sees more than the k-row result.  Output:
+    ``(rk, id_col, *keep_cols)`` with ``rk`` the 1-based rank under
+    the hash order (pins output order for value-hash comparison).
+    """
+    cols = [id_col] + [c for c in (keep_cols or []) if c != id_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ids * np.uint64(HASH_MUL) + np.uint64(HASH_ADD)
+        take = np.argsort(key, kind="stable")[:k]
+        out = b.select(cols).take(pa.array(take))
+        return out.append_column("_key", pa.array(key[take], pa.uint64()))
+
+    def rank(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["_key"])
+        return b.append_column(
+            "rk", pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64))
+        ).select(["rk"] + cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort("_key")
+        .limit(k)
+        # k rows total -> one block; rank assignment is global
+        .repartition(1)
+        .map_batches(rank, batch_format="pyarrow")
+    )
+
+
+def priority_sample_sql(k: int, *, id_col: str = "doc_id",
+                        keep_cols: list[str] | None = None,
+                        table: str = "documents") -> str:
+    """DuckDB query computing the identical bottom-k sample + rank."""
+    cols = [id_col] + [c for c in (keep_cols or []) if c != id_col]
+    sel = ", ".join(cols)
+    return (
+        f"SELECT CAST(row_number() OVER (ORDER BY {sample_key_sql(id_col)}) "
+        f"AS BIGINT) AS rk, {sel} FROM {table} "
+        f"ORDER BY {sample_key_sql(id_col)} LIMIT {k}"
+    )

@@ -1333,3 +1333,71 @@ def test_new_ops_edge_cases(ray_session):
     # pack_offsets on a single tiny doc set
     po = pack_offsets(docs, seq_len=2, bucket_size=1000).to_pandas()
     assert po.start_off.tolist() == [0, 2] and po.chunk_first.tolist() == [0, 1]
+
+
+def test_priority_sample_bottom_k_and_invariance(ray_session):
+    """Exactly-k sample == brute-force bottom-k under the id hash;
+    identical rows at different partitionings; k > n returns all."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import HASH_ADD, HASH_MUL, priority_sample
+
+    n, k = 5000, 17
+    ids = np.arange(n, dtype=np.uint64)
+    langs = np.array(["en", "fr", "de"], object)[ids.astype(np.int64) % 3]
+    tbl = pa.table({"doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                    "lang": pa.array(langs, pa.string())})
+    key = ids * np.uint64(HASH_MUL) + np.uint64(HASH_ADD)
+    want = np.argsort(key, kind="stable")[:k]
+
+    out = priority_sample(rd.from_arrow(tbl), k, keep_cols=["lang"]).to_pandas()
+    assert out.doc_id.tolist() == ids[want].astype(np.int64).tolist()
+    assert out.rk.tolist() == list(range(1, k + 1))
+    assert out.lang.tolist() == list(langs[want])
+    # partitioning must not change the sample (bottom-k is global)
+    out2 = priority_sample(
+        rd.from_arrow(tbl).repartition(13), k, keep_cols=["lang"]
+    ).to_pandas()
+    assert out2.equals(out)
+    # k larger than the corpus -> every row, still hash-ordered
+    small = rd.from_arrow(tbl.slice(0, 5))
+    all_rows = priority_sample(small, 50).to_pandas()
+    assert len(all_rows) == 5 and all_rows.rk.tolist() == [1, 2, 3, 4, 5]
+
+
+def test_exact_quantiles_matches_duckdb(ray_session):
+    """Histogram-CDF quantiles == DuckDB quantile_disc, including
+    heavy duplicates and q edge values; bins cap raises."""
+    import duckdb
+    import ray.data as rd
+
+    import raysearch.pipelines.profile as prof
+    from raysearch.pipelines.profile import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.integers(0, 40, 3000), np.full(500, 7), np.full(1, 10_000)]
+    ).astype(np.int64)
+    tbl = pa.table({"n_chars": pa.array(vals, pa.int64())})
+    qs = [0.0, 0.05, 0.5, 0.95, 0.999, 1.0]
+    got = exact_quantiles(rd.from_arrow(tbl).repartition(7), "n_chars", qs).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    sql = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value FROM t"
+        for q in qs
+    )
+    want = con.execute(f"SELECT * FROM ({sql}) ORDER BY q").df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    # empty input -> null values, one row per q
+    empty = pa.table({"n_chars": pa.array([], pa.int64())})
+    e = exact_quantiles(rd.from_arrow(empty), "n_chars", [0.5]).to_pandas()
+    assert len(e) == 1 and e.value.isna().all()
+    # documented bins bound is enforced
+    cap, prof.MAX_QUANTILE_BINS = prof.MAX_QUANTILE_BINS, 10
+    try:
+        with pytest.raises(ValueError, match="MAX_QUANTILE_BINS"):
+            exact_quantiles(rd.from_arrow(tbl), "n_chars", [0.5])
+    finally:
+        prof.MAX_QUANTILE_BINS = cap
