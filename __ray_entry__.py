@@ -1048,6 +1048,20 @@ def _q_length_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", QUANTILE_QS)
 
 
+def _q_lang_length_quantiles(sf_dir: str):
+    """Per-language exact length quantiles (round 5) — the grouped
+    variant of ``length_quantiles``: (lang, value) composite histogram,
+    driver walk bounded by groups × value domain."""
+    import ray.data as rd
+
+    from raysearch.pipelines.profile import exact_quantiles_by
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    return exact_quantiles_by(ds, "n_chars", QUANTILE_QS, group_col="lang")
+
+
 def _q_hll_vocab_registers(sf_dir: str):
     """HyperLogLog distinct-token sketch (round 5) — the register
     table is a deterministic integer function of md5, so the DuckDB
@@ -1568,6 +1582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_frames": _q_media_video_frames,
         "priority_sample": _q_priority_sample,
         "length_quantiles": _q_length_quantiles,
+        "lang_length_quantiles": _q_lang_length_quantiles,
     }
 
 
@@ -2087,6 +2102,16 @@ def oracle_sql() -> dict[str, str]:
             for q in QUANTILE_QS
         )
         + ") ORDER BY q"
+    )
+    out["lang_length_quantiles"] = (
+        "SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+            f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+            f"FROM documents GROUP BY lang"
+            for q in QUANTILE_QS
+        )
+        + ") ORDER BY lang, q"
     )
     # HLL registers are a deterministic integer function of md5 —
     # DuckDB md5_number_upper == first 8 md5 bytes little-endian

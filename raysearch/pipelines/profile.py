@@ -153,3 +153,69 @@ def exact_quantiles(ds, col: str, qs: list[float]):
     import ray.data as rd
 
     return rd.from_arrow(res.sort_by("q"))
+
+
+def exact_quantiles_by(ds, col: str, qs: list[float], *, group_col: str):
+    """Per-group :func:`exact_quantiles` (e.g. length quantiles per
+    language — the curation dashboard's standard cut).  Same plan with
+    a ``(group, value)`` composite histogram; the fold and the driver
+    pull are bounded by groups × distinct values
+    (:data:`MAX_QUANTILE_BINS` asserted on the product).  Output one
+    row per (group, q): ``(group_col, q, value)``, sorted."""
+    from ray.data.aggregate import Sum
+
+    qs = sorted(qs)
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = b.select([group_col, col]).drop_null()
+        g = t.group_by([group_col, col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "value": pc.cast(g[col], pa.int64()),
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.select_columns([group_col, col])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby([group_col, "value"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    import ray as _ray
+
+    parts = [p for p in _ray.get(hist.to_arrow_refs()) if p.num_rows]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {group_col: pa.array([], pa.string()),
+         "value": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if merged.num_rows > MAX_QUANTILE_BINS:
+        raise ValueError(
+            f"{group_col}×{col}: {merged.num_rows} histogram rows exceed "
+            f"MAX_QUANTILE_BINS={MAX_QUANTILE_BINS}; use a sketch"
+        )
+    merged = merged.sort_by([(group_col, "ascending"), ("value", "ascending")])
+    groups = merged[group_col].to_pylist()
+    values = merged["value"].to_numpy(zero_copy_only=False)
+    ns = merged["n"].to_numpy(zero_copy_only=False)
+    out_g, out_q, out_v = [], [], []
+    i = 0
+    while i < len(groups):
+        j = i
+        while j < len(groups) and groups[j] == groups[i]:
+            j += 1
+        cum = np.cumsum(ns[i:j])
+        n = int(cum[-1])
+        for q in qs:
+            pos = max(1, int(np.ceil(q * n)))
+            out_g.append(groups[i])
+            out_q.append(float(q))
+            out_v.append(int(values[i:j][np.searchsorted(cum, pos, side="left")]))
+        i = j
+    res = pa.table({group_col: pa.array(out_g, merged.schema.field(group_col).type),
+                    "q": pa.array(out_q, pa.float64()),
+                    "value": pa.array(out_v, pa.int64())})
+    import ray.data as rd
+
+    return rd.from_arrow(res)

@@ -1401,3 +1401,30 @@ def test_exact_quantiles_matches_duckdb(ray_session):
             exact_quantiles(rd.from_arrow(tbl), "n_chars", [0.5])
     finally:
         prof.MAX_QUANTILE_BINS = cap
+
+
+def test_exact_quantiles_by_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.profile import exact_quantiles_by
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    langs = np.array(["de", "en", "fr"], object)[rng.integers(0, 3, n)]
+    vals = rng.integers(1, 300, n).astype(np.int64)
+    tbl = pa.table({"lang": pa.array(langs, pa.string()),
+                    "n_chars": pa.array(vals, pa.int64())})
+    qs = [0.95, 0.05, 0.5]  # unsorted on purpose: impl sorts
+    got = exact_quantiles_by(
+        rd.from_arrow(tbl).repartition(9), "n_chars", qs, group_col="lang"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", tbl)
+    sql = " UNION ALL ".join(
+        f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value FROM t GROUP BY lang"
+        for q in sorted(qs)
+    )
+    want = con.execute(f"SELECT * FROM ({sql}) ORDER BY lang, q").df()
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
