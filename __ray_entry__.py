@@ -1048,6 +1048,20 @@ def _q_length_quantiles(sf_dir: str):
     return exact_quantiles(ds, "n_chars", QUANTILE_QS)
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc bigram repetition metrics (round 5) — one
+    streaming vectorized pass (batch-global factorize + segment
+    reduceat), zero shuffle; list-native bigram SQL twin."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import repetition_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return repetition_stats(ds).sort("doc_id")
+
+
 def _q_lang_length_quantiles(sf_dir: str):
     """Per-language exact length quantiles (round 5) — the grouped
     variant of ``length_quantiles``: (lang, value) composite histogram,
@@ -1583,6 +1597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": _q_priority_sample,
         "length_quantiles": _q_length_quantiles,
         "lang_length_quantiles": _q_lang_length_quantiles,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -2102,6 +2117,19 @@ def oracle_sql() -> dict[str, str]:
             for q in QUANTILE_QS
         )
         + ") ORDER BY q"
+    )
+    out["repetition_stats"] = (
+        "WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "
+        "b AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM f, "
+        "unnest(generate_series(1, len(ts)-1)) AS u(i)), "
+        "c AS (SELECT doc_id, w1, w2, count(*) AS c FROM b GROUP BY 1,2,3), "
+        "agg AS (SELECT doc_id, sum(c) AS nb, max(c) AS mx, count(*) AS dc "
+        "FROM c GROUP BY 1) "
+        "SELECT d.doc_id, CAST(coalesce(a.nb,0) AS BIGINT) AS n_bigrams, "
+        "round(coalesce(a.mx*1.0/a.nb,0),4) AS top_bigram_frac, "
+        "round(coalesce((a.nb-a.dc)*1.0/a.nb,0),4) AS dup_bigram_frac "
+        "FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"
     )
     out["lang_length_quantiles"] = (
         "SELECT * FROM ("

@@ -250,6 +250,70 @@ def token_counts(ds):
     return ds.map_batches(count, batch_format="pyarrow")
 
 
+class _RepetitionStats:
+    """Per-doc Gopher-style bigram repetition metrics in one
+    vectorized pass: ``n_bigrams``, ``top_bigram_frac`` (most frequent
+    token bigram's share) and ``dup_bigram_frac`` (share of bigram
+    instances that are repeats) — the standard repeated-content
+    filters for training-data curation (line-level variants are
+    degenerate here: the corpus has no newlines).
+
+    All counting is batch-global numpy: per-doc bigram keys are
+    factorized once, (doc, bigram) counts come from one ``np.unique``
+    and per-doc max/distinct from segment ``reduceat`` — no Python
+    loop over rows or tokens."""
+
+    def __init__(self):
+        self.lexer = Lexer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        parent, codes, _uniq = self.lexer.token_parent_codes(batch["text"])
+        nb = np.zeros(n_rows, np.int64)
+        mx = np.zeros(n_rows, np.int64)
+        dc = np.zeros(n_rows, np.int64)
+        if len(parent) > 1:
+            valid = parent[1:] == parent[:-1]
+            bg_parent = parent[:-1][valid].astype(np.int64)
+            if len(bg_parent):
+                # factorize bigrams first so the (doc, bigram) key
+                # stays within int64 regardless of vocab size
+                first, second = codes[:-1][valid], codes[1:][valid]
+                pair = first.astype(np.int64) * (int(codes.max()) + 1) + second
+                bgs = np.unique(pair, return_inverse=True)[1]
+                n_bg = int(bgs.max()) + 1
+                combo = bg_parent * n_bg + bgs
+                ukeys, counts = np.unique(combo, return_counts=True)
+                rows = ukeys // n_bg
+                starts = np.unique(rows, return_index=True)
+                nb += np.bincount(bg_parent, minlength=n_rows)
+                mx[starts[0]] = np.maximum.reduceat(counts, starts[1])
+                dc += np.bincount(rows, minlength=n_rows)
+        safe = np.maximum(nb, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "top_bigram_frac": pa.array(
+                    round_half_away(mx / safe, 4), pa.float64()
+                ),
+                "dup_bigram_frac": pa.array(
+                    round_half_away((nb - dc) / safe, 4), pa.float64()
+                ),
+            }
+        )
+
+
+def _repetition_task(batch: pa.Table) -> pa.Table:
+    return _cached(_RepetitionStats)(batch)
+
+
+def repetition_stats(ds):
+    """documents Dataset → per-doc bigram repetition metrics (streaming
+    map_batches, zero shuffle)."""
+    return ds.map_batches(_repetition_task, batch_format="pyarrow")
+
+
 #: language-ID defaults — training docs per language and profile size,
 #: mirrored in the DuckDB oracle SQL
 LANGID_TRAIN_N = 20

@@ -1428,3 +1428,36 @@ def test_exact_quantiles_by_group_matches_duckdb(ray_session):
     )
     want = con.execute(f"SELECT * FROM ({sql}) ORDER BY lang, q").df()
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_repetition_stats_brute_force(ray_session):
+    """Vectorized bigram repetition metrics == per-doc Python counter;
+    covers empty docs, all-same-token docs, and batch invariance."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import repetition_stats
+
+    texts = [
+        "a b a b a b",             # top bigram 'a b' dominates
+        "x y z w",                 # all distinct bigrams
+        "",                        # empty -> zeros
+        "solo",                    # one token -> no bigrams
+        "r r r r r r r r",         # single repeated bigram
+        "the quick the quick brown the quick",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = repetition_stats(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        bgs = Counter(zip(toks, toks[1:]))
+        nb = sum(bgs.values())
+        assert got.n_bigrams[i] == nb
+        if nb:
+            assert abs(got.top_bigram_frac[i] - max(bgs.values()) / nb) < 5e-5
+            assert abs(got.dup_bigram_frac[i] - (nb - len(bgs)) / nb) < 5e-5
+        else:
+            assert got.top_bigram_frac[i] == 0.0 == got.dup_bigram_frac[i]
