@@ -1062,6 +1062,23 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(ds).sort("doc_id")
 
 
+BIGRAM_TOPK_K = 20
+
+
+def _q_bigram_topk(sf_dir: str):
+    """Corpus top-k bigrams (round 5) — partial counts per batch, one
+    bigram groupby fold, block-local top-k then a k×blocks candidate
+    sort with pinned ties."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import bigram_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return bigram_topk(ds, k=BIGRAM_TOPK_K)
+
+
 def _q_lang_length_quantiles(sf_dir: str):
     """Per-language exact length quantiles (round 5) — the grouped
     variant of ``length_quantiles``: (lang, value) composite histogram,
@@ -1598,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "lang_length_quantiles": _q_lang_length_quantiles,
         "repetition_stats": _q_repetition_stats,
+        "bigram_topk": _q_bigram_topk,
     }
 
 
@@ -2130,6 +2148,16 @@ def oracle_sql() -> dict[str, str]:
         "round(coalesce(a.mx*1.0/a.nb,0),4) AS top_bigram_frac, "
         "round(coalesce((a.nb-a.dc)*1.0/a.nb,0),4) AS dup_bigram_frac "
         "FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"
+    )
+    out["bigram_topk"] = (
+        "WITH f AS (SELECT list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "
+        "b AS (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM f, "
+        "unnest(generate_series(1, len(ts)-1)) AS u(i)), "
+        "c AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2) "
+        "SELECT CAST(row_number() OVER (ORDER BY n DESC, w1, w2) AS BIGINT) "
+        "AS rk, w1, w2, CAST(n AS BIGINT) AS n FROM c "
+        f"ORDER BY n DESC, w1, w2 LIMIT {BIGRAM_TOPK_K}"
     )
     out["lang_length_quantiles"] = (
         "SELECT * FROM ("

@@ -314,6 +314,79 @@ def repetition_stats(ds):
     return ds.map_batches(_repetition_task, batch_format="pyarrow")
 
 
+def bigram_topk(ds, k: int = 20):
+    """Corpus-wide top-``k`` token bigrams — the n-gram LM / phrase
+    statistics pass.  Per-batch partial counts (the same batch-global
+    factorize as :class:`_RepetitionStats`, emitting one row per
+    DISTINCT bigram per batch) → one ``groupby(w1, w2)`` fold →
+    ``sort.limit(k)`` over the folded counts.  Ties pin on ascending
+    ``(w1, w2)`` so the result is a total order.
+
+    Scale note: the fold's exchange is bounded by the distinct-bigram
+    count, which at 100 TB is itself huge — this operator is the EXACT
+    path for bounded vocabularies; the sketch path for open-ended
+    corpora is ``sketch.cm_token_counters`` (Count-Min) feeding a
+    candidate re-count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+        if len(parent) > 1:
+            valid = parent[1:] == parent[:-1]
+            first, second = codes[:-1][valid], codes[1:][valid]
+        else:
+            first = second = np.empty(0, np.int64)
+        if not len(first):
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        pair = first.astype(np.int64) * (int(codes.max()) + 1) + second
+        ukeys, counts = np.unique(pair, return_counts=True)
+        v = int(codes.max()) + 1
+        return pa.table(
+            {
+                "w1": pa.array(uniq[ukeys // v], pa.string()),
+                "w2": pa.array(uniq[ukeys % v], pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # the fold hash-partitions bigrams, so each folded block holds
+    # FINAL counts: block-local top-k is exact and the global sort
+    # only sees <= k x blocks candidate rows, never the vocabulary
+    def local_topk(b: pa.Table) -> pa.Table:
+        b = b.append_column("_negn", pc.multiply(b["n"], pa.scalar(-1)))
+        order = pc.sort_indices(
+            b, sort_keys=[("_negn", "ascending"), ("w1", "ascending"),
+                          ("w2", "ascending")]
+        )
+        return b.take(order[:k])
+
+    def rank(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["_negn"])
+        return b.append_column(
+            "rk", pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64))
+        ).select(["rk", "w1", "w2", "n"])
+
+    return (
+        folded.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["_negn", "w1", "w2"])
+        .limit(k)
+        .repartition(1)
+        .map_batches(rank, batch_format="pyarrow")
+    )
+
+
 #: language-ID defaults — training docs per language and profile size,
 #: mirrored in the DuckDB oracle SQL
 LANGID_TRAIN_N = 20

@@ -1461,3 +1461,30 @@ def test_repetition_stats_brute_force(ray_session):
             assert abs(got.dup_bigram_frac[i] - (nb - len(bgs)) / nb) < 5e-5
         else:
             assert got.top_bigram_frac[i] == 0.0 == got.dup_bigram_frac[i]
+
+
+def test_bigram_topk_brute_force(ray_session):
+    """Distributed top-k bigrams == Counter brute force, ties pinned on
+    (w1, w2); invariant under repartitioning."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import bigram_topk
+
+    texts = [
+        "a b c a b", "b c a b", "z z z z", "", "q",
+        "a b", "c a c a",
+    ]
+    tbl = pa.table({"text": pa.array(texts, pa.string())})
+    cnt = Counter()
+    for t in texts:
+        toks = t.split()
+        cnt.update(zip(toks, toks[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for parts in (1, 4):
+        got = bigram_topk(rd.from_arrow(tbl).repartition(parts), k=5).to_pandas()
+        assert got.rk.tolist() == [1, 2, 3, 4, 5]
+        assert list(zip(got.w1, got.w2, got.n)) == [
+            (w1, w2, n) for (w1, w2), n in want
+        ]
