@@ -22,6 +22,12 @@ DEFAULT_QUERIES = [
     "hll_lang_registers",
     "cm_token_counters",
     "decontaminate",
+    # round-5 additions with sorts / driver-side folds
+    "priority_sample",
+    "length_quantiles",
+    "lang_length_quantiles",
+    "repetition_stats",
+    "bigram_topk",
 ]
 
 
