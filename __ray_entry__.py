@@ -1063,6 +1063,22 @@ def _q_repetition_stats(sf_dir: str):
 
 
 BIGRAM_TOPK_K = 20
+QUALITY_TOPFRAC = 0.5
+
+
+def _q_quality_topfrac(sf_dir: str):
+    """Adaptive percentile-threshold quality filter (round 5): top
+    half of docs by integer-scaled quality, threshold from the
+    domain-bounded exact-quantile histogram; single tokenize pass,
+    16 B/doc materialization."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import quality_topfrac
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return quality_topfrac(ds, QUALITY_TOPFRAC)
 
 
 def _q_bigram_topk(sf_dir: str):
@@ -1616,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": _q_lang_length_quantiles,
         "repetition_stats": _q_repetition_stats,
         "bigram_topk": _q_bigram_topk,
+        "quality_topfrac": _q_quality_topfrac,
     }
 
 
@@ -2148,6 +2165,22 @@ def oracle_sql() -> dict[str, str]:
         "round(coalesce(a.mx*1.0/a.nb,0),4) AS top_bigram_frac, "
         "round(coalesce((a.nb-a.dc)*1.0/a.nb,0),4) AS dup_bigram_frac "
         "FROM documents d LEFT JOIN agg a USING(doc_id) ORDER BY doc_id"
+    )
+    _QI = (
+        "CAST(round(round(0.5 * least(1.0, coalesce(l.n_tokens, 0) * 1.0 / 100) "
+        "+ 0.3 * coalesce(l.distinct_terms * 1.0 / l.n_tokens, 0) "
+        "+ 0.2 * (1 - coalesce(l.n_stop * 1.0 / l.n_tokens, 0)), 4) * 10000) "
+        "AS BIGINT)"
+    )
+    out["quality_topfrac"] = (
+        f"{_TOK}, dl AS (SELECT doc_id, count(*) AS n_tokens, "
+        f"count(DISTINCT term) AS distinct_terms, "
+        f"sum(CASE WHEN term IN ('the','a','of','and','or','in','on','to') "
+        f"THEN 1 ELSE 0 END) AS n_stop FROM tok GROUP BY 1), "
+        f"m AS (SELECT d.doc_id, {_QI} AS qi "
+        f"FROM documents d LEFT JOIN dl l USING (doc_id)), "
+        f"thr AS (SELECT quantile_disc(qi, {1.0 - QUALITY_TOPFRAC}) AS t FROM m) "
+        f"SELECT m.doc_id, m.qi FROM m, thr WHERE m.qi >= thr.t ORDER BY m.doc_id"
     )
     out["bigram_topk"] = (
         "WITH f AS (SELECT list_filter(regexp_split_to_array("

@@ -314,6 +314,41 @@ def repetition_stats(ds):
     return ds.map_batches(_repetition_task, batch_format="pyarrow")
 
 
+def quality_topfrac(ds, frac: float):
+    """Adaptive quality filter: keep (approximately, ties included)
+    the TOP ``frac`` share of docs by quality score — the
+    percentile-threshold curation pattern, where the cut adapts to the
+    corpus instead of a hand-tuned constant.
+
+    Two passes, text tokenized ONCE: pass 1 computes per-doc metrics
+    (:func:`doc_metrics`) projected to an integer-scaled quality
+    ``qi = round(quality·10⁴)`` and MATERIALIZED (16 B/doc — object
+    store, spillable); the threshold is ``quantile_disc(qi, 1-frac)``
+    via the domain-bounded histogram (:func:`profile.exact_quantiles`
+    — qi has ≤ 10⁴ distinct values by construction), and pass 2 is a
+    vectorized filter over the materialized qi table.  Keeps
+    ``qi >= threshold`` — deterministic, SQL-reproducible tie
+    semantics.  Output ``(doc_id, qi)`` sorted by doc_id."""
+    from raysearch.pipelines.profile import exact_quantiles
+
+    def qi_col(b: pa.Table) -> pa.Table:
+        qi = np.rint(
+            b["quality"].to_numpy(zero_copy_only=False) * 10000
+        ).astype(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "qi": pa.array(qi, pa.int64())})
+
+    qtab = doc_metrics(ds).map_batches(qi_col, batch_format="pyarrow").materialize()
+    thr_rows = exact_quantiles(qtab, "qi", [1.0 - frac]).take_all()
+    thr = thr_rows[0]["value"]
+    if thr is None:  # empty corpus
+        return qtab
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["qi"], pa.scalar(thr, pa.int64())))
+
+    return qtab.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def bigram_topk(ds, k: int = 20):
     """Corpus-wide top-``k`` token bigrams — the n-gram LM / phrase
     statistics pass.  Per-batch partial counts (the same batch-global

@@ -28,6 +28,7 @@ DEFAULT_QUERIES = [
     "lang_length_quantiles",
     "repetition_stats",
     "bigram_topk",
+    "quality_topfrac",
 ]
 
 

@@ -1488,3 +1488,26 @@ def test_bigram_topk_brute_force(ray_session):
         assert list(zip(got.w1, got.w2, got.n)) == [
             (w1, w2, n) for (w1, w2), n in want
         ]
+
+
+def test_quality_topfrac_threshold_semantics(ray_session):
+    """Adaptive filter keeps exactly the docs with qi >= the
+    quantile_disc(1-frac) threshold, ties included."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import doc_metrics, quality_topfrac
+
+    texts = [
+        " ".join(f"w{j}" for j in range(5 + 13 * i)) for i in range(20)
+    ] + ["the the the the"] * 3
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = quality_topfrac(ds, 0.5).to_pandas()
+    m = doc_metrics(rd.from_arrow(tbl)).to_pandas()
+    qi = np.rint(m.quality.to_numpy() * 10000).astype(np.int64)
+    n = len(qi)
+    thr = np.sort(qi)[max(1, int(np.ceil(0.5 * n))) - 1]
+    want = m.doc_id.to_numpy()[qi >= thr]
+    assert got.doc_id.tolist() == sorted(want.tolist())
+    assert (got.qi.to_numpy() >= thr).all()
