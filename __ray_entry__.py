@@ -1081,6 +1081,21 @@ def _q_quality_topfrac(sf_dir: str):
     return quality_topfrac(ds, QUALITY_TOPFRAC)
 
 
+def _q_lm_score(sf_dir: str):
+    """CCNet-style bigram-LM fluency scoring (round 5): corpus-trained
+    truncated add-one LM, per-doc mean bigram log-prob integer-scaled
+    to lm_qi; V large enough that the gate corpus is untruncated
+    (truncation is pytest-pinned at small V)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lm_score
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return lm_score(ds)
+
+
 def _q_bigram_topk(sf_dir: str):
     """Corpus top-k bigrams (round 5) — partial counts per batch, one
     bigram groupby fold, block-local top-k then a k×blocks candidate
@@ -1547,7 +1562,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checkable (documents / embeddings / events / tpch tables)
         "term_df": _q_term_df,
         "postings_tf": _q_postings,
-        "doc_stats": _q_doc_stats,
+        # round 5: quality_topfrac + lm_score (the round's last two new
+        # operators) admitted above the cap per the r04 lesson — new
+        # operators get driver-checked immediately.  Demoted to make
+        # room: doc_stats (its 1 row is the column-sum of
+        # token_counts, which stays) and transcripts_latin_lexicon_sql
+        # (a pure projection of transcripts_latin_postings_sql, which
+        # stays); both keep their oracles and stay gate-sim/pytest
+        # checked below the cap.
+        "quality_topfrac": _q_quality_topfrac,
+        "lm_score": _q_lm_score,
         "doc_metrics": _q_doc_metrics,
         "token_counts": _q_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1571,7 +1595,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # jaccard_pairs_exact demoted — its oracle is identical to
         # minhash_pairs' — to admit ivf_recall and media_demux).
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
-        "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
         "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "transcripts_postings_sql": _q_transcripts_postings_sql,
         "transcripts_doclens_sql": _q_transcripts_doclens_sql,
@@ -1615,6 +1638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_skip_counts": _q_media_skip_counts,
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
+        "doc_stats": _q_doc_stats,
+        "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
         "split_dataset": _q_split_dataset,
         "hll_lang_registers": _q_hll_lang_registers,
         "cm_token_counters": _q_cm_token_counters,
@@ -1632,7 +1657,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": _q_lang_length_quantiles,
         "repetition_stats": _q_repetition_stats,
         "bigram_topk": _q_bigram_topk,
-        "quality_topfrac": _q_quality_topfrac,
     }
 
 
@@ -2181,6 +2205,27 @@ def oracle_sql() -> dict[str, str]:
         f"FROM documents d LEFT JOIN dl l USING (doc_id)), "
         f"thr AS (SELECT quantile_disc(qi, {1.0 - QUALITY_TOPFRAC}) AS t FROM m) "
         f"SELECT m.doc_id, m.qi FROM m, thr WHERE m.qi >= thr.t ORDER BY m.doc_id"
+    )
+    from raysearch.pipelines.textstats import LM_TOP_BIGRAMS, LM_TOP_UNIGRAMS
+
+    out["lm_score"] = (
+        "WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "
+        "t AS (SELECT doc_id, unnest(ts) AS term FROM f), "
+        "b AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 FROM f, "
+        "unnest(generate_series(1, len(ts)-1)) AS u(i)), "
+        "c1 AS (SELECT term, count(*) AS n FROM t GROUP BY 1 "
+        f"ORDER BY n DESC, term LIMIT {LM_TOP_UNIGRAMS}), "
+        "c2 AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2 "
+        f"ORDER BY n DESC, w1, w2 LIMIT {LM_TOP_BIGRAMS}), "
+        "vu AS (SELECT count(DISTINCT term) AS v FROM t), "
+        "s AS (SELECT b.doc_id, "
+        "avg(ln((coalesce(c2.n, 0) + 1) * 1.0 / (coalesce(c1.n, 0) + vu.v))) "
+        "AS sc FROM b LEFT JOIN c2 USING (w1, w2) "
+        "LEFT JOIN c1 ON c1.term = b.w1 CROSS JOIN vu GROUP BY 1) "
+        "SELECT d.doc_id, CAST(round(round(coalesce(s.sc, 0), 4) * 10000) "
+        "AS BIGINT) AS lm_qi FROM documents d LEFT JOIN s USING (doc_id) "
+        "ORDER BY d.doc_id"
     )
     out["bigram_topk"] = (
         "WITH f AS (SELECT list_filter(regexp_split_to_array("

@@ -349,6 +349,186 @@ def quality_topfrac(ds, frac: float):
     return qtab.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+#: truncated-LM sizes — large enough that the sf-scale gate corpus is
+#: untruncated (truncation semantics are pytest-pinned at small V);
+#: mirrored in the oracle SQL's ORDER BY n DESC, w1, w2 LIMIT clauses
+LM_TOP_BIGRAMS = 1 << 20
+LM_TOP_UNIGRAMS = 1 << 20
+
+
+class _LMScore:
+    """Actor-pool scoring stage: the broadcast LM (pandas Indexes over
+    the truncated unigram/bigram tables) is fetched and built ONCE per
+    actor in ``__init__``; ``__call__`` is one vectorized
+    ``get_indexer`` lookup + ``bincount`` fold per batch."""
+
+    def __init__(self, lm_ref):
+        import ray
+
+        w1, w2, bn, ut, un, vu = ray.get(lm_ref)
+        self.b_index = pd.Index(pd.Series(w1) + " " + pd.Series(w2))
+        self.b_counts = np.asarray(bn, np.int64)
+        self.u_index = pd.Index(ut)
+        self.u_counts = np.asarray(un, np.int64)
+        self.vu = int(vu)
+        self.lexer = Lexer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        parent, codes, uniq = self.lexer.token_parent_codes(batch["text"])
+        sc = np.zeros(n_rows, np.float64)
+        if len(parent) > 1:
+            valid = parent[1:] == parent[:-1]
+            bg_parent = parent[:-1][valid].astype(np.int64)
+            if len(bg_parent):
+                w1 = pd.Series(uniq[codes[:-1][valid]])
+                w2 = pd.Series(uniq[codes[1:][valid]])
+                bi = self.b_index.get_indexer(pd.Index(w1 + " " + w2))
+                bc = np.where(bi >= 0, self.b_counts[bi], 0)
+                ui = self.u_index.get_indexer(pd.Index(w1))
+                uc = np.where(ui >= 0, self.u_counts[ui], 0)
+                lnp = np.log((bc + 1.0) / (uc + self.vu))
+                sums = np.bincount(bg_parent, weights=lnp, minlength=n_rows)
+                cnts = np.bincount(bg_parent, minlength=n_rows)
+                sc = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+        qi = np.rint(round_half_away(sc, 4) * 10000).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lm_qi": pa.array(qi, pa.int64())}
+        )
+
+
+def lm_score(
+    ds,
+    top_bigrams: int = LM_TOP_BIGRAMS,
+    top_unigrams: int = LM_TOP_UNIGRAMS,
+):
+    """CCNet-style n-gram LM fluency score: train a truncated add-one
+    bigram LM on the corpus itself, then score every doc by its mean
+    bigram log-probability ``ln((c(w1,w2)+1) / (c(w1)+|V|))`` —
+    integer-scaled to ``lm_qi = round(score·10⁴)`` so the comparison
+    is summation-order-proof.  Docs with no bigrams score 0.
+
+    Plan: ONE tokenize pass emits fused unigram+bigram partial counts
+    (kind-tagged rows, one groupby fold — exchange bounded by the
+    distinct-n-gram count, the same bound as :func:`bigram_topk`; open
+    vocabularies route to ``sketch.cm_token_counters``); the fold is
+    materialized (vocab-bounded, spillable) to derive the exact
+    distinct-unigram count plus the top-V truncated tables, which are
+    ``ray.put``-broadcast into the :class:`_LMScore` actor pool for a
+    second streaming pass over text.  Truncation ties pin on
+    ``(n DESC, token asc)`` — a total order, so the truncated LM is
+    identical at any partitioning.  Output ``(doc_id, lm_qi)`` sorted
+    by doc_id."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+        empty_s = pa.array([], pa.string())
+        empty_i = pa.array([], pa.int64())
+        if not len(parent):
+            return pa.table(
+                {"kind": empty_i, "w1": empty_s, "w2": empty_s, "n": empty_i}
+            )
+        ucodes, ucounts = np.unique(codes, return_counts=True)
+        kind = [np.zeros(len(ucodes), np.int64)]
+        w1 = [uniq[ucodes]]
+        w2 = [np.full(len(ucodes), "", dtype=object)]
+        n = [ucounts.astype(np.int64)]
+        if len(parent) > 1:
+            valid = parent[1:] == parent[:-1]
+            first, second = codes[:-1][valid], codes[1:][valid]
+            if len(first):
+                v = int(codes.max()) + 1
+                pair = first.astype(np.int64) * v + second
+                ukeys, counts = np.unique(pair, return_counts=True)
+                kind.append(np.ones(len(ukeys), np.int64))
+                w1.append(uniq[ukeys // v])
+                w2.append(uniq[ukeys % v])
+                n.append(counts.astype(np.int64))
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kind), pa.int64()),
+                "w1": pa.array(np.concatenate(w1), pa.string()),
+                "w2": pa.array(np.concatenate(w2), pa.string()),
+                "n": pa.array(np.concatenate(n), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def top_table(kind: int, v: int) -> pa.Table:
+        # the fold co-locates each (kind, w1, w2): block-local top-V is
+        # exact and the global sort sees <= V x blocks candidates
+        def local_top(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["kind"], pa.scalar(kind, pa.int64())))
+            b = b.append_column("_negn", pc.multiply(b["n"], pa.scalar(-1)))
+            order = pc.sort_indices(
+                b,
+                sort_keys=[("_negn", "ascending"), ("w1", "ascending"),
+                           ("w2", "ascending")],
+            )
+            return b.take(order[:v])
+
+        parts = (
+            folded.map_batches(local_top, batch_format="pyarrow")
+            .sort(["_negn", "w1", "w2"])
+            .limit(v)
+            .to_arrow_refs()
+        )
+        tabs = [t for t in ray.get(parts) if t.num_rows]
+        return (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.table(
+                {"kind": pa.array([], pa.int64()),
+                 "w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "_negn": pa.array([], pa.int64())}
+            )
+        )
+
+    uni = top_table(0, top_unigrams)
+    big = top_table(1, top_bigrams)
+    # exact |V| for the smoothing denominator: counted on the folded
+    # table BEFORE truncation (one row per distinct unigram)
+    vu = folded.map_batches(
+        lambda b: pa.table(
+            {"c": pa.array(
+                [pc.sum(pc.cast(pc.equal(b["kind"], 0), pa.int64())).as_py()
+                 or 0], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("c")
+    lm_ref = ray.put(
+        (
+            big["w1"].to_numpy(zero_copy_only=False),
+            big["w2"].to_numpy(zero_copy_only=False),
+            big["n"].to_numpy(zero_copy_only=False),
+            uni["w1"].to_numpy(zero_copy_only=False),
+            uni["n"].to_numpy(zero_copy_only=False),
+            int(vu),
+        )
+    )
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(
+            _LMScore,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_args=(lm_ref,),
+        )
+        .sort("doc_id")
+    )
+
+
 def bigram_topk(ds, k: int = 20):
     """Corpus-wide top-``k`` token bigrams — the n-gram LM / phrase
     statistics pass.  Per-batch partial counts (the same batch-global

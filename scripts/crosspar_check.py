@@ -29,6 +29,7 @@ DEFAULT_QUERIES = [
     "repetition_stats",
     "bigram_topk",
     "quality_topfrac",
+    "lm_score",
 ]
 
 

@@ -1511,3 +1511,65 @@ def test_quality_topfrac_threshold_semantics(ray_session):
     want = m.doc_id.to_numpy()[qi >= thr]
     assert got.doc_id.tolist() == sorted(want.tolist())
     assert (got.qi.to_numpy() >= thr).all()
+
+
+def _lm_brute(texts, top_uni, top_big):
+    """Reference add-one bigram LM scorer (same truncation rule)."""
+    import collections
+    import re
+
+    toks = [
+        [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for s in texts
+    ]
+    c1 = collections.Counter(t for ts in toks for t in ts)
+    c2 = collections.Counter(
+        (ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)
+    )
+    vu = len(c1)
+    keep1 = dict(sorted(c1.items(), key=lambda kv: (-kv[1], kv[0]))[:top_uni])
+    keep2 = dict(sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:top_big])
+    out = []
+    for ts in toks:
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            out.append(0)
+            continue
+        sc = np.mean(
+            [
+                np.log((keep2.get(p, 0) + 1) / (keep1.get(p[0], 0) + vu))
+                for p in pairs
+            ]
+        )
+        from raysearch.util import round_half_away
+
+        out.append(int(np.rint(round_half_away(sc, 4) * 10000)))
+    return out
+
+
+def test_lm_score_truncated_vs_brute_force(ray_session):
+    """Small-V truncated LM: engine matches the brute-force definition
+    (ties pinned on (n DESC, token asc)), at two partitionings."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lm_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+        "",
+        "solo",
+        "the the the cat cat",
+        "zebra yak xylophone walrus",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    want = _lm_brute(texts, top_uni=5, top_big=4)
+    for nparts in (1, 3):
+        got = lm_score(
+            rd.from_arrow(tbl).repartition(nparts),
+            top_bigrams=4,
+            top_unigrams=5,
+        ).to_pandas()
+        assert got.doc_id.tolist() == list(range(len(texts)))
+        assert got.lm_qi.tolist() == want
