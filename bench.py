@@ -137,8 +137,10 @@ def _pipeline_bench() -> dict:
         "pack_offsets": E._q_pack_offsets,
         "hashed_features": E._q_hashed_features,
         "curation_pipeline": E._q_curation_pipeline,
-        # round-5 addition (new key)
+        # round-5 additions (new keys)
         "hll_vocab_registers": E._q_hll_vocab_registers,
+        "quality_topfrac": E._q_quality_topfrac,
+        "lm_score": E._q_lm_score,
     }
     out = {}
     for name, fn in stages.items():
