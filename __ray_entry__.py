@@ -1110,6 +1110,22 @@ def _q_bigram_topk(sf_dir: str):
     return bigram_topk(ds, k=BIGRAM_TOPK_K)
 
 
+def _q_dup_ngram_stats(sf_dir: str):
+    """Inter-document duplicated 5-gram fractions (round 5) — one
+    tokenize pass to per-(doc, n-gram) partials, a groupby(ng) that
+    recovers unique-span credits from aggregates alone (hot n-grams
+    collapse, never re-emit), and a final doc_id fold; no joins, no
+    map_groups."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import dup_ngram_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dup_ngram_stats(ds)
+
+
 def _q_lang_length_quantiles(sf_dir: str):
     """Per-language exact length quantiles (round 5) — the grouped
     variant of ``length_quantiles``: (lang, value) composite histogram,
@@ -1572,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checked below the cap.
         "quality_topfrac": _q_quality_topfrac,
         "lm_score": _q_lm_score,
+        "dup_ngram_stats": _q_dup_ngram_stats,
         "doc_metrics": _q_doc_metrics,
         "token_counts": _q_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1595,7 +1612,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # jaccard_pairs_exact demoted — its oracle is identical to
         # minhash_pairs' — to admit ivf_recall and media_demux).
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
-        "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "transcripts_postings_sql": _q_transcripts_postings_sql,
         "transcripts_doclens_sql": _q_transcripts_doclens_sql,
         "transcripts_bm25_sql": _q_transcripts_bm25_sql,
@@ -1640,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-covered; oracles retained where they exist) ----
         "doc_stats": _q_doc_stats,
         "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
+        "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "split_dataset": _q_split_dataset,
         "hll_lang_registers": _q_hll_lang_registers,
         "cm_token_counters": _q_cm_token_counters,
@@ -2226,6 +2243,24 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, CAST(round(round(coalesce(s.sc, 0), 4) * 10000) "
         "AS BIGINT) AS lm_qi FROM documents d LEFT JOIN s USING (doc_id) "
         "ORDER BY d.doc_id"
+    )
+    out["dup_ngram_stats"] = (
+        "WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "
+        "g AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
+        "|| ' ' || ts[i+3] || ' ' || ts[i+4] AS ng FROM f, "
+        "unnest(generate_series(1, len(ts)-4)) AS u(i)), "
+        "p AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY 1, 2), "
+        "u AS (SELECT max(doc_id) AS doc_id, sum(cnt) AS uc FROM p "
+        "GROUP BY ng HAVING count(*) = 1), "
+        "t AS (SELECT doc_id, sum(cnt) AS nn FROM p GROUP BY 1), "
+        "uu AS (SELECT doc_id, sum(uc) AS uc FROM u GROUP BY 1) "
+        "SELECT d.doc_id, CAST(coalesce(t.nn, 0) AS BIGINT) AS n_ngrams, "
+        "CAST(coalesce(t.nn, 0) - coalesce(uu.uc, 0) AS BIGINT) AS n_dup, "
+        "round(coalesce((coalesce(t.nn, 0) - coalesce(uu.uc, 0)) * 1.0 "
+        "/ nullif(t.nn, 0), 0), 4) AS dup_frac "
+        "FROM documents d LEFT JOIN t USING (doc_id) "
+        "LEFT JOIN uu USING (doc_id) ORDER BY d.doc_id"
     )
     out["bigram_topk"] = (
         "WITH f AS (SELECT list_filter(regexp_split_to_array("

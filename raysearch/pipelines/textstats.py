@@ -866,3 +866,157 @@ def redact_sql(patterns: dict[str, str], repl: str = "[REDACTED]") -> str:
         "WITH " + ", ".join(stages)
         + f" SELECT doc_id, t AS text, CAST(n AS BIGINT) AS n_redactions FROM s{last}"
     )
+
+
+#: n-gram span length for the inter-document duplication metric —
+#: mirrored in the oracle SQL's generate_series window
+DUP_NGRAM_N = 5
+
+
+class _DupNgramPairs:
+    """Per-batch (doc, n-gram) partial counts for
+    :func:`dup_ngram_stats` — one tokenize pass, n-gram keys built by
+    iterative ``np.unique`` folds (keys stay < #positions so the
+    int64 combine never overflows regardless of vocabulary size), and
+    the n-gram STRING materialized only once per DISTINCT (doc,
+    n-gram) via Arrow ``binary_join_element_wise`` (the exact shuffle
+    key; a production deployment would swap in a 128-bit hash to cut
+    exchange bytes — grouping semantics identical short of md5
+    collisions)."""
+
+    def __init__(self, n: int = DUP_NGRAM_N):
+        self.n = n
+        self.lexer = Lexer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "ng": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parent, codes, uniq = self.lexer.token_parent_codes(batch["text"])
+        if len(parent) < n:
+            return empty
+        # position i starts an n-gram iff token i and token i+n-1 share
+        # a row (parent is non-decreasing, so the middle tokens do too)
+        valid = parent[n - 1 :] == parent[: -(n - 1)]
+        if not valid.any():
+            return empty
+        L = len(codes) - (n - 1)
+        comps = [codes[k : L + k][valid].astype(np.int64) for k in range(n)]
+        dparent = parent[:L][valid].astype(np.int64)
+        vmax = int(codes.max()) + 1
+        key = comps[0]
+        for k in range(1, n):
+            key = np.unique(key * vmax + comps[k], return_inverse=True)[1]
+        combo = dparent * (int(key.max()) + 1) + key
+        _, upos, counts = np.unique(
+            combo, return_index=True, return_counts=True
+        )
+        uniq_arr = np.asarray(uniq, dtype=object)
+        parts = [
+            pa.array(uniq_arr[comps[k][upos]], pa.string()) for k in range(n)
+        ]
+        # last argument of binary_join_element_wise is the separator
+        ng = pc.binary_join_element_wise(*parts, pa.scalar(" ", pa.string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[dparent[upos]], pa.int64()),
+                "ng": ng,
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def _dup_ngram_task(batch: pa.Table) -> pa.Table:
+    return _cached(_DupNgramPairs)(batch)
+
+
+def dup_ngram_stats(ds):
+    """Inter-document duplicated n-gram statistics (RefinedWeb /
+    Gopher-style): for each document, how many of its ``n``-token
+    spans (n = :data:`DUP_NGRAM_N`) also occur in at least one OTHER
+    document.  Output ``(doc_id, n_ngrams, n_dup, dup_frac)`` sorted
+    by doc_id — the standard corpus-level memorization / boilerplate
+    signal that doc-level exact dedup cannot see.
+
+    Plan (two hash aggregations, no joins, no map_groups): one
+    tokenize pass emits per-(doc, n-gram) partial counts; a
+    ``groupby(ng)`` aggregation classifies every n-gram by its
+    document frequency — a span is UNIQUE iff its group has exactly
+    one row, in which case that single row's (doc_id, cnt) is
+    recoverable from Max/Sum aggregates alone, so hot n-grams
+    (df ≫ 1) collapse to one aggregate row and never re-emit their
+    group.  n_dup then falls out as ``n_ngrams − unique_cnt`` in a
+    final ``groupby(doc_id)`` over the union of per-doc totals (a
+    light count-only tokenize pass that covers every doc, zeros
+    included) and the unique-span credits.  Both exchanges are
+    built-in hash aggregations — skew-safe at 100 TB."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    pairs = ds.map_batches(_dup_ngram_task, batch_format="pyarrow")
+
+    uniq_spans = (
+        pairs.groupby("ng")
+        .aggregate(
+            Count(alias_name="_c"),
+            Sum("cnt", alias_name="_s"),
+            Max("doc_id", alias_name="doc_id"),
+        )
+    )
+
+    def uniq_credit(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["_c"], pa.scalar(1, pa.int64())))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "nn": pa.array(np.zeros(b.num_rows, np.int64)),
+                "uc": b["_s"].cast(pa.int64()),
+            }
+        )
+
+    # per-doc totals come from a SECOND, deliberately light tokenize
+    # pass (token count only — no n-gram keys, no strings): this keeps
+    # the heavy pairs lineage single-consumer (Ray Data would re-run it
+    # per consumer) without materializing the ~5x-corpus pairs table;
+    # it also covers every doc, so no zero-base branch is needed
+    def total_credit(b: pa.Table) -> pa.Table:
+        lexer = _cached(_DupNgramPairs).lexer
+        parent, _codes, _uniq = lexer.token_parent_codes(b["text"])
+        ntok = np.bincount(parent, minlength=b.num_rows)[: b.num_rows]
+        nn = np.maximum(ntok - (DUP_NGRAM_N - 1), 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "nn": pa.array(nn, pa.int64()),
+                "uc": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    unioned = ds.map_batches(total_credit, batch_format="pyarrow").union(
+        uniq_spans.map_batches(uniq_credit, batch_format="pyarrow")
+    )
+
+    folded = unioned.groupby("doc_id").aggregate(
+        Sum("nn", alias_name="n_ngrams"), Sum("uc", alias_name="_uc")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nn = b["n_ngrams"].to_numpy(zero_copy_only=False)
+        uc = b["_uc"].to_numpy(zero_copy_only=False)
+        nd = nn - uc
+        frac = round_half_away(nd / np.maximum(nn, 1), 4)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_ngrams": pa.array(nn, pa.int64()),
+                "n_dup": pa.array(nd, pa.int64()),
+                "dup_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort("doc_id")

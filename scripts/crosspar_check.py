@@ -30,6 +30,7 @@ DEFAULT_QUERIES = [
     "bigram_topk",
     "quality_topfrac",
     "lm_score",
+    "dup_ngram_stats",
 ]
 
 

@@ -1573,3 +1573,52 @@ def test_lm_score_truncated_vs_brute_force(ray_session):
         ).to_pandas()
         assert got.doc_id.tolist() == list(range(len(texts)))
         assert got.lm_qi.tolist() == want
+
+
+def test_dup_ngram_stats_brute_force(ray_session):
+    """dup_ngram_stats matches a row-by-row brute force: per doc, the
+    count of 5-gram positions whose 5-gram occurs in >= 2 docs."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import dup_ngram_stats
+
+    shared = "alpha beta gamma delta epsilon"          # one shared 5-gram
+    texts = [
+        shared + " zeta one",                          # shares with doc 1
+        "prefix " + shared,                            # shares with doc 0
+        "unique tokens only here for doc two ok",      # no shared 5-gram
+        shared + " " + shared,                         # internal repeat too
+        "tiny doc",                                    # < 5 tokens: zeros
+        "",                                            # empty: zeros
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    got = dup_ngram_stats(rd.from_arrow(tbl).repartition(3)).to_pandas()
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    grams = {
+        i: [" ".join(ts[j : j + 5]) for ts in [toks(t)]
+            for j in range(max(0, len(ts) - 4))]
+        for i, t in enumerate(texts)
+    }
+    df_count = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            df_count[g] += 1
+    for i, t in enumerate(texts):
+        gs = grams[i]
+        nn = len(gs)
+        nd = sum(1 for g in gs if df_count[g] >= 2)
+        row = got[got.doc_id == i].iloc[0]
+        assert row.n_ngrams == nn, (i, row.n_ngrams, nn)
+        assert row.n_dup == nd, (i, row.n_dup, nd)
+        exp = round(nd / nn, 4) if nn else 0.0
+        assert abs(row.dup_frac - exp) < 1e-9
+    assert got.doc_id.tolist() == sorted(got.doc_id.tolist())
