@@ -1126,6 +1126,22 @@ def _q_dup_ngram_stats(sf_dir: str):
     return dup_ngram_stats(ds)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """SemDeDup-style full-corpus distributed k-means over the
+    embedding column (round 5) — broadcast centroids, per-block
+    combiner partials, bounded k x d x n_blocks driver fold per
+    iteration; oracle = the Lloyd iterations unrolled as CTEs."""
+    import ray.data as rd
+
+    from raysearch.pipelines.simsearch import kmeans_clusters
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return kmeans_clusters(ds)
+
+
 def _q_lang_length_quantiles(sf_dir: str):
     """Per-language exact length quantiles (round 5) — the grouped
     variant of ``length_quantiles``: (lang, value) composite histogram,
@@ -1589,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topfrac": _q_quality_topfrac,
         "lm_score": _q_lm_score,
         "dup_ngram_stats": _q_dup_ngram_stats,
+        "kmeans_clusters": _q_kmeans_clusters,
         "doc_metrics": _q_doc_metrics,
         "token_counts": _q_token_counts,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1624,7 +1641,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
         "stratified_sample": _q_stratified_sample,
-        "group_topn": _q_group_topn,
         "quality_filter": _q_quality_filter,
         "vec_dup_clusters": _q_vec_dup_clusters,
         "redact_text": _q_redact_text,
@@ -1658,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
         "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "split_dataset": _q_split_dataset,
+        "group_topn": _q_group_topn,
         "hll_lang_registers": _q_hll_lang_registers,
         "cm_token_counters": _q_cm_token_counters,
         "minhash_recall": _q_minhash_recall,
@@ -2244,6 +2261,9 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS lm_qi FROM documents d LEFT JOIN s USING (doc_id) "
         "ORDER BY d.doc_id"
     )
+    from raysearch.pipelines.simsearch import kmeans_sql
+
+    out["kmeans_clusters"] = kmeans_sql()
     out["dup_ngram_stats"] = (
         "WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array("
         "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "

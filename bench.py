@@ -141,6 +141,8 @@ def _pipeline_bench() -> dict:
         "hll_vocab_registers": E._q_hll_vocab_registers,
         "quality_topfrac": E._q_quality_topfrac,
         "lm_score": E._q_lm_score,
+        "dup_ngram_stats": E._q_dup_ngram_stats,
+        "kmeans_clusters": E._q_kmeans_clusters,
     }
     out = {}
     for name, fn in stages.items():

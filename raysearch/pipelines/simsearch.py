@@ -340,3 +340,201 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int = 10,
                 {"query_id": qid, "rank": rank, "vec_id": int(r.vec_id), "score": float(r.score)}
             )
     return rd.from_pandas(pd.DataFrame(rows))
+
+
+#: SemDeDup-style clustering defaults — mirrored in the oracle SQL's
+#: unrolled iteration CTEs
+KMEANS_K = 8
+KMEANS_ITERS = 3
+#: decimals every centroid coordinate and every distance is rounded to
+#: at engine<->SQL boundaries, so IEEE summation-order differences
+#: cannot flip an argmin or a coordinate
+KMEANS_ROUND = 6
+
+
+def _flat_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix without a per-row
+    Python loop (zero-copy flat values + reshape; embeddings are
+    fixed-dimension)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    # flatten() (not .values) so a SLICED list array — Ray blocks can be
+    # zero-copy slices — yields only the rows in the slice
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return vals.reshape(n, -1)
+
+
+def kmeans_clusters(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Full-corpus distributed Lloyd's k-means over the embedding
+    column — the clustering stage of SemDeDup-style semantic curation
+    (cluster, then dedup/prune within clusters).  Returns a Dataset of
+    ``(vec_id, cluster)`` sorted by vec_id.
+
+    Deterministic contract (exactly reproduced by the unrolled SQL
+    oracle): centroids initialize from the ``k`` SMALLEST vec_ids;
+    every centroid coordinate and every squared-euclidean distance is
+    rounded to :data:`KMEANS_ROUND` decimals before use; assignment
+    ties break on the smallest cluster index; a cluster that loses all
+    members keeps its previous centroid.
+
+    Scale shape: per iteration, ONE ``map_batches`` pass computes
+    block-local assignments and per-cluster partial sums (a (k × d)
+    float64 + k counts per block — the classic combiner), and the
+    driver folds only those ``k × d × n_blocks`` partials (bounded by
+    block count, never by corpus size); centroids travel by one
+    ``ray.put`` broadcast per iteration.  The final labeled pass
+    streams.  Unlike :func:`kmeans_fit` (a seeded-sample fit for IVF
+    cell routing), every vector participates in every iteration."""
+    import ray
+    import ray.data as rd
+
+    # ---- init: embeddings of the k smallest vec_ids (block-local
+    # bottom-k partials -> bounded driver fold, no global sort) ----
+    def bottom_k(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        import pyarrow.compute as _pc
+
+        order = _pc.sort_indices(b, sort_keys=[("vec_id", "ascending")])
+        return b.take(order[:k])
+
+    seed_rows = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(bottom_k, batch_format="pyarrow")
+        .take_all()
+    )
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    seed_rows = seed_rows[:k]
+    if not seed_rows:
+        return rd.from_arrow(
+            pa.table({"vec_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+        )
+    cent = round_half_away(
+        np.stack([np.asarray(r["embedding"], np.float64) for r in seed_rows]),
+        KMEANS_ROUND,
+    )
+
+    def assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # rounded squared euclidean, ties -> smallest cluster index.
+        # Explicit (x - c)^2 difference rather than the |x|^2 - 2x.c
+        # matmul expansion: it is the numerically closest form to the
+        # oracle's per-dim sum, and both sides round to KMEANS_ROUND
+        # decimals before the argmin so ulp noise cannot flip it.
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(round_half_away(d2, KMEANS_ROUND), axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partials(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            c = _ray.get(ref)
+            mat = _flat_matrix(b["embedding"])
+            a = assign(mat, c)
+            js, counts = np.unique(a, return_counts=True)
+            sums = np.zeros((len(js), mat.shape[1]), np.float64)
+            for idx, j in enumerate(js):
+                sums[idx] = mat[a == j].sum(axis=0)
+            return pa.table(
+                {
+                    "j": pa.array(js.astype(np.int64), pa.int64()),
+                    "n": pa.array(counts.astype(np.int64), pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        rows = ds.select_columns(["embedding"]).map_batches(
+            partials, batch_format="pyarrow"
+        ).take_all()  # <= k x n_blocks rows — the documented bound
+        tot_n = np.zeros(len(cent), np.int64)
+        tot_s = np.zeros_like(cent)
+        for r in rows:
+            tot_n[r["j"]] += r["n"]
+            tot_s[r["j"]] += np.asarray(r["s"], np.float64)
+        new_cent = cent.copy()
+        nonempty = tot_n > 0
+        new_cent[nonempty] = round_half_away(
+            tot_s[nonempty] / tot_n[nonempty, None], KMEANS_ROUND
+        )
+        cent = new_cent
+
+    final_ref = ray.put(cent)
+
+    def label(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(final_ref)
+        mat = _flat_matrix(b["embedding"])
+        a = assign(mat, c) if len(mat) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(label, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+def kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB twin of :func:`kmeans_clusters` — the Lloyd iterations
+    UNROLLED as chained CTEs (init from the k smallest vec_ids, each
+    iteration = rounded-distance argmin assignment + rounded per-dim
+    centroid averages with empty-cluster carry), ending in one final
+    assignment against the last centroids.  Every rounding boundary
+    mirrors the engine's :data:`KMEANS_ROUND`."""
+    r = KMEANS_ROUND
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS j, list_transform(v, x -> round(x, %d)) AS v "
+        "FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT %d))" % (r, k),
+    ]
+
+    def dist_cte(name: str, cent: str) -> str:
+        return (
+            f"{name} AS (SELECT id AS vec_id, j, "
+            f"round(sum((ev-cv)*(ev-cv)), {r}) AS d FROM "
+            f"(SELECT e.vec_id AS id, c.j AS j, unnest(e.v) AS ev, "
+            f"unnest(c.v) AS cv FROM e CROSS JOIN {cent} c) GROUP BY id, j)"
+        )
+
+    def argmin_cte(name: str, dist: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, j FROM (SELECT vec_id, j, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn "
+            f"FROM {dist}) WHERE rn = 1)"
+        )
+
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(dist_cte(f"d{t}", prev))
+        parts.append(argmin_cte(f"a{t}", f"d{t}"))
+        parts.append(
+            f"s{t} AS (SELECT j, i, round(avg(x), {r}) AS x FROM "
+            f"(SELECT a.j AS j, unnest(generate_series(1, len(e.v))) AS i, "
+            f"unnest(e.v) AS x FROM a{t} a JOIN e USING (vec_id)) "
+            f"GROUP BY j, i)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT c.j, CASE WHEN EXISTS "
+            f"(SELECT 1 FROM s{t} WHERE s{t}.j = c.j) THEN "
+            f"(SELECT list(x ORDER BY i) FROM s{t} WHERE s{t}.j = c.j) "
+            f"ELSE c.v END AS v FROM {prev} c)"
+        )
+    parts.append(dist_cte("df", f"c{iters}"))
+    parts.append(argmin_cte("af", "df"))
+    return (
+        ", ".join(parts)
+        + " SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM af ORDER BY vec_id"
+    )

@@ -31,6 +31,7 @@ DEFAULT_QUERIES = [
     "quality_topfrac",
     "lm_score",
     "dup_ngram_stats",
+    "kmeans_clusters",
 ]
 
 

@@ -1622,3 +1622,50 @@ def test_dup_ngram_stats_brute_force(ray_session):
         exp = round(nd / nn, 4) if nn else 0.0
         assert abs(row.dup_frac - exp) < 1e-9
     assert got.doc_id.tolist() == sorted(got.doc_id.tolist())
+
+
+def test_kmeans_clusters_brute_force(ray_session):
+    """Distributed Lloyd's matches a single-process reference with the
+    same deterministic contract (rounded centroids/distances, smallest-j
+    ties, empty-cluster carry), across a multi-block partitioning."""
+    import ray.data as rd
+
+    from raysearch.pipelines.simsearch import (
+        KMEANS_ROUND,
+        kmeans_clusters,
+    )
+    from raysearch.util import round_half_away
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n, d, k, iters = 60, 6, 4, 3
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in mat], pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = (
+        kmeans_clusters(rd.from_arrow(tbl).repartition(5), k=k, iters=iters)
+        .to_pandas()
+    )
+
+    x = mat.astype(np.float64)
+    cent = round_half_away(x[:k], KMEANS_ROUND)
+
+    def assign(c):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(round_half_away(d2, KMEANS_ROUND), axis=1)
+
+    for _ in range(iters):
+        a = assign(cent)
+        for j in range(k):
+            m = x[a == j]
+            if len(m):
+                cent[j] = round_half_away(m.mean(axis=0), KMEANS_ROUND)
+    want = assign(cent)
+    assert got.vec_id.tolist() == list(range(n))
+    assert got.cluster.tolist() == want.tolist()
+    assert got.cluster.dtype == np.int64
