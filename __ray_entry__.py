@@ -1014,6 +1014,24 @@ def _q_split_dataset(sf_dir: str):
 
 PRIORITY_SAMPLE_K = 50
 QUANTILE_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+EPOCH_SHUFFLE_SEED = 3
+
+
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic global epoch shuffle (round 5) — the
+    training-data "reshuffle every epoch" step as ONE distributed sort
+    on a bijective keyed hash of (doc_id, seed); same order at any
+    partitioning, unrelated order per seed.  Oracle: identical
+    HUGEINT hash + ``ORDER BY shuffle_key`` (row order IS the checked
+    value)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import epoch_shuffle
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return epoch_shuffle(ds, EPOCH_SHUFFLE_SEED, keep_cols=["lang"])
 
 
 def _q_priority_sample(sf_dir: str):
@@ -1634,7 +1652,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25_sql": _q_transcripts_bm25_sql,
         "transcripts_reference_sql": _q_transcripts_reference_sql,
         "transcripts_stats": _q_transcripts_stats,
-        "transcripts_bm25": _q_transcripts_bm25,
+        # round 5: epoch_shuffle admitted above the cap (new operators
+        # get driver-checked immediately); transcripts_bm25 demoted —
+        # its scoring path stays triply driver-checked via
+        # transcripts_bm25_sql, transcripts_bm25_sharded and bm25_topk
+        # (and pytest-pinned vs oracle.py).
+        "epoch_shuffle": _q_epoch_shuffle,
         "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
         "transcripts_snippets": _q_transcripts_snippets,
         "transcripts_reference": _q_transcripts_reference,
@@ -1671,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
         "doc_stats": _q_doc_stats,
+        "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
         "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "split_dataset": _q_split_dataset,
@@ -2195,10 +2219,13 @@ def oracle_sql() -> dict[str, str]:
     out["split_dataset"] = (
         f"SELECT doc_id, {split_case_sql(SPLIT_FRACTIONS)} AS split FROM documents"
     )
-    from raysearch.pipelines.sampling import priority_sample_sql
+    from raysearch.pipelines.sampling import epoch_shuffle_sql, priority_sample_sql
 
     out["priority_sample"] = priority_sample_sql(
         PRIORITY_SAMPLE_K, keep_cols=["lang"]
+    )
+    out["epoch_shuffle"] = epoch_shuffle_sql(
+        EPOCH_SHUFFLE_SEED, keep_cols=["lang"]
     )
     # quantile_disc requires constant q -> one aggregate per q
     out["length_quantiles"] = (

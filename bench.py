@@ -143,6 +143,7 @@ def _pipeline_bench() -> dict:
         "lm_score": E._q_lm_score,
         "dup_ngram_stats": E._q_dup_ngram_stats,
         "kmeans_clusters": E._q_kmeans_clusters,
+        "epoch_shuffle": E._q_epoch_shuffle,
     }
     out = {}
     for name, fn in stages.items():

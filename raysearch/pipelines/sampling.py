@@ -216,3 +216,79 @@ def priority_sample_sql(k: int, *, id_col: str = "doc_id",
         f"AS BIGINT) AS rk, {sel} FROM {table} "
         f"ORDER BY {sample_key_sql(id_col)} LIMIT {k}"
     )
+
+
+M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer (public-domain constant set) — expands a
+    small epoch seed into a well-mixed 64-bit value so consecutive
+    seeds yield unrelated shuffle permutations."""
+    x = (x + 0x9E3779B97F4A7C15) & M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M64
+    return x ^ (x >> 31)
+
+
+def shuffle_mask(seed: int) -> int:
+    """63-bit xor-mask for an epoch seed (kept below 2⁶³ so the SQL
+    twin can xor it against a BIGINT id without sign games)."""
+    return _splitmix64(int(seed)) & ((1 << 63) - 1)
+
+
+def epoch_shuffle(ds, seed: int, *, id_col: str = "doc_id",
+                  keep_cols: list[str] | None = None):
+    """Deterministic global epoch shuffle — the training-data
+    "reshuffle every epoch" step, WITHOUT ``random_shuffle``'s
+    non-reproducible order.  Every row gets a 64-bit key
+    ``((id XOR splitmix64(seed)) * HASH_MUL + HASH_ADD) mod 2⁶⁴`` and
+    the dataset is range-sort-partitioned on it; the multiplier is odd
+    (a bijection mod 2⁶⁴) so distinct ids get distinct keys and the
+    permutation is total.  Because the key is a pure function of
+    (id, seed), the SAME order comes back regardless of partitioning,
+    retries, or resumed runs — and a different ``seed`` gives an
+    unrelated permutation (the xor mask enters BEFORE the multiply, so
+    epochs are not rotations of each other; asserted in tests).
+
+    Scale: one distributed sort on a uniformly-distributed integer key
+    — exactly the all-to-all a global shuffle inherently requires, but
+    with deterministic, resumable output and no RNG state anywhere.
+    The emitted ``shuffle_key`` (top 63 bits, BIGINT both sides) pins
+    the row order for value-hash comparison against the SQL twin.
+
+    Requires non-negative ``id_col`` values (BIGINT-xor parity with
+    the DuckDB oracle).
+    """
+    mask = shuffle_mask(seed)
+    cols = [id_col] + [c for c in (keep_cols or []) if c != id_col]
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = ((ids ^ np.uint64(mask)) * np.uint64(HASH_MUL)
+             + np.uint64(HASH_ADD)) >> np.uint64(1)
+        return b.select(cols).append_column(
+            "shuffle_key", pa.array(k.astype(np.int64), pa.int64())
+        ).select(["shuffle_key"] + cols)
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .sort(["shuffle_key", id_col])
+    )
+
+
+def epoch_shuffle_sql(seed: int, *, id_col: str = "doc_id",
+                      keep_cols: list[str] | None = None,
+                      table: str = "documents") -> str:
+    """DuckDB query producing the identical shuffled order + key."""
+    mask = shuffle_mask(seed)
+    cols = [id_col] + [c for c in (keep_cols or []) if c != id_col]
+    sel = ", ".join(cols)
+    k = (
+        f"CAST(((CAST(xor(CAST({id_col} AS BIGINT), {mask}) AS HUGEINT) "
+        f"* {HASH_MUL} + {HASH_ADD}) % 18446744073709551616) // 2 AS BIGINT)"
+    )
+    return (
+        f"SELECT {k} AS shuffle_key, {sel} FROM {table} "
+        f"ORDER BY shuffle_key, {id_col}"
+    )

@@ -118,3 +118,46 @@ def test_video_decode_skips_corrupt_containers_and_frames(ray_session):
         decode_video_frames(
             rd.from_arrow(tbl), stride_ms=40, on_unsupported="error"
         ).materialize()
+
+
+def test_epoch_shuffle_deterministic_and_seed_distinct(ray_session):
+    """The shuffled order is a pure function of (id, seed): identical
+    rows at any partitioning, oracle-identical to the DuckDB twin, and
+    a different seed yields an unrelated permutation (not a rotation)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import epoch_shuffle, epoch_shuffle_sql
+
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(["en", "es", "fr", "de"] * (n // 4)),
+    })
+
+    outs = []
+    for n_blocks in (1, 7):
+        ds = epoch_shuffle(rd.from_arrow(tbl).repartition(n_blocks), seed=3,
+                           keep_cols=["lang"])
+        outs.append(ds.to_pandas())
+    assert outs[0].equals(outs[1])
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(epoch_shuffle_sql(3, keep_cols=["lang"])).fetchdf()
+    got = outs[0][orc.columns]
+    assert got.reset_index(drop=True).equals(orc)
+
+    # permutation, not a sample: every id exactly once
+    assert sorted(outs[0]["doc_id"]) == list(range(n))
+
+    other = epoch_shuffle(rd.from_arrow(tbl), seed=4).to_pandas()
+    a = outs[0]["doc_id"].to_numpy()
+    b = other["doc_id"].to_numpy()
+    # unrelated permutations: few fixed points between epochs, and not
+    # a rotation of each other (xor enters before the multiply)
+    assert (a == b).mean() < 0.05
+    shift = np.flatnonzero(b == a[0])[0]
+    assert not np.array_equal(np.roll(b, -shift), a)
