@@ -32,6 +32,7 @@ DEFAULT_QUERIES = [
     "lm_score",
     "dup_ngram_stats",
     "kmeans_clusters",
+    "epoch_shuffle",
 ]
 
 
