@@ -1017,6 +1017,25 @@ QUANTILE_QS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
 EPOCH_SHUFFLE_SEED = 3
 
 
+GROUP_SAMPLE_K = 25
+
+
+def _q_group_sample_k(sf_dir: str):
+    """Exactly-k-per-group balanced sample (round 5) — per-group
+    bottom-k under the bijective Fibonacci id hash: per-block partial,
+    one small candidate groupby; identical rows at any partitioning.
+    Oracle: ``row_number() OVER (PARTITION BY g ORDER BY hash) <= k``
+    (HUGEINT arithmetic, integer-exact)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import group_sample_k
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return group_sample_k(ds, GROUP_SAMPLE_K)
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic global epoch shuffle (round 5) — the
     training-data "reshuffle every epoch" step as ONE distributed sort
@@ -1658,9 +1677,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcripts_bm25_sql, transcripts_bm25_sharded and bm25_topk
         # (and pytest-pinned vs oracle.py).
         "epoch_shuffle": _q_epoch_shuffle,
+        # round 5: group_sample_k admitted above the cap;
+        # transcripts_reference demoted — its scorer stays
+        # driver-checked via transcripts_reference_sql and
+        # reference_topk (and pytest-pinned vs oracle.py).
+        "group_sample_k": _q_group_sample_k,
         "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
         "transcripts_snippets": _q_transcripts_snippets,
-        "transcripts_reference": _q_transcripts_reference,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1695,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-covered; oracles retained where they exist) ----
         "doc_stats": _q_doc_stats,
         "transcripts_bm25": _q_transcripts_bm25,
+        "transcripts_reference": _q_transcripts_reference,
         "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
         "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "split_dataset": _q_split_dataset,
@@ -2227,6 +2251,9 @@ def oracle_sql() -> dict[str, str]:
     out["epoch_shuffle"] = epoch_shuffle_sql(
         EPOCH_SHUFFLE_SEED, keep_cols=["lang"]
     )
+    from raysearch.pipelines.sampling import group_sample_k_sql
+
+    out["group_sample_k"] = group_sample_k_sql(GROUP_SAMPLE_K)
     # quantile_disc requires constant q -> one aggregate per q
     out["length_quantiles"] = (
         "SELECT * FROM ("

@@ -144,6 +144,7 @@ def _pipeline_bench() -> dict:
         "dup_ngram_stats": E._q_dup_ngram_stats,
         "kmeans_clusters": E._q_kmeans_clusters,
         "epoch_shuffle": E._q_epoch_shuffle,
+        "group_sample_k": E._q_group_sample_k,
     }
     out = {}
     for name, fn in stages.items():

@@ -292,3 +292,57 @@ def epoch_shuffle_sql(seed: int, *, id_col: str = "doc_id",
         f"SELECT {k} AS shuffle_key, {sel} FROM {table} "
         f"ORDER BY shuffle_key, {id_col}"
     )
+
+
+def group_sample_k(ds, k: int, *, group_col: str = "lang",
+                   id_col: str = "doc_id"):
+    """Exactly-``k`` uniform sample PER GROUP — the balanced eval-set
+    draw ("k docs from every language").  Per group it is the global
+    bottom-``k`` under the bijective Fibonacci id hash, so membership
+    is a pure function of (id, k): identical rows at any partitioning
+    / retry, bounded churn under corpus growth (bottom-k property),
+    and groups with fewer than ``k`` rows return all of them.
+
+    Plan shape = :func:`group_topn` under the hash order: per-block
+    per-group partial bottom-``k`` (each block emits ≤ groups×k rows),
+    then one SMALL ``groupby(group).map_groups`` over candidates —
+    the corpus is never shuffled.  Output ``(group_col, rk, id_col)``
+    with ``rk`` 1-based within the group; sorted by (group, rk) to pin
+    the row order for value-hash comparison."""
+    cols = [group_col, id_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ids * np.uint64(HASH_MUL) + np.uint64(HASH_ADD)
+        df = b.select(cols).to_pandas()
+        df["_key"] = key
+        df = df.sort_values([group_col, "_key"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_key", kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[group_col, "rk", id_col]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+        .sort([group_col, "rk"])
+    )
+
+
+def group_sample_k_sql(k: int, *, group_col: str = "lang",
+                       id_col: str = "doc_id",
+                       table: str = "documents") -> str:
+    """DuckDB window query computing the identical per-group sample."""
+    return (
+        f"SELECT {group_col}, rk, {id_col} FROM ("
+        f"SELECT {group_col}, {id_col}, CAST(row_number() OVER ("
+        f"PARTITION BY {group_col} "
+        f"ORDER BY {sample_key_sql(id_col)}, {id_col}) AS BIGINT) AS rk "
+        f"FROM {table}) WHERE rk <= {k} ORDER BY {group_col}, rk"
+    )

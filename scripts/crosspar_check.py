@@ -33,6 +33,7 @@ DEFAULT_QUERIES = [
     "dup_ngram_stats",
     "kmeans_clusters",
     "epoch_shuffle",
+    "group_sample_k",
 ]
 
 

@@ -161,3 +161,36 @@ def test_epoch_shuffle_deterministic_and_seed_distinct(ray_session):
     assert (a == b).mean() < 0.05
     shift = np.flatnonzero(b == a[0])[0]
     assert not np.array_equal(np.roll(b, -shift), a)
+
+
+def test_group_sample_k_deterministic_and_short_groups(ray_session):
+    """Per-group bottom-k: identical rows at any partitioning, oracle
+    match, and groups smaller than k return all their rows."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import group_sample_k, group_sample_k_sql
+
+    n = 300
+    langs = ["en"] * 200 + ["es"] * 96 + ["xx"] * 4  # xx shorter than k
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "lang": pa.array(langs),
+    })
+
+    outs = []
+    for n_blocks in (1, 6):
+        ds = group_sample_k(rd.from_arrow(tbl).repartition(n_blocks), 10)
+        outs.append(ds.to_pandas())
+    assert outs[0].equals(outs[1])
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(group_sample_k_sql(10)).fetchdf()
+    got = outs[0][orc.columns].reset_index(drop=True)
+    assert got.equals(orc)
+
+    counts = outs[0].groupby("lang")["doc_id"].count()
+    assert counts["en"] == 10 and counts["es"] == 10 and counts["xx"] == 4
