@@ -1020,6 +1020,23 @@ EPOCH_SHUFFLE_SEED = 3
 GROUP_SAMPLE_K = 25
 
 
+def _q_normalize_text(sf_dir: str):
+    """Canonical text normalization (round 5) — NFC + lowercase +
+    whitespace collapse + trim as pure Arrow kernels (the stage that
+    runs BEFORE dedup/fingerprinting); zero shuffle, streams.  Oracle
+    chains the same ops in DuckDB."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import normalize_text
+
+    return normalize_text(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    )
+
+
 def _q_group_sample_k(sf_dir: str):
     """Exactly-k-per-group balanced sample (round 5) — per-group
     bottom-k under the bijective Fibonacci id hash: per-block partial,
@@ -1682,6 +1699,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-checked via transcripts_reference_sql and
         # reference_topk (and pytest-pinned vs oracle.py).
         "group_sample_k": _q_group_sample_k,
+        # round 5: normalize_text admitted above the cap;
+        # hashed_features demoted — its hashing-trick mechanism (same
+        # Lexer + _stable_u64 % dim) stays driver-checked via
+        # tfidf_features.
+        "normalize_text": _q_normalize_text,
         "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
         "transcripts_snippets": _q_transcripts_snippets,
         "minhash_pairs": _q_minhash_pairs,
@@ -1691,7 +1713,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_dup_clusters": _q_vec_dup_clusters,
         "redact_text": _q_redact_text,
         "pack_offsets": _q_pack_offsets,
-        "hashed_features": _q_hashed_features,
         "curation_pipeline": _q_curation_pipeline,
         "tfidf_features": _q_tfidf_features,
         "column_profile": _q_column_profile,
@@ -1719,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_reference": _q_transcripts_reference,
+        "hashed_features": _q_hashed_features,
         "transcripts_latin_lexicon_sql": _q_transcripts_latin_lexicon_sql,
         "transcripts_latin_postings_sql": _q_transcripts_latin_postings_sql,
         "split_dataset": _q_split_dataset,
@@ -2254,6 +2276,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.sampling import group_sample_k_sql
 
     out["group_sample_k"] = group_sample_k_sql(GROUP_SAMPLE_K)
+    from raysearch.pipelines.textstats import normalize_sql
+
+    out["normalize_text"] = normalize_sql()
     # quantile_disc requires constant q -> one aggregate per q
     out["length_quantiles"] = (
         "SELECT * FROM ("

@@ -145,6 +145,7 @@ def _pipeline_bench() -> dict:
         "kmeans_clusters": E._q_kmeans_clusters,
         "epoch_shuffle": E._q_epoch_shuffle,
         "group_sample_k": E._q_group_sample_k,
+        "normalize_text": E._q_normalize_text,
     }
     out = {}
     for name, fn in stages.items():

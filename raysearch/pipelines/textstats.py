@@ -1020,3 +1020,68 @@ def dup_ngram_stats(ds):
         )
 
     return folded.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def normalize_text(ds):
+    """Canonical text normalization — the first stage of any curation
+    pipeline (run BEFORE dedup/fingerprinting so byte-level variants
+    of the same content collide): Unicode NFC, full lowercase,
+    whitespace-run collapse to single spaces, edge trim.  Pure
+    vectorized ``map_batches`` over Arrow kernels (``utf8_normalize``
+    / ``utf8_lower`` / RE2 ``replace_substring_regex``) — no
+    Python-per-row work, no shuffle, streams at any scale.
+
+    Output: ``(doc_id, norm_text, n_chars)`` with ``n_chars`` the
+    normalized length (int64).  The DuckDB twin chains
+    ``nfc_normalize``/``lower``/``regexp_replace``/``trim`` in the
+    same order; both sides run full-Unicode NFC + casefolds, so the
+    bytes agree exactly.
+
+    NFC note: this environment's Arrow build (16.1) returns DECOMPOSED
+    output from ``utf8_normalize`` for every requested form (verified:
+    form="NFC" on U+00E9 yields U+0065 U+0301), so composition goes
+    through ``unicodedata.normalize`` instead — but only for batches
+    that contain non-ASCII bytes at all: the vectorized ASCII fast
+    path (``binary_length == utf8_length`` ⇒ every char is one byte ⇒
+    NFC is the identity) keeps the overwhelmingly-ASCII hot path free
+    of per-row Python."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        n_bytes = pc.sum(pc.binary_length(t)).as_py() or 0
+        n_chars = pc.sum(pc.utf8_length(t)).as_py() or 0
+        if n_bytes != n_chars:  # non-ASCII present -> real NFC pass
+            t = pa.array(
+                [
+                    None if s is None else unicodedata.normalize("NFC", s)
+                    for s in t.to_pylist()
+                ],
+                pa.string(),
+            )
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "norm_text": t,
+                "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def normalize_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`normalize_text` (same op order)."""
+    return (
+        "SELECT doc_id, "
+        "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) "
+        "AS norm_text, "
+        "CAST(length(trim(regexp_replace(lower(nfc_normalize(text)), "
+        "'\\s+', ' ', 'g'))) AS BIGINT) AS n_chars "
+        f"FROM {table}"
+    )

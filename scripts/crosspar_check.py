@@ -34,6 +34,7 @@ DEFAULT_QUERIES = [
     "kmeans_clusters",
     "epoch_shuffle",
     "group_sample_k",
+    "normalize_text",
 ]
 
 

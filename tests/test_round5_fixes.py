@@ -194,3 +194,33 @@ def test_group_sample_k_deterministic_and_short_groups(ray_session):
 
     counts = outs[0].groupby("lang")["doc_id"].count()
     assert counts["en"] == 10 and counts["es"] == 10 and counts["xx"] == 4
+
+
+def test_normalize_text_matches_duckdb_and_edge_cases(ray_session):
+    """Arrow NFC/lower/collapse/trim chain equals the DuckDB twin,
+    including unicode composition, tabs/newlines, and empty strings."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import normalize_sql, normalize_text
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "  Hello\t\tWORLD \n twice  ",
+            "Café MIXED case",       # combining accent -> NFC
+            "",
+            "\n\n\t",
+        ]),
+    })
+    got = normalize_text(rd.from_arrow(tbl).repartition(2)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(normalize_sql() + " ORDER BY doc_id").fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert got.loc[0, "norm_text"] == "hello world twice"
+    assert got.loc[1, "norm_text"] == "café mixed case"
+    assert got.loc[2, "norm_text"] == "" and got.loc[3, "norm_text"] == ""
