@@ -1164,6 +1164,40 @@ def _q_bigram_topk(sf_dir: str):
     return bigram_topk(ds, k=BIGRAM_TOPK_K)
 
 
+PMI_TOPK_K = 20
+
+
+def _q_pmi_topk(sf_dir: str):
+    """Corpus top-k bigram collocations by PMI (round 5) — the fused
+    unigram+bigram fold, two copartition hash-join passes to attach
+    unigram counts (no driver vocabulary pull), oracle-identical
+    double math + double-round, pinned ties."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import pmi_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return pmi_topk(ds, k=PMI_TOPK_K)
+
+
+def _q_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary overlap matrix (round 5) — distinct
+    (source, term) fold, bit-packed source masks OR-ed via Sum over
+    distinct rows, ≤2^S-row mask-histogram driver pull; jaccard
+    rounded half-away to 4 decimals."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import vocab_overlap
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return vocab_overlap(ds)
+
+
 def _q_dup_ngram_stats(sf_dir: str):
     """Inter-document duplicated 5-gram fractions (round 5) — one
     tokenize pass to per-(doc, n-gram) partials, a groupby(ng) that
@@ -1666,10 +1700,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_ngram": _q_lang_id_ngram,
         "conjunctive_search": _q_conjunctive,
         "bm25_topk": _q_bm25_topk,
-        "reference_topk": _q_reference_topk,
+        # round 5: pmi_topk (PMI collocations via copartition joins)
+        # admitted above the cap per the r04 lesson — new operators
+        # get driver-checked immediately; reference_topk demoted — the
+        # reference scorer stays driver-checked via
+        # transcripts_reference_sql (same scorer, transcripts corpus)
+        # and pytest-pinned vs oracle.py.
+        "pmi_topk": _q_pmi_topk,
         "exact_dedup": _q_exact_dedup,
         "ann_cosine_topk": _q_ann_cosine,
-        "events_window": _q_events_window,
+        # round 5: vocab_overlap (source-vocabulary Jaccard matrix)
+        # admitted above the cap; events_window demoted — tumbling is
+        # the step=size special case of the hopping window, and
+        # events_hopping (which explodes into the SAME tumbling
+        # groupby primitive) stays above the cap, so the mechanism
+        # remains driver-checked.
+        "vocab_overlap": _q_vocab_overlap,
         "events_sessionize": _q_sessionize,
         "events_asof_join": _q_asof_last_error,
         "revenue_by_flag": _q_revenue,
@@ -1738,6 +1784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
         "doc_stats": _q_doc_stats,
+        "reference_topk": _q_reference_topk,
+        "events_window": _q_events_window,
         "transcripts_bm25": _q_transcripts_bm25,
         "transcripts_reference": _q_transcripts_reference,
         "hashed_features": _q_hashed_features,
@@ -2361,6 +2409,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents d LEFT JOIN t USING (doc_id) "
         "LEFT JOIN uu USING (doc_id) ORDER BY d.doc_id"
     )
+    from raysearch.pipelines.textstats import pmi_topk_sql, vocab_overlap_sql
+
+    out["pmi_topk"] = pmi_topk_sql(PMI_TOPK_K)
+    out["vocab_overlap"] = vocab_overlap_sql()
     out["bigram_topk"] = (
         "WITH f AS (SELECT list_filter(regexp_split_to_array("
         "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "

@@ -146,6 +146,8 @@ def _pipeline_bench() -> dict:
         "epoch_shuffle": E._q_epoch_shuffle,
         "group_sample_k": E._q_group_sample_k,
         "normalize_text": E._q_normalize_text,
+        "pmi_topk": E._q_pmi_topk,
+        "vocab_overlap": E._q_vocab_overlap,
     }
     out = {}
     for name, fn in stages.items():

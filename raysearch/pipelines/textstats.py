@@ -397,6 +397,46 @@ class _LMScore:
         )
 
 
+def _unigram_bigram_partial(batch: pa.Table) -> pa.Table:
+    """Fused per-batch unigram+bigram partial counts, kind-tagged
+    (kind 0 = unigram with ``w2=''``, kind 1 = bigram) — ONE tokenize
+    pass feeding ONE ``groupby(kind, w1, w2)`` fold.  Shared by
+    :func:`lm_score` and :func:`pmi_topk`; the fold's exchange is
+    bounded by the distinct-n-gram count, never the token count."""
+    lexer = _cached(_RepetitionStats).lexer
+    parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+    empty_s = pa.array([], pa.string())
+    empty_i = pa.array([], pa.int64())
+    if not len(parent):
+        return pa.table(
+            {"kind": empty_i, "w1": empty_s, "w2": empty_s, "n": empty_i}
+        )
+    ucodes, ucounts = np.unique(codes, return_counts=True)
+    kind = [np.zeros(len(ucodes), np.int64)]
+    w1 = [uniq[ucodes]]
+    w2 = [np.full(len(ucodes), "", dtype=object)]
+    n = [ucounts.astype(np.int64)]
+    if len(parent) > 1:
+        valid = parent[1:] == parent[:-1]
+        first, second = codes[:-1][valid], codes[1:][valid]
+        if len(first):
+            v = int(codes.max()) + 1
+            pair = first.astype(np.int64) * v + second
+            ukeys, counts = np.unique(pair, return_counts=True)
+            kind.append(np.ones(len(ukeys), np.int64))
+            w1.append(uniq[ukeys // v])
+            w2.append(uniq[ukeys % v])
+            n.append(counts.astype(np.int64))
+    return pa.table(
+        {
+            "kind": pa.array(np.concatenate(kind), pa.int64()),
+            "w1": pa.array(np.concatenate(w1), pa.string()),
+            "w2": pa.array(np.concatenate(w2), pa.string()),
+            "n": pa.array(np.concatenate(n), pa.int64()),
+        }
+    )
+
+
 def lm_score(
     ds,
     top_bigrams: int = LM_TOP_BIGRAMS,
@@ -422,42 +462,8 @@ def lm_score(
     import ray
     from ray.data.aggregate import Sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lexer = _cached(_RepetitionStats).lexer
-        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
-        empty_s = pa.array([], pa.string())
-        empty_i = pa.array([], pa.int64())
-        if not len(parent):
-            return pa.table(
-                {"kind": empty_i, "w1": empty_s, "w2": empty_s, "n": empty_i}
-            )
-        ucodes, ucounts = np.unique(codes, return_counts=True)
-        kind = [np.zeros(len(ucodes), np.int64)]
-        w1 = [uniq[ucodes]]
-        w2 = [np.full(len(ucodes), "", dtype=object)]
-        n = [ucounts.astype(np.int64)]
-        if len(parent) > 1:
-            valid = parent[1:] == parent[:-1]
-            first, second = codes[:-1][valid], codes[1:][valid]
-            if len(first):
-                v = int(codes.max()) + 1
-                pair = first.astype(np.int64) * v + second
-                ukeys, counts = np.unique(pair, return_counts=True)
-                kind.append(np.ones(len(ukeys), np.int64))
-                w1.append(uniq[ukeys // v])
-                w2.append(uniq[ukeys % v])
-                n.append(counts.astype(np.int64))
-        return pa.table(
-            {
-                "kind": pa.array(np.concatenate(kind), pa.int64()),
-                "w1": pa.array(np.concatenate(w1), pa.string()),
-                "w2": pa.array(np.concatenate(w2), pa.string()),
-                "n": pa.array(np.concatenate(n), pa.int64()),
-            }
-        )
-
     folded = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(_unigram_bigram_partial, batch_format="pyarrow")
         .groupby(["kind", "w1", "w2"])
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -1073,6 +1079,334 @@ def normalize_text(ds):
         )
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+#: PMI defaults — support floor mirrored verbatim in the oracle SQL
+PMI_MIN_COUNT = 5
+
+#: bit-packed source masks cap (int64-safe; raise to a roaring-bitmap
+#: path beyond this — corpora have a handful of sources, not 60)
+MAX_OVERLAP_SOURCES = 60
+
+
+def pmi_topk(ds, k: int = 20, min_count: int = PMI_MIN_COUNT):
+    """Corpus top-``k`` token bigrams by pointwise mutual information
+    ``ln(p(w1,w2) / (p(w1)·p(w2)))`` with a ``min_count`` support
+    floor (collocation / phrase mining — the classic
+    Church-and-Hanks association statistic).
+
+    Plan: the :func:`_unigram_bigram_partial` fused pass → ONE
+    ``groupby(kind, w1, w2)`` fold (exchange bounded by distinct
+    n-grams; materialized like :func:`lm_score`'s — vocab-bounded,
+    spillable) → unigram counts attached to the surviving bigram rows
+    by TWO :func:`raysearch.util.copartition_attach` hash-join passes
+    (w1 then w2 — never a driver pull of the vocabulary) → per-row
+    PMI → block-local top-k prune → a ≤ k×blocks candidate sort.
+
+    Engine↔SQL float parity: PMI is computed with the oracle's exact
+    association ``ln((n·1.0·Nt·Nt) / (Nb·1.0·c1·c2))`` then
+    double-rounded to ``pmi_qi = round(round(x, 4)·10⁴)`` (half away
+    from zero, matching DuckDB ``round``).  Ties pin on
+    ``(pmi_qi DESC, w1, w2)`` — a total order, as (w1, w2) is unique.
+
+    Output ``(rk, w1, w2, n, pmi_qi)``, rk 1-based."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.util import copartition_attach
+
+    folded = (
+        ds.map_batches(_unigram_bigram_partial, batch_format="pyarrow")
+        .groupby(["kind", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def tot(b: pa.Table) -> pa.Table:
+        uni = pc.equal(b["kind"], pa.scalar(0, pa.int64()))
+        nt = pc.sum(pc.if_else(uni, b["n"], pa.scalar(0, pa.int64())))
+        nb = pc.sum(pc.if_else(uni, pa.scalar(0, pa.int64()), b["n"]))
+        return pa.table(
+            {"nt": pa.array([nt.as_py() or 0], pa.int64()),
+             "nb": pa.array([nb.as_py() or 0], pa.int64())}
+        )
+
+    totals = folded.map_batches(tot, batch_format="pyarrow")
+    nt = int(totals.sum("nt") or 0)
+    nb = int(totals.sum("nb") or 0)
+    empty = pa.table(
+        {"rk": pa.array([], pa.int64()), "w1": pa.array([], pa.string()),
+         "w2": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+         "pmi_qi": pa.array([], pa.int64())}
+    )
+    if nb == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    def uni_side(key: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["kind"], pa.scalar(0, pa.int64())))
+            return pa.table({key: b["w1"], out: b["n"]})
+
+        return folded.map_batches(fn, batch_format="pyarrow")
+
+    def big_side(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(
+                pc.equal(b["kind"], pa.scalar(1, pa.int64())),
+                pc.greater_equal(b["n"], pa.scalar(min_count, pa.int64())),
+            )
+        )
+        return pa.table({"w1": b["w1"], "w2": b["w2"], "n": b["n"]})
+
+    bigrams = folded.map_batches(big_side, batch_format="pyarrow")
+    s = pa.string()
+    i64 = pa.int64()
+    with_c1 = copartition_attach(
+        bigrams,
+        uni_side("w1", "c1"),
+        "w1",
+        pa.schema([("w1", s), ("w2", s), ("n", i64)]),
+        {"c1": i64},
+    )
+    with_c2 = copartition_attach(
+        with_c1,
+        uni_side("w2", "c2"),
+        "w2",
+        pa.schema([("w1", s), ("w2", s), ("n", i64), ("c1", i64)]),
+        {"c2": i64},
+    )
+
+    def score_and_prune(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return empty.append_column(
+                "_negq", pa.array([], pa.int64())
+            ).drop_columns(["rk"])
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = b["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = b["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # association order mirrors the SQL twin exactly:
+        # ((n*1.0)*Nt)*Nt / (((Nb*1.0)*c1)*c2)
+        pmi = np.log(((n * 1.0) * nt * nt) / (((nb * 1.0) * c1) * c2))
+        qi = round_half_away(
+            round_half_away(pmi, 4) * 10000.0, 0
+        ).astype(np.int64)
+        t = pa.table(
+            {"w1": b["w1"], "w2": b["w2"], "n": b["n"],
+             "pmi_qi": pa.array(qi, i64),
+             "_negq": pa.array(-qi, i64)}
+        )
+        order = pc.sort_indices(
+            t, sort_keys=[("_negq", "ascending"), ("w1", "ascending"),
+                          ("w2", "ascending")]
+        )
+        return t.take(order[:k])
+
+    def rank(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["_negq"])
+        return b.append_column(
+            "rk", pa.array(np.arange(1, b.num_rows + 1, dtype=np.int64))
+        ).select(["rk", "w1", "w2", "n", "pmi_qi"])
+
+    return (
+        with_c2.map_batches(score_and_prune, batch_format="pyarrow")
+        .sort(["_negq", "w1", "w2"])
+        .limit(k)
+        .repartition(1)
+        .map_batches(rank, batch_format="pyarrow")
+    )
+
+
+def pmi_topk_sql(k: int, min_count: int = PMI_MIN_COUNT,
+                 table: str = "documents") -> str:
+    """DuckDB twin of :func:`pmi_topk` (same association order, same
+    double-round, same tie pins)."""
+    return (
+        f"WITH f AS (SELECT list_filter(regexp_split_to_array("
+        f"lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM {table}), "
+        "t AS (SELECT unnest(ts) AS term FROM f), "
+        "b AS (SELECT ts[i] AS w1, ts[i+1] AS w2 FROM f, "
+        "unnest(generate_series(1, len(ts)-1)) AS u(i)), "
+        "c1 AS (SELECT term, count(*) AS n FROM t GROUP BY 1), "
+        "c2 AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2 "
+        f"HAVING count(*) >= {min_count}), "
+        "tot AS (SELECT (SELECT count(*) FROM t) AS nt, "
+        "(SELECT count(*) FROM b) AS nb), "
+        "sc AS (SELECT c2.w1, c2.w2, c2.n, "
+        "CAST(round(round(ln((c2.n * 1.0 * tot.nt * tot.nt) / "
+        "(tot.nb * 1.0 * a.n * bb.n)), 4) * 10000) AS BIGINT) AS pmi_qi "
+        "FROM c2 CROSS JOIN tot JOIN c1 a ON a.term = c2.w1 "
+        "JOIN c1 bb ON bb.term = c2.w2) "
+        "SELECT CAST(row_number() OVER (ORDER BY pmi_qi DESC, w1, w2) "
+        "AS BIGINT) AS rk, w1, w2, CAST(n AS BIGINT) AS n, pmi_qi "
+        f"FROM sc ORDER BY pmi_qi DESC, w1, w2 LIMIT {k}"
+    )
+
+
+def vocab_overlap(ds):
+    """Pairwise vocabulary overlap between corpus ``source`` slices —
+    the standard corpus-auditing cut before mixing sources into a
+    training set (how much does source A's vocabulary overlap B's?).
+
+    Plan: ONE tokenize pass emits per-batch DISTINCT ``(source,
+    term)`` rows plus a ``term=''`` sentinel per source present (so
+    all-empty sources still register) → ``groupby(source, term)``
+    dedups across batches → each source gets bit ``2^idx`` (sorted
+    registry, ≤ :data:`MAX_OVERLAP_SOURCES`, asserted) →
+    ``groupby(term).sum(bit)`` ORs the bits (rows are distinct, so
+    sum = OR) → a ≤ 2^S-row mask histogram is the ONLY driver pull;
+    every pairwise intersection/union falls out of it by masking.
+    Exchange is bounded by vocabulary × sources, never tokens.
+
+    Output one row per unordered source pair (src_a < src_b):
+    ``(src_a, src_b, n_a, n_b, n_shared, jaccard)`` with jaccard
+    rounded half-away to 4 decimals, sorted by (src_a, src_b)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+        src = np.asarray(batch["source"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        s_uniq, s_inv = np.unique(src, return_inverse=True)
+        out_src = [s_uniq]
+        out_term = [np.full(len(s_uniq), "", dtype=object)]
+        if len(parent):
+            v = int(codes.max()) + 1
+            key = np.unique(s_inv[parent].astype(np.int64) * v + codes)
+            out_src.append(s_uniq[key // v])
+            out_term.append(uniq[key % v])
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(out_src), pa.string()),
+                "term": pa.array(np.concatenate(out_term), pa.string()),
+            }
+        )
+
+    pairs = (
+        ds.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .count()
+        .materialize()
+    )
+
+    def sentinels(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["term"], pa.scalar("", pa.string())))
+        return pa.table({"source": b["source"]})
+
+    import ray as _ray
+
+    reg_parts = [
+        p for p in _ray.get(
+            pairs.map_batches(sentinels, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    sources = sorted(
+        set(
+            pa.concat_tables(reg_parts)["source"].to_pylist()
+            if reg_parts
+            else []
+        )
+    )
+    if len(sources) > MAX_OVERLAP_SOURCES:
+        raise ValueError(
+            f"{len(sources)} sources exceeds MAX_OVERLAP_SOURCES="
+            f"{MAX_OVERLAP_SOURCES}; bit-packed masks need <= 60 slices"
+        )
+    bit_of = {s: 1 << i for i, s in enumerate(sources)}
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(pc.equal(b["term"], pa.scalar("", pa.string()))))
+        bits = np.array(
+            [bit_of[s] for s in b["source"].to_pylist()], dtype=np.int64
+        )
+        return pa.table({"term": b["term"], "bit": pa.array(bits, pa.int64())})
+
+    def mask_hist(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b["bit"])
+        return pa.table(
+            {"mask": pc.cast(vc.field("values"), pa.int64()),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    hist = (
+        pairs.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("bit", alias_name="bit"))
+        .map_batches(mask_hist, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hist_parts = [
+        p for p in _ray.get(hist.to_arrow_refs()) if p.num_rows
+    ]
+    if hist_parts:
+        h = pa.concat_tables(hist_parts)
+        masks = h["mask"].to_numpy(zero_copy_only=False)
+        counts = h["n"].to_numpy(zero_copy_only=False)
+    else:
+        masks = np.empty(0, np.int64)
+        counts = np.empty(0, np.int64)
+
+    rows = {"src_a": [], "src_b": [], "n_a": [], "n_b": [],
+            "n_shared": [], "jaccard": []}
+    for ai in range(len(sources)):
+        for bi in range(ai + 1, len(sources)):
+            ba, bb = 1 << ai, 1 << bi
+            na = int(counts[(masks & ba) != 0].sum())
+            nbv = int(counts[(masks & bb) != 0].sum())
+            ns = int(counts[((masks & ba) != 0) & ((masks & bb) != 0)].sum())
+            union = na + nbv - ns
+            jac = float(round_half_away((ns * 1.0) / union, 4)) if union else 0.0
+            rows["src_a"].append(sources[ai])
+            rows["src_b"].append(sources[bi])
+            rows["n_a"].append(na)
+            rows["n_b"].append(nbv)
+            rows["n_shared"].append(ns)
+            rows["jaccard"].append(jac)
+    res = pa.table(
+        {
+            "src_a": pa.array(rows["src_a"], pa.string()),
+            "src_b": pa.array(rows["src_b"], pa.string()),
+            "n_a": pa.array(rows["n_a"], pa.int64()),
+            "n_b": pa.array(rows["n_b"], pa.int64()),
+            "n_shared": pa.array(rows["n_shared"], pa.int64()),
+            "jaccard": pa.array(rows["jaccard"], pa.float64()),
+        }
+    )
+    return rd.from_arrow(res)
+
+
+def vocab_overlap_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`vocab_overlap` (distinct (source, term)
+    sets, all pairs src_a < src_b incl. zero-overlap, same rounding)."""
+    return (
+        "WITH tok AS (SELECT DISTINCT source, t.term FROM "
+        "(SELECT source, unnest(regexp_split_to_array(lower(text), "
+        f"'[^a-z0-9]+')) AS term FROM {table}) t WHERE t.term <> ''), "
+        "s AS (SELECT source, count(*) AS nv FROM tok GROUP BY 1), "
+        f"srcs AS (SELECT DISTINCT source FROM {table}), "
+        "pr AS (SELECT a.source AS src_a, b.source AS src_b FROM srcs a "
+        "JOIN srcs b ON a.source < b.source), "
+        "sh AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS ns "
+        "FROM tok a JOIN tok b ON a.term = b.term AND a.source < b.source "
+        "GROUP BY 1, 2) "
+        "SELECT pr.src_a, pr.src_b, "
+        "CAST(coalesce(sa.nv, 0) AS BIGINT) AS n_a, "
+        "CAST(coalesce(sb.nv, 0) AS BIGINT) AS n_b, "
+        "CAST(coalesce(sh.ns, 0) AS BIGINT) AS n_shared, "
+        "coalesce(round(coalesce(sh.ns, 0) * 1.0 / "
+        "nullif(coalesce(sa.nv, 0) + coalesce(sb.nv, 0) "
+        "- coalesce(sh.ns, 0), 0), 4), 0.0) AS jaccard "
+        "FROM pr LEFT JOIN s sa ON sa.source = pr.src_a "
+        "LEFT JOIN s sb ON sb.source = pr.src_b "
+        "LEFT JOIN sh ON sh.src_a = pr.src_a AND sh.src_b = pr.src_b "
+        "ORDER BY pr.src_a, pr.src_b"
+    )
 
 
 def normalize_sql(table: str = "documents") -> str:

@@ -35,6 +35,8 @@ DEFAULT_QUERIES = [
     "epoch_shuffle",
     "group_sample_k",
     "normalize_text",
+    "pmi_topk",
+    "vocab_overlap",
 ]
 
 

@@ -224,3 +224,74 @@ def test_normalize_text_matches_duckdb_and_edge_cases(ray_session):
     assert got.loc[0, "norm_text"] == "hello world twice"
     assert got.loc[1, "norm_text"] == "café mixed case"
     assert got.loc[2, "norm_text"] == "" and got.loc[3, "norm_text"] == ""
+
+
+def test_pmi_topk_matches_duckdb_and_min_count(ray_session):
+    """PMI collocation top-k equals the DuckDB twin on a corpus with a
+    planted collocation; pairs below the support floor are excluded."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import pmi_topk, pmi_topk_sql
+
+    docs = (
+        ["alpha beta filler one", "alpha beta filler two"] * 3  # n=6
+        + ["gamma delta rare pair"] * 2                          # n=2 < 5
+        + ["one two alpha", "two one beta", "filler one two"] * 4
+    )
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    })
+    got = (
+        pmi_topk(rd.from_arrow(tbl).repartition(3), k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(pmi_topk_sql(10)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    pairs = set(zip(got["w1"], got["w2"]))
+    assert ("alpha", "beta") in pairs          # planted collocation
+    assert ("gamma", "delta") not in pairs     # below min_count=5
+    assert got["pmi_qi"].is_monotonic_decreasing
+
+
+def test_vocab_overlap_matches_duckdb_and_empty_source(ray_session):
+    """Source-vocabulary Jaccard matrix equals the DuckDB twin,
+    including an all-empty source (registers with n=0, jaccard 0)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import vocab_overlap, vocab_overlap_sql
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "source": pa.array(["a", "a", "b", "b", "c", "z"]),
+        "text": pa.array([
+            "cat dog fish", "dog bird",
+            "cat dog", "whale",
+            "unique words only here",
+            "",                       # source z: zero terms
+        ]),
+    })
+    got = (
+        vocab_overlap(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(vocab_overlap_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by_pair = {(r.src_a, r.src_b): r for r in got.itertuples()}
+    ab = by_pair[("a", "b")]
+    # a={cat,dog,fish,bird}, b={cat,dog,whale}: 2 shared / 5 union
+    assert ab.n_a == 4 and ab.n_b == 3 and ab.n_shared == 2
+    assert ab.jaccard == 0.4
+    az = by_pair[("a", "z")]
+    assert az.n_b == 0 and az.n_shared == 0 and az.jaccard == 0.0
+    assert len(got) == 6  # all C(4,2) pairs incl. zero-overlap ones
