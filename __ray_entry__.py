@@ -929,6 +929,16 @@ def _q_pack_offsets(sf_dir: str):
     return pack_offsets(_docs(sf_dir), seq_len=512, bucket_size=64)
 
 
+def _q_chunk_manifest(sf_dir: str):
+    """The pack plan materialized (round 5): one row per (context
+    chunk, doc) intersection — the training loader's gather list —
+    exploded vectorized from pack_offsets (same params as its gate
+    row), pinned (chunk_id, doc_id) order."""
+    from raysearch.pipelines.packing import chunk_manifest
+
+    return chunk_manifest(_docs(sf_dir), seq_len=512, bucket_size=64)
+
+
 def _q_hashed_features(sf_dir: str):
     """Hashing-trick bag-of-words featurization (dim=1024) — the
     oracle replays blake2b64 % dim through the persisted (tok, h64)
@@ -1758,7 +1768,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "vec_dup_clusters": _q_vec_dup_clusters,
         "redact_text": _q_redact_text,
-        "pack_offsets": _q_pack_offsets,
+        # round 5 (late): chunk_manifest admitted above the cap — its
+        # oracle re-derives the ENTIRE pack_offsets prefix sum before
+        # the explode, so the offsets mechanism stays driver-checked;
+        # pack_offsets itself demoted (oracle + pytest retained).
+        "chunk_manifest": _q_chunk_manifest,
         "curation_pipeline": _q_curation_pipeline,
         "tfidf_features": _q_tfidf_features,
         "column_profile": _q_column_profile,
@@ -1784,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
         "doc_stats": _q_doc_stats,
+        "pack_offsets": _q_pack_offsets,
         "reference_topk": _q_reference_topk,
         "events_window": _q_events_window,
         "transcripts_bm25": _q_transcripts_bm25,
@@ -2490,6 +2505,9 @@ def oracle_sql() -> dict[str, str]:
         "CAST((s + greatest(n_tokens, 1) - 1) // 512 AS BIGINT) AS chunk_last "
         "FROM c ORDER BY doc_id"
     )
+    from raysearch.pipelines.packing import chunk_manifest_sql
+
+    out["chunk_manifest"] = chunk_manifest_sql(512)
     out["hashed_features"] = (
         "WITH arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
         "'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents), "

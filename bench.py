@@ -148,6 +148,7 @@ def _pipeline_bench() -> dict:
         "normalize_text": E._q_normalize_text,
         "pmi_topk": E._q_pmi_topk,
         "vocab_overlap": E._q_vocab_overlap,
+        "chunk_manifest": E._q_chunk_manifest,
     }
     out = {}
     for name, fn in stages.items():

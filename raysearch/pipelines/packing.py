@@ -89,3 +89,83 @@ def pack_offsets(ds, seq_len: int = 2048, *, bucket_size: int = 100_000):
         .map_groups(bucket_offsets, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+def chunk_manifest(ds, seq_len: int = 2048, *, bucket_size: int = 100_000):
+    """The pack plan MATERIALIZED: one row per (context chunk, doc)
+    intersection — exactly the gather list a distributed training
+    loader executes ("chunk 17 = tokens 3..511 of doc 40 then tokens
+    0..2 of doc 41").
+
+    Derived from :func:`pack_offsets` (same two small exchanges) by a
+    vectorized streaming explode — each doc emits ``chunk_last -
+    chunk_first + 1`` rows (≈ n_tokens/seq_len + 1, so output rows ≈
+    input tokens / seq_len + docs; no shuffle beyond the pinned final
+    sort).  Empty docs occupy no tokens and emit nothing.
+
+    Output ``(chunk_id, doc_id, doc_off, chunk_off, n)`` sorted by
+    (chunk_id, doc_id) — a unique pair, so the order is total:
+    ``doc_off`` = first token of the slice within the DOC, ``chunk_off``
+    = its position within the CHUNK, ``n`` = slice length."""
+    off = pack_offsets(ds, seq_len, bucket_size=bucket_size)
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = b["n_tokens"].to_numpy(zero_copy_only=False)
+        start = b["start_off"].to_numpy(zero_copy_only=False)
+        keep = n > 0
+        doc, n, start = doc[keep], n[keep], start[keep]
+        empty = pa.table(
+            {c: pa.array([], pa.int64())
+             for c in ("chunk_id", "doc_id", "doc_off", "chunk_off", "n")}
+        )
+        if not len(doc):
+            return empty
+        first = start // seq_len
+        reps = (start + n - 1) // seq_len - first + 1
+        r_doc = np.repeat(doc, reps)
+        r_start = np.repeat(start, reps)
+        r_n = np.repeat(n, reps)
+        base = np.cumsum(reps) - reps
+        idx = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(base, reps)
+        chunk = np.repeat(first, reps) + idx
+        tok_first = np.maximum(r_start, chunk * seq_len)
+        tok_last = np.minimum(r_start + r_n - 1, (chunk + 1) * seq_len - 1)
+        return pa.table(
+            {
+                "chunk_id": pa.array(chunk, pa.int64()),
+                "doc_id": pa.array(r_doc, pa.int64()),
+                "doc_off": pa.array(tok_first - r_start, pa.int64()),
+                "chunk_off": pa.array(tok_first - chunk * seq_len, pa.int64()),
+                "n": pa.array(tok_last - tok_first + 1, pa.int64()),
+            }
+        )
+
+    return (
+        off.map_batches(explode, batch_format="pyarrow")
+        .sort(["chunk_id", "doc_id"])
+    )
+
+
+def chunk_manifest_sql(seq_len: int, table: str = "documents") -> str:
+    """DuckDB twin of :func:`chunk_manifest` (same whitespace token
+    rule, same prefix sum, inclusive generate_series explode)."""
+    ln = seq_len
+    return (
+        f"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) "
+        f"AS n_tokens FROM {table}), "
+        "c AS (SELECT doc_id, n_tokens, COALESCE(sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "0) AS s FROM t), "
+        f"e AS (SELECT doc_id, n_tokens, s, unnest(generate_series("
+        f"CAST(s // {ln} AS BIGINT), "
+        f"CAST((s + n_tokens - 1) // {ln} AS BIGINT))) AS chunk_id "
+        "FROM c WHERE n_tokens > 0) "
+        "SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, "
+        f"CAST(greatest(s, chunk_id * {ln}) - s AS BIGINT) AS doc_off, "
+        f"CAST(greatest(s, chunk_id * {ln}) - chunk_id * {ln} AS BIGINT) "
+        "AS chunk_off, "
+        f"CAST(least(s + n_tokens - 1, (chunk_id + 1) * {ln} - 1) "
+        f"- greatest(s, chunk_id * {ln}) + 1 AS BIGINT) AS n "
+        "FROM e ORDER BY chunk_id, doc_id"
+    )

@@ -37,6 +37,7 @@ DEFAULT_QUERIES = [
     "normalize_text",
     "pmi_topk",
     "vocab_overlap",
+    "chunk_manifest",
 ]
 
 

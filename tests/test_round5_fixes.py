@@ -295,3 +295,51 @@ def test_vocab_overlap_matches_duckdb_and_empty_source(ray_session):
     az = by_pair[("a", "z")]
     assert az.n_b == 0 and az.n_shared == 0 and az.jaccard == 0.0
     assert len(got) == 6  # all C(4,2) pairs incl. zero-overlap ones
+
+
+def test_chunk_manifest_matches_duckdb_and_tiles(ray_session):
+    """Per-(chunk, doc) gather rows equal the DuckDB twin; slices tile
+    every chunk gaplessly and cover every doc's tokens exactly."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.packing import chunk_manifest, chunk_manifest_sql
+
+    texts = ["one two three", "", "a b c d e f g", "x", "p q r s t",
+             "lone", "alpha beta gamma delta epsilon zeta eta theta"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = (
+        chunk_manifest(rd.from_arrow(tbl).repartition(3), seq_len=4,
+                       bucket_size=2)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(chunk_manifest_sql(4)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    # tiling: within each chunk the slices are contiguous from 0 and
+    # sum to seq_len (except the final, partial chunk)
+    total_tokens = sum(len(t.split()) for t in texts)
+    for cid, g in got.groupby("chunk_id"):
+        g = g.sort_values("doc_id")
+        starts = g["chunk_off"].to_numpy()
+        lens = g["n"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == (starts + lens)[:-1]).all()
+        if cid < got["chunk_id"].max():
+            assert lens.sum() == 4
+    # coverage: per doc the slices concatenate to [0, n_tokens)
+    for did, g in got.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        assert g["doc_off"].iloc[0] == 0
+        assert (g["doc_off"].to_numpy()[1:]
+                == (g["doc_off"] + g["n"]).to_numpy()[:-1]).all()
+        assert g["n"].sum() == len(texts[did].split())
+    assert got["n"].sum() == total_tokens
+    assert 1 not in set(got["doc_id"])  # empty doc emits nothing
