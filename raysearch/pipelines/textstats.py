@@ -1084,6 +1084,12 @@ def normalize_text(ds):
 #: PMI defaults — support floor mirrored verbatim in the oracle SQL
 PMI_MIN_COUNT = 5
 
+#: pmi_topk unigram-side broadcast cap: below this many DISTINCT
+#: unigrams the (term, count) arrays ship once via ray.put (~tens of
+#: MB at 5M terms) and scoring is one streaming pass; above it the
+#: copartition hash-join path keeps the vocabulary distributed
+UNIGRAM_BROADCAST_LIMIT = 5_000_000
+
 #: bit-packed source masks cap (int64-safe; raise to a roaring-bitmap
 #: path beyond this — corpora have a handful of sources, not 60)
 MAX_OVERLAP_SOURCES = 60
@@ -1098,10 +1104,15 @@ def pmi_topk(ds, k: int = 20, min_count: int = PMI_MIN_COUNT):
     Plan: the :func:`_unigram_bigram_partial` fused pass → ONE
     ``groupby(kind, w1, w2)`` fold (exchange bounded by distinct
     n-grams; materialized like :func:`lm_score`'s — vocab-bounded,
-    spillable) → unigram counts attached to the surviving bigram rows
-    by TWO :func:`raysearch.util.copartition_attach` hash-join passes
-    (w1 then w2 — never a driver pull of the vocabulary) → per-row
+    spillable) → unigram counts reach the surviving bigram rows via a
+    bounded ``ray.put`` broadcast + searchsorted lookups when the
+    vocabulary is ≤ :data:`UNIGRAM_BROADCAST_LIMIT` (one streaming
+    pass, zero join shuffle), else TWO
+    :func:`raysearch.util.copartition_attach` hash-join passes (w1
+    then w2 — the vocabulary never reaches the driver) → per-row
     PMI → block-local top-k prune → a ≤ k×blocks candidate sort.
+    Both paths emit identical rows (pytest-pinned at a forced-low
+    limit).
 
     Engine↔SQL float parity: PMI is computed with the oracle's exact
     association ``ln((n·1.0·Nt·Nt) / (Nb·1.0·c1·c2))`` then
@@ -1125,14 +1136,19 @@ def pmi_topk(ds, k: int = 20, min_count: int = PMI_MIN_COUNT):
         uni = pc.equal(b["kind"], pa.scalar(0, pa.int64()))
         nt = pc.sum(pc.if_else(uni, b["n"], pa.scalar(0, pa.int64())))
         nb = pc.sum(pc.if_else(uni, pa.scalar(0, pa.int64()), b["n"]))
+        nu = pc.sum(pc.cast(uni, pa.int64()))
         return pa.table(
             {"nt": pa.array([nt.as_py() or 0], pa.int64()),
-             "nb": pa.array([nb.as_py() or 0], pa.int64())}
+             "nb": pa.array([nb.as_py() or 0], pa.int64()),
+             "nu": pa.array([nu.as_py() or 0], pa.int64())}
         )
 
-    totals = folded.map_batches(tot, batch_format="pyarrow")
+    totals = (
+        folded.map_batches(tot, batch_format="pyarrow").materialize()
+    )
     nt = int(totals.sum("nt") or 0)
     nb = int(totals.sum("nb") or 0)
+    nu = int(totals.sum("nu") or 0)
     empty = pa.table(
         {"rk": pa.array([], pa.int64()), "w1": pa.array([], pa.string()),
          "w2": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
@@ -1162,29 +1178,9 @@ def pmi_topk(ds, k: int = 20, min_count: int = PMI_MIN_COUNT):
     bigrams = folded.map_batches(big_side, batch_format="pyarrow")
     s = pa.string()
     i64 = pa.int64()
-    with_c1 = copartition_attach(
-        bigrams,
-        uni_side("w1", "c1"),
-        "w1",
-        pa.schema([("w1", s), ("w2", s), ("n", i64)]),
-        {"c1": i64},
-    )
-    with_c2 = copartition_attach(
-        with_c1,
-        uni_side("w2", "c2"),
-        "w2",
-        pa.schema([("w1", s), ("w2", s), ("n", i64), ("c1", i64)]),
-        {"c2": i64},
-    )
 
-    def score_and_prune(b: pa.Table) -> pa.Table:
-        if not b.num_rows:
-            return empty.append_column(
-                "_negq", pa.array([], pa.int64())
-            ).drop_columns(["rk"])
+    def _score(b: pa.Table, c1: np.ndarray, c2: np.ndarray) -> pa.Table:
         n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c1 = b["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c2 = b["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
         # association order mirrors the SQL twin exactly:
         # ((n*1.0)*Nt)*Nt / (((Nb*1.0)*c1)*c2)
         pmi = np.log(((n * 1.0) * nt * nt) / (((nb * 1.0) * c1) * c2))
@@ -1202,6 +1198,69 @@ def pmi_topk(ds, k: int = 20, min_count: int = PMI_MIN_COUNT):
         )
         return t.take(order[:k])
 
+    _empty_scored = empty.append_column(
+        "_negq", pa.array([], pa.int64())
+    ).drop_columns(["rk"])
+
+    if nu <= UNIGRAM_BROADCAST_LIMIT:
+        # fast path: the unigram table fits a bounded broadcast — pull
+        # the (term, count) arrays ONCE (size asserted by the limit),
+        # ship via ray.put, and score the bigram rows in a single
+        # streaming pass (sorted-array searchsorted lookups); no join
+        # shuffle at all.  Above the limit, the copartition path below
+        # keeps the vocabulary fully distributed.
+        import ray as _ray
+
+        parts = [
+            p for p in _ray.get(uni_side("term", "c").to_arrow_refs())
+            if p.num_rows
+        ]
+        ut = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"term": pa.array([], s), "c": pa.array([], i64)})
+        )
+        terms = np.asarray(ut["term"].to_pylist(), dtype=object)
+        cnts = ut["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        uni_ref = _ray.put((terms[order], cnts[order]))
+
+        def score_broadcast(b: pa.Table) -> pa.Table:
+            if not b.num_rows:
+                return _empty_scored
+            t_sorted, c_sorted = _ray.get(uni_ref)
+            w1 = np.asarray(b["w1"].to_pylist(), dtype=object)
+            w2 = np.asarray(b["w2"].to_pylist(), dtype=object)
+            c1 = c_sorted[np.searchsorted(t_sorted, w1)].astype(np.float64)
+            c2 = c_sorted[np.searchsorted(t_sorted, w2)].astype(np.float64)
+            return _score(b, c1, c2)
+
+        scored = bigrams.map_batches(score_broadcast, batch_format="pyarrow")
+    else:
+        with_c1 = copartition_attach(
+            bigrams,
+            uni_side("w1", "c1"),
+            "w1",
+            pa.schema([("w1", s), ("w2", s), ("n", i64)]),
+            {"c1": i64},
+        )
+        with_c2 = copartition_attach(
+            with_c1,
+            uni_side("w2", "c2"),
+            "w2",
+            pa.schema([("w1", s), ("w2", s), ("n", i64), ("c1", i64)]),
+            {"c2": i64},
+        )
+
+        def score_joined(b: pa.Table) -> pa.Table:
+            if not b.num_rows:
+                return _empty_scored
+            c1 = b["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+            c2 = b["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return _score(b.select(["w1", "w2", "n"]), c1, c2)
+
+        scored = with_c2.map_batches(score_joined, batch_format="pyarrow")
+
     def rank(b: pa.Table) -> pa.Table:
         b = b.drop_columns(["_negq"])
         return b.append_column(
@@ -1209,8 +1268,7 @@ def pmi_topk(ds, k: int = 20, min_count: int = PMI_MIN_COUNT):
         ).select(["rk", "w1", "w2", "n", "pmi_qi"])
 
     return (
-        with_c2.map_batches(score_and_prune, batch_format="pyarrow")
-        .sort(["_negq", "w1", "w2"])
+        scored.sort(["_negq", "w1", "w2"])
         .limit(k)
         .repartition(1)
         .map_batches(rank, batch_format="pyarrow")

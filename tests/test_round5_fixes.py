@@ -343,3 +343,32 @@ def test_chunk_manifest_matches_duckdb_and_tiles(ray_session):
         assert g["n"].sum() == len(texts[did].split())
     assert got["n"].sum() == total_tokens
     assert 1 not in set(got["doc_id"])  # empty doc emits nothing
+
+
+def test_pmi_topk_broadcast_and_join_paths_identical(ray_session, monkeypatch):
+    """The bounded-broadcast fast path and the copartition hash-join
+    path emit identical rows (the scale path is forced by dropping the
+    broadcast limit to 0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines import textstats
+
+    docs = (
+        ["alpha beta filler one", "alpha beta filler two"] * 3
+        + ["one two alpha", "two one beta", "filler one two"] * 4
+    )
+    tbl = pa.table({"text": pa.array(docs)})
+    fast = (
+        textstats.pmi_topk(rd.from_arrow(tbl).repartition(3), k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(textstats, "UNIGRAM_BROADCAST_LIMIT", 0)
+    joined = (
+        textstats.pmi_topk(rd.from_arrow(tbl).repartition(3), k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert fast.equals(joined)
+    assert len(fast) > 0
