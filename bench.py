@@ -149,6 +149,7 @@ def _pipeline_bench() -> dict:
         "pmi_topk": E._q_pmi_topk,
         "vocab_overlap": E._q_vocab_overlap,
         "chunk_manifest": E._q_chunk_manifest,
+        "zipf_buckets": E._q_zipf_buckets,
     }
     out = {}
     for name, fn in stages.items():

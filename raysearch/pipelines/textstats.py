@@ -1301,6 +1301,86 @@ def pmi_topk_sql(k: int, min_count: int = PMI_MIN_COUNT,
     )
 
 
+def _term_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch GLOBAL term counts (one row per distinct term per
+    batch) — the minimal partial for corpus-frequency folds."""
+    lexer = _cached(_RepetitionStats).lexer
+    parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+    if not len(parent):
+        return pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    uc, cnt = np.unique(codes, return_counts=True)
+    return pa.table(
+        {"term": pa.array(uniq[uc], pa.string()),
+         "n": pa.array(cnt.astype(np.int64), pa.int64())}
+    )
+
+
+def zipf_buckets(ds):
+    """Frequency-of-frequencies histogram in log2 buckets — the Zipf
+    profile every corpus report leads with (how many terms occur
+    1..1, 2..3, 4..7, … times, and how many tokens each band holds).
+    Complements the HLL (how many distinct) and Count-Min (how often
+    is X) sketches with the full frequency SHAPE.
+
+    Plan: per-batch distinct-term partial counts → ONE
+    ``groupby(term)`` fold (exchange bounded by vocabulary) →
+    per-block exact log2 bucketing (``np.frexp`` exponents — exact
+    integer floor(log2 n) for any count < 2⁵³, no libm rounding
+    hazard) with block-local (bucket, n_terms, n_tokens) partials →
+    a ≤ 64-row ``groupby(bucket)`` fold.  Output ``(bucket, n_terms,
+    n_tokens)`` sorted by bucket; the DuckDB twin buckets by
+    ``length(bin(n)) - 1`` — the same exact integer."""
+    from ray.data.aggregate import Sum
+
+    folded = (
+        ds.map_batches(_term_count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        if not len(n):
+            return pa.table(
+                {c: pa.array([], pa.int64())
+                 for c in ("bucket", "n_terms", "n_tokens")}
+            )
+        bucket = (np.frexp(n.astype(np.float64))[1] - 1).astype(np.int64)
+        ub, inv = np.unique(bucket, return_inverse=True)
+        n_terms = np.bincount(inv).astype(np.int64)
+        n_tokens = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(ub, pa.int64()),
+             "n_terms": pa.array(n_terms, pa.int64()),
+             "n_tokens": pa.array(n_tokens, pa.int64())}
+        )
+
+    return (
+        folded.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_terms", alias_name="n_terms"),
+                   Sum("n_tokens", alias_name="n_tokens"))
+        .sort("bucket")
+    )
+
+
+def zipf_buckets_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`zipf_buckets` (exact integer log2 via
+    unpadded ``bin()`` length, same as the HLL register oracle)."""
+    return (
+        "WITH tok AS (SELECT t.term FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "tf AS (SELECT term, count(*) AS n FROM tok GROUP BY 1) "
+        "SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n_terms, "
+        "CAST(sum(n) AS BIGINT) AS n_tokens "
+        "FROM tf GROUP BY 1 ORDER BY bucket"
+    )
+
+
 def vocab_overlap(ds):
     """Pairwise vocabulary overlap between corpus ``source`` slices —
     the standard corpus-auditing cut before mixing sources into a

@@ -38,6 +38,7 @@ DEFAULT_QUERIES = [
     "pmi_topk",
     "vocab_overlap",
     "chunk_manifest",
+    "zipf_buckets",
 ]
 
 

@@ -372,3 +372,33 @@ def test_pmi_topk_broadcast_and_join_paths_identical(ray_session, monkeypatch):
     )
     assert fast.equals(joined)
     assert len(fast) > 0
+
+
+def test_zipf_buckets_matches_duckdb(ray_session):
+    """log2 frequency-of-frequencies equals the DuckDB twin; bands
+    partition the vocabulary and the token mass exactly."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import zipf_buckets, zipf_buckets_sql
+
+    docs = (["the cat sat"] * 5 + ["the dog ran far"] * 3
+            + ["lone words here appear once"])
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    })
+    got = (
+        zipf_buckets(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(zipf_buckets_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    total_tokens = sum(len(t.split()) for t in docs)
+    assert got["n_tokens"].sum() == total_tokens
+    # "the" occurs 8 times -> bucket 3 present
+    assert 3 in set(got["bucket"])
