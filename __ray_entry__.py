@@ -1192,6 +1192,22 @@ def _q_pmi_topk(sf_dir: str):
     return pmi_topk(ds, k=PMI_TOPK_K)
 
 
+def _q_js_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence of per-source token
+    distributions (round 5) — dense per-term S-column pivot fold,
+    per-block vectorized pair contributions with per-TERM 1e9
+    integer scaling before summation (order-proof), tiny final fold."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import js_divergence
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    return js_divergence(ds)
+
+
 def _q_zipf_buckets(sf_dir: str):
     """Zipf frequency-of-frequencies profile (round 5) — one
     vocabulary-bounded term fold, exact np.frexp log2 bucketing
@@ -1780,7 +1796,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "stratified_sample": _q_stratified_sample,
         "quality_filter": _q_quality_filter,
-        "vec_dup_clusters": _q_vec_dup_clusters,
+        # round 5 (late): js_divergence admitted above the cap;
+        # vec_dup_clusters demoted — it shares the connected-components
+        # machinery with dup_clusters (above the cap) and its pair
+        # source stays driver-checked via embedding_near_dup.
+        "js_divergence": _q_js_divergence,
         "redact_text": _q_redact_text,
         # round 5 (late): chunk_manifest admitted above the cap — its
         # oracle re-derives the ENTIRE pack_offsets prefix sum before
@@ -1830,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_lang_registers": _q_hll_lang_registers,
         "cm_token_counters": _q_cm_token_counters,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "vec_dup_clusters": _q_vec_dup_clusters,
         "minhash_recall": _q_minhash_recall,
         "simhash_recall": _q_simhash_recall,
         "jaccard_pairs_exact": _q_jaccard_pairs_exact,
@@ -2451,6 +2472,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.textstats import zipf_buckets_sql
 
     out["zipf_buckets"] = zipf_buckets_sql()
+    from raysearch.pipelines.textstats import js_divergence_sql
+
+    out["js_divergence"] = js_divergence_sql()
     out["bigram_topk"] = (
         "WITH f AS (SELECT list_filter(regexp_split_to_array("
         "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "

@@ -150,6 +150,7 @@ def _pipeline_bench() -> dict:
         "vocab_overlap": E._q_vocab_overlap,
         "chunk_manifest": E._q_chunk_manifest,
         "zipf_buckets": E._q_zipf_buckets,
+        "js_divergence": E._q_js_divergence,
     }
     out = {}
     for name, fn in stages.items():

@@ -1547,6 +1547,193 @@ def vocab_overlap_sql(table: str = "documents") -> str:
     )
 
 
+#: js_divergence source cap — the per-term pivot carries one int64
+#: count column per source, so the folded row is 8 + 8·S bytes
+JSD_MAX_SOURCES = 32
+
+
+def js_divergence(ds):
+    """Pairwise Jensen–Shannon divergence between the token
+    distributions of the corpus ``source`` slices — the standard
+    drift / mixing-diagnostic statistic (0 = identical distributions,
+    ln 2 = disjoint), reported as ``jsd_qi9 = Σ_t round(c_t·10⁹)``
+    (per-TERM contributions integer-scaled before summation, so the
+    cross-engine comparison is summation-order-proof — the same
+    pattern as the quality/lm scores, applied per term instead of per
+    doc).
+
+    Plan: a tiny distinct-``source`` registry pass (≤
+    :data:`JSD_MAX_SOURCES`, asserted) → ONE tokenize pass emitting a
+    per-batch dense pivot partial (one row per distinct term with S
+    int64 count columns) → ONE ``groupby(term)`` fold of S ``Sum``s
+    (exchange = vocabulary × (8 + 8·S) bytes) → per-block vectorized
+    pair contributions (each block sums its terms' qi into ≤
+    S·(S−1)/2 int64 partial rows) → a tiny final
+    ``groupby(src_a, src_b)`` fold.  No driver pull of the vocabulary.
+
+    Float parity: ``pa = na·1.0/max(Na,1)``, ``m = (pa+pb)/2``,
+    ``c_t = 0.5·(pa·ln(pa/m) + pb·ln(pb/m))`` with absent sides
+    contributing 0 — every op replicated verbatim in the DuckDB twin
+    (division by 2 and the pb=0 ⇒ pa/m = 2.0 case are IEEE-exact;
+    ``ln`` parity is the same libm reliance as ``lm_score``).
+
+    Output one row per unordered pair: ``(src_a, src_b, jsd_qi9)``
+    sorted by (src_a, src_b)."""
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src_only = ds.select_columns(["source"])
+
+    def distinct_src(b: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.asarray(b["source"].to_numpy(zero_copy_only=False),
+                       dtype=object)
+        )
+        return pa.table({"source": pa.array(u, pa.string())})
+
+    reg_parts = [
+        p
+        for p in _ray.get(
+            src_only.map_batches(distinct_src, batch_format="pyarrow")
+            .groupby("source")
+            .count()
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    sources = sorted(
+        set(pa.concat_tables(reg_parts)["source"].to_pylist())
+        if reg_parts
+        else []
+    )
+    S = len(sources)
+    if S > JSD_MAX_SOURCES:
+        raise ValueError(
+            f"{S} sources exceeds JSD_MAX_SOURCES={JSD_MAX_SOURCES}; "
+            "the dense per-term pivot needs one count column per source"
+        )
+    idx_of = {s: i for i, s in enumerate(sources)}
+    ccols = [f"c{i}" for i in range(S)]
+    empty_out = pa.table(
+        {"src_a": pa.array([], pa.string()),
+         "src_b": pa.array([], pa.string()),
+         "qi": pa.array([], pa.int64())}
+    )
+    if S < 2:
+        return rd.from_arrow(
+            empty_out.rename_columns(["src_a", "src_b", "jsd_qi9"])
+        )
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+        if not len(parent):
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 **{c: pa.array([], pa.int64()) for c in ccols}}
+            )
+        src = np.asarray(batch["source"].to_numpy(zero_copy_only=False),
+                         dtype=object)
+        s_idx = np.array([idx_of[s] for s in src], dtype=np.int64)
+        v = int(codes.max()) + 1
+        key = s_idx[parent] * v + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        terms_u = np.unique(ukey % v)
+        pos = np.searchsorted(terms_u, ukey % v)
+        mat = np.zeros((len(terms_u), S), dtype=np.int64)
+        mat[pos, ukey // v] = cnt
+        return pa.table(
+            {"term": pa.array(uniq[terms_u], pa.string()),
+             **{c: pa.array(mat[:, i], pa.int64())
+                for i, c in enumerate(ccols)}}
+        )
+
+    folded = (
+        ds.select_columns(["source", "text"])
+        .map_batches(pivot_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(*[Sum(c, alias_name=c) for c in ccols])
+        .materialize()
+    )
+    totals = folded.aggregate(*[Sum(c, alias_name=c) for c in ccols])
+    nt = np.array([int(totals[c] or 0) for c in ccols], dtype=np.float64)
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return empty_out
+        counts = np.stack(
+            [b[c].to_numpy(zero_copy_only=False) for c in ccols], axis=1
+        ).astype(np.float64)
+        p = counts / np.maximum(nt, 1.0)
+        sa, sb, qis = [], [], []
+        for i in range(S):
+            for j in range(i + 1, S):
+                pa_, pb_ = p[:, i], p[:, j]
+                m = (pa_ + pb_) / 2
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ta = np.where(pa_ > 0, pa_ * np.log(pa_ / m), 0.0)
+                    tb = np.where(pb_ > 0, pb_ * np.log(pb_ / m), 0.0)
+                c = 0.5 * (ta + tb)
+                qi = round_half_away(c * 1000000000.0, 0).astype(np.int64)
+                sa.append(sources[i])
+                sb.append(sources[j])
+                qis.append(int(qi.sum()))
+        return pa.table(
+            {"src_a": pa.array(sa, pa.string()),
+             "src_b": pa.array(sb, pa.string()),
+             "qi": pa.array(qis, pa.int64())}
+        )
+
+    return (
+        folded.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(Sum("qi", alias_name="jsd_qi9"))
+        .sort(["src_a", "src_b"])
+    )
+
+
+def js_divergence_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`js_divergence` (same per-term double ops,
+    same per-term 10⁹ integer scaling before the sum)."""
+    return (
+        "WITH tok AS (SELECT source, t.term FROM (SELECT source, unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "tc AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2), "
+        f"srcs AS (SELECT DISTINCT source FROM {table}), "
+        # tokenless sources must keep a tot row (nt = 0), or the final
+        # joins would drop every pair involving them
+        "tot AS (SELECT s.source, coalesce(c.nt, 0) AS nt FROM srcs s "
+        "LEFT JOIN (SELECT source, count(*) AS nt FROM tok GROUP BY 1) c "
+        "USING (source)), "
+        "pr AS (SELECT a.source AS sa, b.source AS sb FROM srcs a "
+        "JOIN srcs b ON a.source < b.source), "
+        "terms AS (SELECT DISTINCT term FROM tc), "
+        "grid AS (SELECT pr.sa, pr.sb, t.term, "
+        "coalesce(ca.n, 0) AS na, coalesce(cb.n, 0) AS nb "
+        "FROM pr CROSS JOIN terms t "
+        "LEFT JOIN tc ca ON ca.source = pr.sa AND ca.term = t.term "
+        "LEFT JOIN tc cb ON cb.source = pr.sb AND cb.term = t.term "
+        "WHERE coalesce(ca.n, 0) + coalesce(cb.n, 0) > 0), "
+        "contrib AS (SELECT g.sa, g.sb, "
+        "CAST(round(0.5 * ("
+        "CASE WHEN g.na > 0 THEN (g.na * 1.0 / greatest(ta.nt, 1)) * "
+        "ln((g.na * 1.0 / greatest(ta.nt, 1)) / "
+        "(((g.na * 1.0 / greatest(ta.nt, 1)) + "
+        "(g.nb * 1.0 / greatest(tb.nt, 1))) / 2)) ELSE 0 END + "
+        "CASE WHEN g.nb > 0 THEN (g.nb * 1.0 / greatest(tb.nt, 1)) * "
+        "ln((g.nb * 1.0 / greatest(tb.nt, 1)) / "
+        "(((g.na * 1.0 / greatest(ta.nt, 1)) + "
+        "(g.nb * 1.0 / greatest(tb.nt, 1))) / 2)) ELSE 0 END"
+        ") * 1000000000.0) AS BIGINT) AS qi "
+        "FROM grid g JOIN tot ta ON ta.source = g.sa "
+        "JOIN tot tb ON tb.source = g.sb) "
+        "SELECT sa AS src_a, sb AS src_b, CAST(sum(qi) AS BIGINT) "
+        "AS jsd_qi9 FROM contrib GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 def normalize_sql(table: str = "documents") -> str:
     """DuckDB twin of :func:`normalize_text` (same op order)."""
     return (

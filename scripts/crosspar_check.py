@@ -39,6 +39,7 @@ DEFAULT_QUERIES = [
     "vocab_overlap",
     "chunk_manifest",
     "zipf_buckets",
+    "js_divergence",
 ]
 
 

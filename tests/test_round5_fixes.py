@@ -402,3 +402,44 @@ def test_zipf_buckets_matches_duckdb(ray_session):
     assert got["n_tokens"].sum() == total_tokens
     # "the" occurs 8 times -> bucket 3 present
     assert 3 in set(got["bucket"])
+
+
+def test_js_divergence_matches_duckdb(ray_session):
+    """Pairwise JSD equals the DuckDB twin, including an identical
+    pair (jsd 0), a disjoint pair (jsd ln 2) and an empty source."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import js_divergence, js_divergence_sql
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "source": pa.array(["a", "a", "b", "c", "c", "d", "z"]),
+        "text": pa.array([
+            "cat dog cat", "fish",
+            "cat dog cat fish",        # b == a's pooled distribution
+            "whale squid", "kraken",   # c disjoint from a
+            "cat dog mixed things",
+            "",                        # z: empty source
+        ]),
+    })
+    got = (
+        js_divergence(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(js_divergence_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by_pair = {(r.src_a, r.src_b): r.jsd_qi9 for r in got.itertuples()}
+    assert by_pair[("a", "b")] == 0                       # same distribution
+    ln2_qi = round(0.5 * math.log(2.0) * 1e9)
+    # disjoint: every term contributes p*ln2; per-term rounding keeps
+    # the total within a few units of ln(2)*1e9
+    assert abs(by_pair[("a", "c")] - 2 * ln2_qi) <= 8
+    assert ("a", "z") in by_pair                          # empty source pairs exist
+    assert len(got) == 10                                 # C(5,2)
