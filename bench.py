@@ -151,6 +151,8 @@ def _pipeline_bench() -> dict:
         "chunk_manifest": E._q_chunk_manifest,
         "zipf_buckets": E._q_zipf_buckets,
         "js_divergence": E._q_js_divergence,
+        "lexical_diversity": E._q_lexical_diversity,
+        "char_entropy": E._q_char_entropy,
     }
     out = {}
     for name, fn in stages.items():

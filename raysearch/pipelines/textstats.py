@@ -314,6 +314,171 @@ def repetition_stats(ds):
     return ds.map_batches(_repetition_task, batch_format="pyarrow")
 
 
+class _LexicalDiversity:
+    """Per-doc lexical-diversity statistics in one vectorized pass:
+    ``n_tokens``, ``n_types`` (distinct terms), ``n_hapax`` (terms
+    occurring exactly once) and the floor-scaled integer ratios
+    ``ttr_q = (n_types * 10^9) // n_tokens`` (type-token ratio) and
+    ``hapax_q = (n_hapax * 10^9) // n_tokens`` — classic
+    vocabulary-richness signals used to flag templated / boilerplate
+    documents in training-data curation (low TTR = repetitive
+    machine-generated text; high hapax share = noisy OCR / gibberish).
+
+    Integer floor-division outputs end-to-end, so rows are
+    bit-identical across any batch / parallelism split.  Counting
+    strategy mirrors :class:`_RepetitionStats`: one ``np.unique`` over
+    the factorized (doc, term) key, per-doc reductions via
+    ``bincount`` — no Python loop over rows or tokens.  Extends the
+    reference's per-doc token accounting (Lexicon.java:31-44 doc
+    length / distinct-term bookkeeping) with the richness ratios the
+    reference never surfaces."""
+
+    def __init__(self):
+        self.lexer = Lexer("simple")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        parent, codes, _uniq = self.lexer.token_parent_codes(batch["text"])
+        nt = np.zeros(n_rows, np.int64)
+        ty = np.zeros(n_rows, np.int64)
+        hx = np.zeros(n_rows, np.int64)
+        if len(parent):
+            nt += np.bincount(parent, minlength=n_rows)
+            v = int(codes.max()) + 1
+            combo = parent.astype(np.int64) * v + codes
+            ukeys, counts = np.unique(combo, return_counts=True)
+            rows = (ukeys // v).astype(np.int64)
+            ty += np.bincount(rows, minlength=n_rows)
+            hx += np.bincount(rows[counts == 1], minlength=n_rows)
+        safe = np.maximum(nt, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_types": pa.array(ty, pa.int64()),
+                "n_hapax": pa.array(hx, pa.int64()),
+                "ttr_q": pa.array(ty * 1_000_000_000 // safe, pa.int64()),
+                "hapax_q": pa.array(hx * 1_000_000_000 // safe, pa.int64()),
+            }
+        )
+
+
+def _lexdiv_task(batch: pa.Table) -> pa.Table:
+    return _cached(_LexicalDiversity)(batch)
+
+
+def lexical_diversity(ds):
+    """documents Dataset → per-doc lexical-diversity metrics (streaming
+    map_batches, zero shuffle — scales linearly in corpus size)."""
+    return ds.map_batches(_lexdiv_task, batch_format="pyarrow")
+
+
+#: one past the max Unicode codepoint — the (doc, char) factorize base
+_CODEPOINT_BASE = 0x110000
+
+
+class _CharEntropy:
+    """Per-doc character-level Shannon entropy (natural log), the
+    cheap screen for binary junk, repeated-character spam and
+    encoding damage that token-level metrics miss (a doc of one
+    repeated character has entropy 0; uniform noise approaches
+    ln(alphabet)).
+
+    Order-proof float protocol (the :func:`js_divergence` idiom): each
+    distinct character's contribution ``p·ln(1/p)`` is rounded to an
+    integer at 10⁹ scale BEFORE the per-doc sum, so the result is
+    bit-identical across any batch / parallelism split and across the
+    DuckDB twin (same double ops verbatim).  Entropy is intrinsically
+    per-row here — each doc's chars live in its own row — so the stage
+    is a zero-shuffle streaming ``map_batches``; counting is
+    batch-global numpy (one ``np.unique`` over the factorized
+    (doc, codepoint) key, segment ``reduceat`` / ``bincount``
+    reductions, no Python loop over rows or characters)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_rows = batch.num_rows
+        texts = batch["text"].to_pylist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        nc = lens.copy()
+        dc = np.zeros(n_rows, np.int64)
+        ent = np.zeros(n_rows, np.int64)
+        total = int(lens.sum())
+        if total:
+            parent = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            combo = parent * _CODEPOINT_BASE + codes
+            ukeys, counts = np.unique(combo, return_counts=True)
+            rows = (ukeys // _CODEPOINT_BASE).astype(np.int64)
+            dc += np.bincount(rows, minlength=n_rows)
+            s = lens[rows].astype(np.float64)
+            n = counts.astype(np.float64)
+            qi = round_half_away(
+                (n / s) * np.log(s / n) * 1000000000.0, 0
+            ).astype(np.int64)
+            starts = np.unique(rows, return_index=True)
+            ent[starts[0]] = np.add.reduceat(qi, starts[1])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(nc, pa.int64()),
+                "n_distinct_chars": pa.array(dc, pa.int64()),
+                "entropy_qi9": pa.array(ent, pa.int64()),
+            }
+        )
+
+
+def _char_entropy_task(batch: pa.Table) -> pa.Table:
+    return _cached(_CharEntropy)(batch)
+
+
+def char_entropy(ds):
+    """documents Dataset → per-doc character-entropy metrics
+    (streaming map_batches, zero shuffle — linear in corpus bytes)."""
+    return ds.map_batches(_char_entropy_task, batch_format="pyarrow")
+
+
+def char_entropy_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`char_entropy` (same double ops, same
+    per-character 10⁹ integer scaling before the per-doc sum)."""
+    return (
+        f"WITH ch AS (SELECT doc_id, substring(text, u.i, 1) AS c "
+        f"FROM {table}, unnest(generate_series(1, length(text))) AS u(i)), "
+        "cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2), "
+        "tot AS (SELECT doc_id, sum(n) AS s, count(*) AS d "
+        "FROM cnt GROUP BY 1), "
+        "contrib AS (SELECT cnt.doc_id, CAST(round("
+        "(cnt.n * 1.0 / t.s) * ln(t.s * 1.0 / cnt.n) * 1000000000.0, 0) "
+        "AS BIGINT) AS qi FROM cnt JOIN tot t USING (doc_id)), "
+        "agg AS (SELECT doc_id, sum(qi) AS e FROM contrib GROUP BY 1) "
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+        "CAST(coalesce(t.d, 0) AS BIGINT) AS n_distinct_chars, "
+        "CAST(coalesce(a.e, 0) AS BIGINT) AS entropy_qi9 "
+        f"FROM {table} d LEFT JOIN tot t USING (doc_id) "
+        "LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
+def lexical_diversity_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`lexical_diversity` (integer floor
+    division ``//`` matches numpy's, so the scaled ratios are exact)."""
+    return (
+        "WITH tok AS (SELECT doc_id, t.term FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, sum(c) AS nt, count(*) AS ty, "
+        "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hx FROM tf GROUP BY 1) "
+        "SELECT d.doc_id, CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(a.ty, 0) AS BIGINT) AS n_types, "
+        "CAST(coalesce(a.hx, 0) AS BIGINT) AS n_hapax, "
+        "CAST(coalesce((a.ty * 1000000000) // a.nt, 0) AS BIGINT) AS ttr_q, "
+        "CAST(coalesce((a.hx * 1000000000) // a.nt, 0) AS BIGINT) AS hapax_q "
+        f"FROM {table} d LEFT JOIN agg a USING(doc_id) ORDER BY d.doc_id"
+    )
+
+
 def quality_topfrac(ds, frac: float):
     """Adaptive quality filter: keep (approximately, ties included)
     the TOP ``frac`` share of docs by quality score — the

@@ -443,3 +443,90 @@ def test_js_divergence_matches_duckdb(ray_session):
     assert abs(by_pair[("a", "c")] - 2 * ln2_qi) <= 8
     assert ("a", "z") in by_pair                          # empty source pairs exist
     assert len(got) == 10                                 # C(5,2)
+
+
+def test_lexical_diversity_matches_duckdb(ray_session):
+    """Per-doc TTR / hapax metrics equal the DuckDB twin, including an
+    all-hapax doc (ttr_q = 1e9), a one-word-repeated doc and an
+    empty-text doc (all-zero row, kept by the LEFT JOIN)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import (
+        lexical_diversity,
+        lexical_diversity_sql,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([
+            "cat dog fish",          # all hapax: ttr = hapax = 1
+            "cat cat cat cat",       # 1 type / 4 tokens, 0 hapax
+            "the the cat dog dog",   # 3 types, 1 hapax, 5 tokens
+            "",                      # empty: zero row
+            "A.a b,B c",             # case-fold + punct split: a a b b c
+        ]),
+    })
+    got = (
+        lexical_diversity(rd.from_arrow(tbl).repartition(3))
+        .sort("doc_id")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(lexical_diversity_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    r0 = got.iloc[0]
+    assert (r0.n_tokens, r0.n_types, r0.n_hapax) == (3, 3, 3)
+    assert r0.ttr_q == 1_000_000_000 and r0.hapax_q == 1_000_000_000
+    r1 = got.iloc[1]
+    assert (r1.n_types, r1.n_hapax, r1.ttr_q) == (1, 0, 250_000_000)
+    r2 = got.iloc[2]
+    assert (r2.ttr_q, r2.hapax_q) == (600_000_000, 200_000_000)
+    assert tuple(got.iloc[3][1:]) == (0, 0, 0, 0, 0)
+    r4 = got.iloc[4]
+    assert (r4.n_tokens, r4.n_types, r4.n_hapax) == (5, 3, 1)
+
+
+def test_char_entropy_matches_duckdb(ray_session):
+    """Per-char integer-scaled entropy equals the DuckDB twin,
+    including a zero-entropy doc (one repeated char), an empty doc
+    (all-zero row) and a unicode doc (codepoint counting parity)."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import char_entropy, char_entropy_sql
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([
+            "aaaa",            # one symbol: entropy 0
+            "abab",            # two equiprobable: ln 2
+            "",                # empty: zero row
+            "héllo wörld",    # unicode codepoints
+            "abcd",            # four distinct: ln 4
+        ]),
+    })
+    got = (
+        char_entropy(rd.from_arrow(tbl).repartition(3))
+        .sort("doc_id")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(char_entropy_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert got.iloc[0].entropy_qi9 == 0
+    assert tuple(got.iloc[2][1:]) == (0, 0, 0)
+    ln2 = round(0.5 * math.log(2.0) * 1e9)
+    assert abs(got.iloc[1].entropy_qi9 - 2 * ln2) <= 4
+    ln4 = round(0.25 * math.log(4.0) * 1e9)
+    assert abs(got.iloc[4].entropy_qi9 - 4 * ln4) <= 8
+    r3 = got.iloc[3]
+    assert r3.n_chars == 11 and r3.n_distinct_chars == 9
