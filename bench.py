@@ -153,6 +153,10 @@ def _pipeline_bench() -> dict:
         "js_divergence": E._q_js_divergence,
         "lexical_diversity": E._q_lexical_diversity,
         "char_entropy": E._q_char_entropy,
+        "vocab_growth": E._q_vocab_growth,
+        "temperature_mix": E._q_temperature_mix,
+        "rollup_counts": E._q_rollup_counts,
+        "funnel_counts": E._q_funnel_counts,
     }
     out = {}
     for name, fn in stages.items():

@@ -410,3 +410,178 @@ def events_hopping_window(events, size_us: int = 3_600_000_000,
         return batch
 
     return agg.map_batches(round_cols, batch_format="pandas")
+
+
+def rollup_counts(ds, dims: list[str], *, all_token: str = "(all)"):
+    """Multi-level ROLLUP counts — the OLAP cube slice SQL engines
+    give via ``GROUP BY ROLLUP(d1, d2, …)`` and Ray Data has no
+    native analog for: one row per group at EVERY prefix level
+    (finest, each partial rollup, grand total), rolled-up dimensions
+    carrying the ``all_token`` sentinel and ``level`` = number of
+    rolled dimensions.
+
+    Plan: per-batch local partials compute ALL levels at once (a
+    pandas groupby per level over the already-tiny per-batch distinct
+    set), then ONE ``groupby(dims + level).Sum`` fold — exchange
+    bounded by Σ_level cardinality(level), independent of row count;
+    no second pass over the data for coarser levels.  Sentinel-filled
+    UNION-ALL SQL twin (unambiguous where ROLLUP's NULL markers would
+    collide with real NULLs)."""
+    from ray.data.aggregate import Sum
+
+    n_dims = len(dims)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(dims).to_pandas()
+        outs = []
+        for lvl in range(n_dims + 1):
+            keep = dims[: n_dims - lvl]
+            if keep:
+                g = (
+                    df.groupby(keep, sort=False, dropna=False)
+                    .size()
+                    .reset_index(name="n")
+                )
+            else:
+                g = pd.DataFrame({"n": [len(df)]})
+            for d in dims[n_dims - lvl:]:
+                g[d] = all_token
+            g["level"] = np.int64(lvl)
+            outs.append(g[dims + ["level", "n"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(dims + ["level"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["level"] + dims)
+    )
+
+
+def rollup_counts_sql(dims: list[str], *, all_token: str = "(all)",
+                      table: str = "documents") -> str:
+    """DuckDB twin of :func:`rollup_counts` (explicit UNION ALL per
+    level — equivalent to GROUP BY ROLLUP with sentinel markers)."""
+    n_dims = len(dims)
+    parts = []
+    for lvl in range(n_dims + 1):
+        keep = dims[: n_dims - lvl]
+        cols = ", ".join(
+            list(keep) + [f"'{all_token}' AS {d}" for d in dims[n_dims - lvl:]]
+        )
+        grp = f" GROUP BY {', '.join(str(i + 1) for i in range(len(keep)))}" \
+            if keep else ""
+        parts.append(
+            f"SELECT {cols}, CAST({lvl} AS BIGINT) AS level, "
+            f"CAST(count(*) AS BIGINT) AS n FROM {table}{grp}"
+        )
+    order = ", ".join(["level"] + dims)
+    return " UNION ALL ".join(parts) + f" ORDER BY {order}"
+
+
+def funnel_counts(events, steps: list[str]):
+    """Ordered-step funnel over an event stream: how many users have
+    a strictly time-increasing occurrence of step 1, then step 2
+    after it, then step 3 after that, … — the classic
+    product-analytics funnel (reach is the standard min-time-after
+    recurrence: t_k = min ts of step_k with ts > t_{k-1}).
+
+    Plan: filter to the step types at the READ (pushdown; the stream
+    shrinks before anything moves) → ``groupby(user_id).map_groups``
+    with a vectorized per-user scan (per-step sorted time arrays +
+    ``np.searchsorted``, O(events·log + k) per user) → per-user
+    reached-level rows → a ≤ k-row count fold.  Skew note: a hot user
+    (bot) costs one group's sort — for adversarial skew the same
+    recurrence decomposes into k aggregate+join passes (t_k =
+    ``groupby(user).Min`` after a copartition join of t_{k-1}), all
+    shuffle-bounded by distinct users; the map_groups form is the
+    right default while per-user step events fit a worker heap."""
+    from ray.data.aggregate import Count
+
+    k = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+    step_set = pa.array(steps, pa.string())
+
+    events = events.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"], value_set=step_set)),
+        batch_format="pyarrow",
+    )
+
+    def reach(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        si = g["event_type"].map(step_idx).to_numpy()
+        level = 0
+        t = None
+        for i in range(k):
+            arr = ts[si == i]
+            if t is not None:
+                pos = np.searchsorted(arr, t, side="right")
+                arr = arr[pos:]
+            if not len(arr):
+                break
+            t = arr[0]
+            level += 1
+        return pd.DataFrame({"level": [np.int64(level)]})
+
+    levels = (
+        events.groupby("user_id")
+        .map_groups(reach, batch_format="pandas")
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        lv = b["level"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a user at level L counts toward steps 1..L (vectorized
+        # ragged arange: global positions minus each segment's start)
+        ends = np.cumsum(lv)
+        total = int(ends[-1]) if len(lv) else 0
+        out = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(ends - lv, lv) + 1
+        )
+        return pa.table({"step_idx": pa.array(out, pa.int64())})
+
+    counted = (
+        levels.map_batches(explode, batch_format="pyarrow")
+        .groupby("step_idx")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+    def label(b: pa.Table) -> pa.Table:
+        idx = b["step_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"step_idx": b["step_idx"],
+             "step": pa.array([steps[i - 1] for i in idx], pa.string()),
+             "n_users": b["n_users"]}
+        )
+
+    return counted.map_batches(label, batch_format="pyarrow").sort("step_idx")
+
+
+def funnel_counts_sql(steps: list[str], *, table: str = "events") -> str:
+    """DuckDB twin of :func:`funnel_counts` (explicit min-after CTE
+    per step)."""
+    in_list = ", ".join(f"'{s}'" for s in steps)
+    ctes = [
+        f"e AS (SELECT user_id, ts, event_type FROM {table} "
+        f"WHERE event_type IN ({in_list}))",
+        f"t1 AS (SELECT user_id, min(ts) AS t FROM e "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)",
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(
+            f"t{i} AS (SELECT e.user_id, min(e.ts) AS t FROM e "
+            f"JOIN t{i-1} p USING (user_id) "
+            f"WHERE e.event_type = '{steps[i-1]}' AND e.ts > p.t GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step_idx, '{steps[i-1]}' AS step, "
+        f"CAST(count(*) AS BIGINT) AS n_users FROM t{i}"
+        for i in range(1, len(steps) + 1)
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(selects) + " ORDER BY step_idx"
+    )

@@ -346,3 +346,112 @@ def group_sample_k_sql(k: int, *, group_col: str = "lang",
         f"ORDER BY {sample_key_sql(id_col)}, {id_col}) AS BIGINT) AS rk "
         f"FROM {table}) WHERE rk <= {k} ORDER BY {group_col}, rk"
     )
+
+
+def _temperature_plan(counts: dict[str, int], temperature: float):
+    """Integer-exact per-source copy plan for :func:`temperature_mix`.
+
+    The ONLY float op is the per-source weight ``w = (n_s/N)^(1/τ)``
+    — for τ = 2 computed via ``sqrt`` (IEEE-754 correctly rounded, so
+    numpy / Python / DuckDB agree bit-for-bit) — rounded half-away to
+    an integer at 10¹² scale BEFORE the cross-source sum; quotas,
+    base copies and the fractional-tail hash thresholds are exact
+    integer arithmetic (Python ints, overflow-free at any corpus
+    size; the SQL twin uses HUGEINT with every product's first factor
+    < 2⁶³)."""
+    import math
+
+    alpha = 1.0 / temperature
+    sources = sorted(counts)
+    n_total = sum(counts.values())
+    w_qi = {}
+    for s in sources:
+        p = counts[s] * 1.0 / n_total
+        v = math.sqrt(p) if alpha == 0.5 else math.pow(p, alpha)
+        w_qi[s] = int(math.floor(v * 1000000000000.0 + 0.5))
+    s_qi = sum(w_qi.values())
+    plan = {}
+    for s in sources:
+        target = (w_qi[s] * n_total) // s_qi
+        n_s = counts[s]
+        base, rem = divmod(target, n_s)
+        plan[s] = (base, (rem << 64) // n_s)
+    return plan
+
+
+def temperature_mix(ds, *, temperature: float = 2.0,
+                    group_col: str = "source", id_col: str = "doc_id"):
+    """Temperature-based source resampling — the multinomial
+    data-mixing step of multilingual / multi-source training corpora
+    (sample source s proportional to ``p_s^(1/τ)``): τ > 1 upweights
+    low-resource sources, τ = 1 is the natural distribution.  Output
+    is the resampling PLAN ``(id, group, n_copies ≥ 1)`` — docs from
+    downweighted sources drop (n_copies would be 0), docs from
+    upweighted sources repeat — which a training loader executes
+    without materializing the repetition.
+
+    Plan: one tiny ``groupby(group).Count`` fold (S rows, pulled to
+    the driver — the broadcast-small-side pattern), integer-exact
+    quota arithmetic (:func:`_temperature_plan`), then ONE
+    zero-shuffle vectorized filter/annotate pass: each doc's copy
+    count is ``base_s`` plus one iff its Fibonacci hash falls under
+    the source's exact fractional-tail threshold ``(rem·2⁶⁴)//n_s``
+    — a pure function of (id, per-source integers), so re-runs,
+    retries and any partitioning agree bit-for-bit."""
+    from ray.data.aggregate import Count
+
+    cnt_rows = (
+        ds.groupby(group_col).aggregate(Count(alias_name="n")).take_all()
+    )
+    counts = {r[group_col]: int(r["n"]) for r in cnt_rows}
+    plan = _temperature_plan(counts, temperature)
+    groups = sorted(plan)
+    base = np.array([plan[g][0] for g in groups] + [0], np.int64)
+    thr = np.array([min(plan[g][1], (1 << 64) - 1) for g in groups] + [0],
+                   np.uint64)
+    value_set = pa.array(groups, pa.string())
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = ids * np.uint64(HASH_MUL) + np.uint64(HASH_ADD)
+        idx = pc.fill_null(
+            pc.index_in(batch[group_col], value_set=value_set), len(groups)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_copies = base[idx] + (key < thr[idx])
+        out = pa.table(
+            {id_col: batch[id_col], group_col: batch[group_col],
+             "n_copies": pa.array(n_copies, pa.int64())}
+        )
+        return out.filter(pa.array(n_copies >= 1))
+
+    return ds.map_batches(annotate, batch_format="pyarrow").sort(id_col)
+
+
+def temperature_mix_sql(*, temperature: float = 2.0,
+                        group_col: str = "source", id_col: str = "doc_id",
+                        table: str = "documents") -> str:
+    """DuckDB twin of :func:`temperature_mix` (same sqrt/pow double
+    op, same 10¹² rounding, HUGEINT quota and threshold arithmetic)."""
+    alpha = 1.0 / temperature
+    wexpr = (
+        "sqrt(n * 1.0 / t.nt)" if alpha == 0.5
+        else f"pow(n * 1.0 / t.nt, {alpha!r})"
+    )
+    return (
+        f"WITH cnt AS (SELECT {group_col} AS g, count(*) AS n "
+        f"FROM {table} GROUP BY 1), "
+        "tot AS (SELECT sum(n) AS nt FROM cnt), "
+        f"w AS (SELECT g, n, CAST(round({wexpr} * 1000000000000.0, 0) "
+        "AS HUGEINT) AS wq FROM cnt, tot t), "
+        "sw AS (SELECT sum(wq) AS s FROM w), "
+        "b AS (SELECT g, n, (wq * (SELECT nt FROM tot)) "
+        "// (SELECT s FROM sw) AS target FROM w), "
+        "pl AS (SELECT g, n, target // n AS base, "
+        "((target % n) * 18446744073709551616) // n AS thr FROM b), "
+        f"k AS (SELECT d.{id_col}, d.{group_col}, CAST(pl.base + "
+        f"CASE WHEN {sample_key_sql('d.' + id_col)} < pl.thr "
+        "THEN 1 ELSE 0 END AS BIGINT) AS n_copies "
+        f"FROM {table} d JOIN pl ON d.{group_col} = pl.g) "
+        f"SELECT {id_col}, {group_col}, n_copies FROM k "
+        f"WHERE n_copies >= 1 ORDER BY {id_col}"
+    )

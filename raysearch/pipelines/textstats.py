@@ -1546,6 +1546,76 @@ def zipf_buckets_sql(table: str = "documents") -> str:
     )
 
 
+def _first_seen_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct (term, min doc_id) partial for
+    :func:`vocab_growth` — one lexsort, no Python loop."""
+    lexer = _cached(_RepetitionStats).lexer
+    parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+    if not len(parent):
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "fd": pa.array([], pa.int64())}
+        )
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_token = docs[parent]
+    order = np.lexsort((doc_of_token, codes))
+    cs, fd = codes[order], doc_of_token[order]
+    first = np.ones(len(cs), dtype=bool)
+    first[1:] = cs[1:] != cs[:-1]
+    return pa.table(
+        {"term": pa.array(uniq[cs[first]], pa.string()),
+         "fd": pa.array(fd[first], pa.int64())}
+    )
+
+
+def vocab_growth(ds):
+    """Vocabulary-growth (Heaps'-law novelty) profile: for each doc in
+    doc_id ingestion order, how many terms it introduces that no
+    earlier doc contains.  The marginal-contribution diagnostic for
+    corpus curation — a shard whose docs stop introducing vocabulary
+    is redundant with what came before; a spike marks a domain shift.
+    Extends the reference's lexicon accounting (Lexicon.java:31-44
+    tracks only the final vocabulary) with the arrival ORDER the
+    reference never surfaces.
+
+    Plan: ONE tokenize pass emits per-batch distinct ``(term, min
+    doc_id)`` partials (vectorized lexsort, no Python loop) → ONE
+    ``groupby(term).Min`` fold (exchange bounded by vocabulary ×
+    16 B) → project to the winning doc_id → a ≤ n_docs-row
+    ``groupby(doc_id).Count`` fold.  Integer outputs end-to-end; only
+    docs that introduce ≥ 1 term emit a row (matching the SQL twin).
+    """
+    from ray.data.aggregate import Count, Min
+
+    first_seen = (
+        ds.map_batches(_first_seen_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("fd", alias_name="fd"))
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["fd"]})
+
+    return (
+        first_seen.map_batches(proj, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="new_terms"))
+        .sort("doc_id")
+    )
+
+
+def vocab_growth_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`vocab_growth`."""
+    return (
+        "WITH tok AS (SELECT doc_id, t.term FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "ft AS (SELECT term, min(doc_id) AS doc_id FROM tok GROUP BY 1) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS new_terms "
+        "FROM ft GROUP BY 1 ORDER BY doc_id"
+    )
+
+
 def vocab_overlap(ds):
     """Pairwise vocabulary overlap between corpus ``source`` slices —
     the standard corpus-auditing cut before mixing sources into a

@@ -530,3 +530,155 @@ def test_char_entropy_matches_duckdb(ray_session):
     assert abs(got.iloc[4].entropy_qi9 - 4 * ln4) <= 8
     r3 = got.iloc[3]
     assert r3.n_chars == 11 and r3.n_distinct_chars == 9
+
+
+def test_vocab_growth_matches_duckdb(ray_session):
+    """First-occurrence novelty counts equal the DuckDB twin; docs
+    introducing nothing new emit no row; totals sum to the vocabulary
+    size."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import vocab_growth, vocab_growth_sql
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "cat dog",
+            "dog cat",            # nothing new -> no row
+            "cat fish",           # fish is new
+            "",                   # empty -> no row
+            "whale fish Dog!",    # whale new (dog case-folds)
+        ]),
+    })
+    got = (
+        vocab_growth(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(vocab_growth_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert list(got["doc_id"]) == [0, 2, 4]
+    assert list(got["new_terms"]) == [2, 1, 1]
+    assert got["new_terms"].sum() == 4  # cat dog fish whale
+
+
+def test_temperature_mix_matches_duckdb(ray_session):
+    """tau=2 resampling plan equals the DuckDB twin; quotas conserve
+    the corpus size within floor losses; low-resource sources are
+    upweighted (some doc repeats) and the dominant source is
+    downweighted (some doc drops)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.sampling import (
+        _temperature_plan,
+        temperature_mix,
+        temperature_mix_sql,
+    )
+
+    n_a, n_b, n_c = 64, 16, 4
+    tbl = pa.table({
+        "doc_id": pa.array(range(n_a + n_b + n_c), pa.int64()),
+        "source": pa.array(["a"] * n_a + ["b"] * n_b + ["c"] * n_c),
+    })
+    got = (
+        temperature_mix(rd.from_arrow(tbl).repartition(3), temperature=2.0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(temperature_mix_sql(temperature=2.0)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    # quotas: sqrt weights 8:4:2 over N=84 -> targets 48/24/12
+    plan = _temperature_plan({"a": n_a, "b": n_b, "c": n_c}, 2.0)
+    assert plan["b"][0] == 1 and plan["c"][0] == 3  # upweighted bases
+    # sqrt(16x) = 4*sqrt(x) exactly in IEEE, so targets are exactly
+    # 48/24/12; the fractional tails are hash-approximate (+-O(1)
+    # for the low-discrepancy Fibonacci key on sequential ids)
+    total = got["n_copies"].sum()
+    assert abs(total - 84) <= 8  # conserves corpus size
+    by_src = got.groupby("source")["n_copies"].sum()
+    assert by_src["a"] < n_a          # dominant source downweighted
+    assert by_src["c"] > n_c          # low-resource source upweighted
+
+
+def test_rollup_counts_matches_duckdb(ray_session):
+    """All prefix levels equal the UNION-ALL twin; every level's
+    counts sum to the corpus size; the grand total is one row."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import (
+        rollup_counts,
+        rollup_counts_sql,
+    )
+
+    tbl = pa.table({
+        "lang": pa.array(["en", "en", "es", "es", "en", "de"]),
+        "source": pa.array(["web", "web", "web", "book", "book", "web"]),
+    })
+    got = (
+        rollup_counts(rd.from_arrow(tbl).repartition(3), ["lang", "source"])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(rollup_counts_sql(["lang", "source"])).fetchdf()
+    assert got[orc.columns].equals(orc)
+    for lvl in (0, 1, 2):
+        assert got[got.level == lvl]["n"].sum() == 6
+    grand = got[got.level == 2]
+    assert len(grand) == 1 and grand.iloc[0]["n"] == 6
+    assert set(grand[["lang", "source"]].iloc[0]) == {"(all)"}
+
+
+def test_funnel_counts_matches_duckdb(ray_session):
+    """Strict-order funnel reach equals the min-after CTE twin: a
+    full-funnel user, an out-of-order user (view before signup only),
+    an equal-timestamp user (strict > blocks the step) and a
+    repeat-step user (later occurrence can still advance)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import funnel_counts, funnel_counts_sql
+
+    t0 = pd.Timestamp("2026-01-01")
+    rows = [
+        # u1: s(0) v(1) c(2): reaches 3
+        (1, 0, "signup"), (1, 1, "view"), (1, 2, "click"),
+        # u2: v(0) s(1): view precedes signup -> level 1 only
+        (2, 0, "view"), (2, 1, "signup"),
+        # u3: s(0) v(0): equal ts -> strict > blocks view; level 1
+        (3, 0, "signup"), (3, 0, "view"),
+        # u4: s(0) v(0) v(5) c(6) p(7): second view advances; level 4
+        (4, 0, "signup"), (4, 0, "view"), (4, 5, "view"),
+        (4, 6, "click"), (4, 7, "purchase"),
+        # u5: only noise events -> filtered out entirely
+        (5, 0, "error"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([t0 + pd.Timedelta(minutes=r[1]) for r in rows]),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    steps = ["signup", "view", "click", "purchase"]
+    got = (
+        funnel_counts(rd.from_arrow(tbl).repartition(3), steps)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    orc = con.execute(funnel_counts_sql(steps)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert list(got["n_users"]) == [4, 2, 2, 1]
