@@ -821,6 +821,17 @@ def _q_jaccard_pairs_exact(sf_dir: str):
     return jaccard_pairs_exact(_docs(sf_dir), threshold=0.6, shingle=3)
 
 
+def _q_prefix_jaccard_pairs(sf_dir: str):
+    """Prefix-filtering exact-Jaccard all-pairs join (round 5): the
+    deterministic complete scale path of the dedup family — candidate
+    fan-out bounded by each doc's rarest-shingle prefix, shared
+    verification tail with minhash_pairs; values equal
+    jaccard_pairs_exact by construction (same oracle + ORDER BY)."""
+    from raysearch.pipelines.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_docs(sf_dir), threshold=0.6, shingle=3)
+
+
 def _q_dup_clusters(sf_dir: str):
     """Pairs → transitive closure → per-doc canonical cluster id (the
     dedup step AFTER pair finding: ``cluster_id == doc_id`` is the
@@ -1857,7 +1868,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "doc_fingerprints": _q_doc_fingerprints,
         "lang_id_ngram": _q_lang_id_ngram,
-        "conjunctive_search": _q_conjunctive,
+        # round 5 (late): prefix_jaccard_pairs admitted above the cap;
+        # conjunctive_search demoted — bm25_topk (above the cap)
+        # consumes the same _conjunctive_frame term-intersection
+        # candidates, so the mechanism stays driver-checked (oracle +
+        # pytest retained).
+        "prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
         "bm25_topk": _q_bm25_topk,
         # round 5: pmi_topk (PMI collocations via copartition joins)
         # admitted above the cap per the r04 lesson — new operators
@@ -1972,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_skip_counts": _q_media_skip_counts,
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
+        "conjunctive_search": _q_conjunctive,
         "transcripts_stats": _q_transcripts_stats,
         "doc_metrics": _q_doc_metrics,
         "stratified_sample": _q_stratified_sample,
@@ -2570,6 +2587,11 @@ def oracle_sql() -> dict[str, str]:
 
     out["rollup_counts"] = rollup_counts_sql(ROLLUP_DIMS)
     out["funnel_counts"] = funnel_counts_sql(FUNNEL_STEPS)
+    # prefix filtering is exact-complete, so its result IS
+    # jaccard_pairs_exact's (pinned output order added)
+    out["prefix_jaccard_pairs"] = (
+        out["jaccard_pairs_exact"] + " ORDER BY doc_a, doc_b"
+    )
     _QI = (
         "CAST(round(round(0.5 * least(1.0, coalesce(l.n_tokens, 0) * 1.0 / 100) "
         "+ 0.3 * coalesce(l.distinct_terms * 1.0 / l.n_tokens, 0) "

@@ -157,6 +157,7 @@ def _pipeline_bench() -> dict:
         "temperature_mix": E._q_temperature_mix,
         "rollup_counts": E._q_rollup_counts,
         "funnel_counts": E._q_funnel_counts,
+        "prefix_jaccard_pairs": E._q_prefix_jaccard_pairs,
     }
     out = {}
     for name, fn in stages.items():

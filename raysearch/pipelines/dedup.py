@@ -804,6 +804,17 @@ def minhash_lsh_pairs(
     cands = minhash_candidates_from_shingles(
         sh, n_perm=n_perm, bands=bands
     ).materialize()
+    return _verify_candidate_pairs(sh, cands, threshold)
+
+
+def _verify_candidate_pairs(sh, cands, threshold: float):
+    """Exact-Jaccard verification of MATERIALIZED (doc_a, doc_b) id
+    candidates against the shingle-blob Dataset ``sh`` — the shared
+    tail of :func:`minhash_lsh_pairs` (steps 3–5 of its plan, see its
+    docstring for the broadcast / semi-join / attach dispatch) and
+    :func:`prefix_jaccard_pairs`."""
+    import ray
+
     n_cands = cands.count()
     if n_cands == 0:
         return _empty_pairs_ds()
@@ -1071,6 +1082,152 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.6, n: int = 5):
         _DistinctCharShingles(n), batch_format="pyarrow"
     ).materialize()
     return _exact_jaccard_from_shingles(tok, threshold)
+
+
+#: byte budget for broadcasting the df ≥ 2 shingle-frequency arrays
+#: (16 B per repeated shingle); above it the prefix order falls back
+#: to the df-free hash order, which stays exact-complete
+PREFIX_DF_BROADCAST_BYTES = 64 << 20
+
+
+def _prefix_candidates(sh, threshold: float):
+    """Prefix-filtering candidate pairs from a shingle-blob Dataset —
+    EXACT-COMPLETE: under any globally consistent total order on
+    shingles, two sets with Jaccard ≥ τ each keep ``|x| − ⌈τ·|x|⌉ + 1``
+    smallest-ranked shingles as their prefix, and the prefixes of a
+    qualifying pair must intersect (Bayardo et al., "Scaling Up All
+    Pairs Similarity Search", WWW'07), so bucketing on prefix shingles
+    misses no pair — unlike LSH, which is probabilistic.
+
+    The order used is (global df ascending, hash) — rarest first, the
+    selectivity that makes prefix filtering fast: hot common shingles
+    land at the END of every doc's ranking and never fan out a
+    bucket.  The df ≥ 2 frequency table (df-1 shingles can't form a
+    pair and rank first anyway) is broadcast when under
+    ``PREFIX_DF_BROADCAST_BYTES``; beyond it the order degrades to
+    plain hash order (still exact-complete, less selective — the
+    copartition-attach of df is the documented scale path)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        parent, v = _unpack_blob_col(b["shingles"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 VIEW of the uint64 hash: a bijection, so grouping is
+        # unaffected — and the exchange avoids Ray's uint64→pandas
+        # object-dtype fallback (OverflowError past 2⁶³)
+        return pa.table(
+            {"shingle": pa.array(v.view(np.int64), pa.int64()),
+             "doc_id": pa.array(ids[parent], pa.int64())}
+        )
+
+    df_ds = (
+        sh.map_batches(tok_rows, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Count(alias_name="df"))
+    )
+    keys_l, dfs_l, total = [], [], 0
+    for b in df_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = dfv >= 2
+        k = (
+            b["shingle"].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)[rep]
+        )
+        total += 16 * len(k)
+        if total > PREFIX_DF_BROADCAST_BYTES:
+            keys_l = None
+            break
+        keys_l.append(k)
+        dfs_l.append(dfv[rep])
+    if keys_l is None:
+        df_ref = ray.put(None)
+    else:
+        keys = (np.concatenate(keys_l) if keys_l
+                else np.empty(0, np.uint64))
+        dfs = (np.concatenate(dfs_l) if dfs_l
+               else np.empty(0, np.int64))
+        order = np.argsort(keys)
+        df_ref = ray.put((keys[order], dfs[order]))
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        lookup = ray.get(df_ref)
+        parent, v = _unpack_blob_col(b["shingles"])
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(parent, minlength=b.num_rows).astype(np.int64)
+        if not len(v):
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        if lookup is None:
+            dfx = np.ones(len(v), np.int64)
+        else:
+            keys, dfs = lookup
+            pos = np.searchsorted(keys, v)
+            pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+            hit = (len(keys) > 0) & (keys[pos_c] == v)
+            dfx = np.where(hit, dfs[pos_c], 1).astype(np.int64)
+        order = np.lexsort((v, dfx, parent))
+        p_s, v_s = parent[order], v[order]
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        rank = np.arange(len(p_s), dtype=np.int64) - starts[p_s]
+        # ε-down ceil only ever LENGTHENS the prefix — completeness
+        # is preserved on float boundaries (τ·n exactly integral)
+        ceil_tn = np.ceil(threshold * counts - 1e-9).astype(np.int64)
+        plen = counts - ceil_tn + 1
+        keep = rank < plen[p_s]
+        return pa.table(
+            {"shingle": pa.array(v_s[keep].view(np.int64), pa.int64()),
+             "doc_id": pa.array(ids[p_s[keep]], pa.int64())}
+        )
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64")}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {"doc_a": pd.Series(ids[ii], dtype="int64"),
+             "doc_b": pd.Series(ids[jj], dtype="int64")}
+        )
+
+    return (
+        sh.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("shingle")
+        .map_groups(emit, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+
+def prefix_jaccard_pairs(ds, threshold: float = 0.6, shingle: int = 3):
+    """EXACT all-pairs word-shingle Jaccard ≥ threshold via PREFIX
+    FILTERING — the deterministic scale path of the dedup family:
+    complete like :func:`jaccard_pairs_exact` (provably no missed
+    pair, unlike LSH recall < 1) but with candidate fan-out bounded
+    by each doc's ``|x| − ⌈τ|x|⌉ + 1`` rarest shingles instead of
+    every shared shingle, so hot common shingles never explode a
+    bucket quadratically.
+
+    Plan: ONE tokenize pass → per-doc sorted-unique shingle-hash
+    blobs (:class:`_ShingleSets`, shared with the minhash path) →
+    df-ordered prefix emission (:func:`_prefix_candidates`) →
+    distinct candidate id pairs → the SAME verification tail as
+    :func:`minhash_lsh_pairs` (:func:`_verify_candidate_pairs` —
+    broadcast CSR or copartition attach).  Output schema and values
+    equal ``jaccard_pairs_exact`` by construction, so the two share
+    an oracle."""
+    sh = ds.map_batches(
+        _shingle_set_task, fn_kwargs={"shingle": shingle},
+        batch_format="pyarrow",
+    ).materialize()
+    cands = _prefix_candidates(sh, threshold).materialize()
+    return _verify_candidate_pairs(sh, cands, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -682,3 +682,58 @@ def test_funnel_counts_matches_duckdb(ray_session):
     orc = con.execute(funnel_counts_sql(steps)).fetchdf()
     assert got[orc.columns].equals(orc)
     assert list(got["n_users"]) == [4, 2, 2, 1]
+
+
+def test_prefix_jaccard_pairs_complete_and_matches_duckdb(ray_session):
+    """Prefix filtering finds EXACTLY the pairs the quadratic exact
+    operator finds (completeness is the point), including near-dup
+    pairs, and a hot shingle shared by every doc must not create
+    spurious work or missed pairs.  Result equals the shared DuckDB
+    oracle with pinned order."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import (
+        jaccard_pairs_exact,
+        prefix_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        base,                                   # 0 ~ 1 near-dup
+        base + " tonight",                      # 1
+        "completely different words here with nothing shared at all",  # 2
+        "completely different words here with nothing shared today",   # 3: ~2
+        "the quick brown unrelated tail of tokens diverges from both", # 4
+    ]
+    # every doc shares one hot trigram ("the quick brown" appears in
+    # 0, 1, 4) — plus add a universal sentence to stress the hot path
+    docs = [d + " common suffix shingle" for d in docs]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = prefix_jaccard_pairs(ds, threshold=0.6, shingle=3).to_pandas()
+    ref = jaccard_pairs_exact(
+        rd.from_arrow(tbl).repartition(2), threshold=0.6, shingle=3
+    ).to_pandas()
+    assert got.reset_index(drop=True).equals(
+        ref.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs          # near-dup found
+    assert (2, 3) not in pairs      # J = 6/13 < 0.6: correctly excluded
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod_pjp", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(m.oracle_sql()["prefix_jaccard_pairs"]).fetchdf()
+    assert got[orc.columns].reset_index(drop=True).equals(orc)
