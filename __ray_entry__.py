@@ -1175,6 +1175,58 @@ def _q_rollup_counts(sf_dir: str):
     return rollup_counts(ds, ROLLUP_DIMS)
 
 
+#: high-value order threshold for the anti-join gate row (the
+#: synthetic TPC-H-ish data covers every customer with SOME order, so
+#: the audit anti-joins against the filtered fact side: ~30/1500
+#: customers have no order above this at sf0.01)
+BIG_ORDER_PRICE = 300_000.0
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """Anti-join audit row (round 5): customers with NO high-value
+    order (the TPC-H Q22 shape over a filtered fact side) — one
+    tagged-union hash exchange with the keep condition inverted;
+    NOT EXISTS SQL twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import anti_join
+
+    customer = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater(b["o_totalprice"], pa.scalar(BIG_ORDER_PRICE))
+        ),
+        batch_format="pyarrow",
+    )
+    return anti_join(
+        customer, orders, left_key="c_custkey", right_key="o_custkey",
+        columns=["c_custkey", "c_name"],
+    )
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Cohort-retention triangle over the events stream (round 5):
+    integer epoch-week buckets, distinct (user, period) fold, per-user
+    Min cohort fold, copartition attach, tiny count fold; same-integer
+    SQL twin."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import retention_cohorts
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ds)
+
+
 #: temperature for the temperature_mix gate row — τ=2 (sqrt weights,
 #: IEEE correctly rounded, so engine and oracle agree bit-for-bit)
 MIX_TEMPERATURE = 2.0
@@ -1903,7 +1955,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcripts_latin_lexicon_sql with no oracle — and
         # jaccard_pairs_exact demoted — its oracle is identical to
         # minhash_pairs' — to admit ivf_recall and media_demux).
-        "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
+        # round 5 (late): retention_cohorts admitted above the cap;
+        # transcripts_lexicon_sql demoted — lexicon rows are the
+        # per-term aggregates of transcripts_postings_sql (above the
+        # cap) and df also drives transcripts_bm25_sql's idf (oracle +
+        # pytest retained; the doclens demotion rationale, term side).
+        "retention_cohorts": _q_retention_cohorts,
         "transcripts_postings_sql": _q_transcripts_postings_sql,
         # round 5 (late): lexical_diversity admitted above the cap;
         # transcripts_doclens_sql demoted — doclens is the per-doc sum
@@ -1967,7 +2024,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail is the same code path minhash_pairs' candidate
         # verification exercises (which stays above the cap), and its
         # oracle covers a documented 120-doc subset anyway.
-        "zipf_buckets": _q_zipf_buckets,
+        # round 5 (late): customers_no_orders (anti-join) admitted
+        # above the cap; zipf_buckets demoted — its tokenize +
+        # groupby(term) fold is the primitive vocab_growth drives
+        # above the cap, and its exact-log2 bucketing
+        # (length(bin(n))-1) is the same integer-log2 idiom
+        # hll_vocab_registers' register oracle checks (oracle +
+        # pytest retained).
+        "customers_no_orders": _q_customers_no_orders,
         "events_hopping": _q_events_hopping,
         # round 5: hll_vocab_registers (the round's new sketch
         # operator) admitted above the cap per the r04 lesson — new
@@ -1988,6 +2052,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_skip_counts": _q_media_skip_counts,
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
+        "zipf_buckets": _q_zipf_buckets,
+        "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
         "conjunctive_search": _q_conjunctive,
         "transcripts_stats": _q_transcripts_stats,
         "doc_metrics": _q_doc_metrics,
@@ -2591,6 +2657,18 @@ def oracle_sql() -> dict[str, str]:
     # jaccard_pairs_exact's (pinned output order added)
     out["prefix_jaccard_pairs"] = (
         out["jaccard_pairs_exact"] + " ORDER BY doc_a, doc_b"
+    )
+    from raysearch.pipelines.relational import (
+        anti_join_sql,
+        retention_cohorts_sql,
+    )
+
+    out["retention_cohorts"] = retention_cohorts_sql()
+    out["customers_no_orders"] = anti_join_sql(
+        left_table="customer", right_table="orders",
+        left_key="c_custkey", right_key="o_custkey",
+        columns=["c_custkey", "c_name"],
+        right_where=f"r.o_totalprice > {BIG_ORDER_PRICE!r}",
     )
     _QI = (
         "CAST(round(round(0.5 * least(1.0, coalesce(l.n_tokens, 0) * 1.0 / 100) "

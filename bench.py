@@ -158,6 +158,8 @@ def _pipeline_bench() -> dict:
         "rollup_counts": E._q_rollup_counts,
         "funnel_counts": E._q_funnel_counts,
         "prefix_jaccard_pairs": E._q_prefix_jaccard_pairs,
+        "retention_cohorts": E._q_retention_cohorts,
+        "customers_no_orders": E._q_customers_no_orders,
     }
     out = {}
     for name, fn in stages.items():

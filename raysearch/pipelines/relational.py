@@ -585,3 +585,129 @@ def funnel_counts_sql(steps: list[str], *, table: str = "events") -> str:
         "WITH " + ", ".join(ctes) + " "
         + " UNION ALL ".join(selects) + " ORDER BY step_idx"
     )
+
+
+#: one week in microseconds — the default retention period
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def retention_cohorts(events, *, period_us: int = WEEK_US):
+    """Cohort-retention matrix over an event stream: users grouped by
+    their FIRST active period (the cohort), counted in each later
+    period they return — the standard growth-analytics triangle
+    (cohort_week, weeks_since, n_users).
+
+    Periods are pure integer epoch buckets (``epoch_us // period_us``)
+    — no calendar functions, so the engine and the SQL twin agree
+    exactly and the bucketing is a zero-state vectorized map.  Plan:
+    per-batch bucket map → ``groupby(user, period)`` distinct fold
+    (exchange bounded by distinct user-periods, the natural size of
+    the answer) → per-user ``Min`` cohort fold → one
+    :func:`~raysearch.util.copartition_attach` hash-merge of the
+    cohort back onto the distinct rows (user_id-bounded exchange) →
+    a tiny (cohort, offset) count fold.  Rows entering the final fold
+    are already distinct per (user, period), so ``Count`` IS distinct
+    users."""
+    from ray.data.aggregate import Count, Min
+
+    from raysearch.util import copartition_attach
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {"user_id": b["user_id"],
+             "w": pa.array(ts // period_us, pa.int64())}
+        )
+
+    active = (
+        events.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "w"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["user_id", "w"])
+    )
+    cohort = active.groupby("user_id").aggregate(Min("w", alias_name="cw"))
+    att = copartition_attach(
+        active.materialize(),
+        cohort,
+        "user_id",
+        left_schema=pa.schema([("user_id", pa.int64()), ("w", pa.int64())]),
+        payload={"cw": pa.int64()},
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cohort_week": b["cw"],
+             "weeks_since": pc.subtract(b["w"], b["cw"])}
+        )
+
+    return (
+        att.map_batches(proj, batch_format="pyarrow")
+        .groupby(["cohort_week", "weeks_since"])
+        .aggregate(Count(alias_name="n_users"))
+        .sort(["cohort_week", "weeks_since"])
+    )
+
+
+def retention_cohorts_sql(*, period_us: int = WEEK_US,
+                          table: str = "events") -> str:
+    """DuckDB twin of :func:`retention_cohorts` (same integer epoch
+    bucketing)."""
+    return (
+        f"WITH a AS (SELECT DISTINCT user_id, "
+        f"epoch_us(ts) // {period_us} AS w FROM {table}), "
+        "c AS (SELECT user_id, min(w) AS cw FROM a GROUP BY 1) "
+        "SELECT CAST(c.cw AS BIGINT) AS cohort_week, "
+        "CAST(a.w - c.cw AS BIGINT) AS weeks_since, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM a JOIN c USING (user_id) "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def anti_join(left, right, *, left_key: str, right_key: str,
+              columns: list[str]):
+    """Relational ANTI-JOIN: ``left`` rows (projected to ``columns``)
+    with NO match in ``right`` on the key — the referential-integrity
+    audit every multi-table corpus needs (customers without orders,
+    docs without embeddings, frames without media rows).
+
+    One tagged-union hash exchange via
+    :func:`~raysearch.util.copartition_attach` ``anti=True`` — same
+    shuffle a hash join performs, keep condition inverted; no
+    broadcast, so neither side needs to fit anywhere.  Output sorted
+    by ``left_key`` (pinned order)."""
+    from raysearch.util import copartition_attach
+
+    sch = left.schema()
+    types = dict(zip(sch.names, sch.types))
+    left_schema = pa.schema([(c, types[c]) for c in columns])
+
+    def key_only(b: pa.Table) -> pa.Table:
+        return pa.table({left_key: b[right_key].cast(types[left_key])})
+
+    keys = right.map_batches(key_only, batch_format="pyarrow")
+    return copartition_attach(
+        left.select_columns(columns),
+        keys,
+        left_key,
+        left_schema=left_schema,
+        payload={},
+        anti=True,
+    ).sort(left_key)
+
+
+def anti_join_sql(*, left_table: str, right_table: str, left_key: str,
+                  right_key: str, columns: list[str],
+                  right_where: str = "") -> str:
+    """DuckDB twin of :func:`anti_join` (NOT EXISTS form — immune to
+    the NOT IN null trap).  ``right_where`` narrows the right side
+    (matches a pre-filtered ``right`` Dataset on the Ray side)."""
+    cols = ", ".join(f"l.{c}" for c in columns)
+    extra = f" AND {right_where}" if right_where else ""
+    return (
+        f"SELECT {cols} FROM {left_table} l WHERE NOT EXISTS ("
+        f"SELECT 1 FROM {right_table} r WHERE r.{right_key} = l.{left_key}"
+        f"{extra}) ORDER BY l.{left_key}"
+    )

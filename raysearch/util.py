@@ -45,6 +45,7 @@ def copartition_attach(
     left_schema: "pa.Schema",
     payload: dict[str, "pa.DataType"],
     semi: bool = False,
+    anti: bool = False,
 ):
     """Hash-join ``right`` onto ``left`` by ``key``, expressed as a
     tagged union + ONE ``groupby(key).map_groups`` — the same
@@ -68,7 +69,9 @@ def copartition_attach(
     Inner-join semantics: every (left-row × matching right-row)
     combination is emitted with the payload columns attached.  With
     ``semi=True``: left rows with ≥1 match are emitted unchanged
-    (``payload`` may be ``{}``).
+    (``payload`` may be ``{}``).  With ``anti=True``: left rows with
+    ZERO matches are emitted unchanged — the relational anti-join,
+    same exchange, inverted keep condition.
 
     Scale note: per-key work is O(|L_key| × |R_key|) inside one group;
     keep the right side unique-ish per key (it is, for id→set lookups)
@@ -77,7 +80,7 @@ def copartition_attach(
     left_types = {f.name: f.type for f in left_schema}
     pay_cols = list(payload)
     out_fields = [(c, left_types[c]) for c in left_cols]
-    if not semi:
+    if not (semi or anti):
         out_fields += [(c, payload[c]) for c in pay_cols]
     out_schema = pa.schema(out_fields)
     all_cols = left_cols + [c for c in pay_cols if c not in left_cols]
@@ -107,6 +110,13 @@ def copartition_attach(
         side = g["_side"].to_numpy(zero_copy_only=False)
         li = np.flatnonzero(side == 0)
         ri = np.flatnonzero(side == 1)
+        if anti:
+            if len(li) == 0 or len(ri) > 0:
+                return out_schema.empty_table()
+            kept = g.take(pa.array(li))
+            return pa.table(
+                {c: kept[c] for c in left_cols}
+            ).cast(out_schema)
         if len(li) == 0 or len(ri) == 0:
             return out_schema.empty_table()
         if semi:

@@ -737,3 +737,94 @@ def test_prefix_jaccard_pairs_complete_and_matches_duckdb(ray_session):
     con.register("documents", tbl)
     orc = con.execute(m.oracle_sql()["prefix_jaccard_pairs"]).fetchdf()
     assert got[orc.columns].reset_index(drop=True).equals(orc)
+
+
+def test_retention_cohorts_matches_duckdb(ray_session):
+    """Cohort triangle equals the integer-bucket twin: two cohorts,
+    returning and churned users, multiple events in one period count
+    once."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import (
+        WEEK_US,
+        retention_cohorts,
+        retention_cohorts_sql,
+    )
+
+    t0 = pd.Timestamp("2026-01-05")  # within some epoch week w0
+    wk = pd.Timedelta(microseconds=WEEK_US)
+    rows = [
+        # u1: cohort w0, active w0 and w0+2
+        (1, t0), (1, t0 + pd.Timedelta(hours=1)), (1, t0 + 2 * wk),
+        # u2: cohort w0 only (churned)
+        (2, t0),
+        # u3: cohort w0+1, active w0+1 and w0+2
+        (3, t0 + wk), (3, t0 + wk + pd.Timedelta(minutes=5)),
+        (3, t0 + 2 * wk),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    got = (
+        retention_cohorts(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", tbl)
+    orc = con.execute(retention_cohorts_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    w0 = int(t0.value // 1000 // WEEK_US)
+    tri = {(r.cohort_week, r.weeks_since): r.n_users for r in got.itertuples()}
+    assert tri[(w0, 0)] == 2          # u1 + u2 start in w0
+    assert tri[(w0, 2)] == 1          # only u1 returns (once, not 2x)
+    assert tri[(w0 + 1, 0)] == 1 and tri[(w0 + 1, 1)] == 1  # u3
+    assert (w0, 1) not in tri         # nobody active in w0+1 from w0
+
+
+def test_anti_join_matches_duckdb_and_edge_cases(ray_session):
+    """Anti-join keeps exactly the unmatched left rows (NOT EXISTS
+    twin), preserves dtypes through the tagged union, and handles an
+    empty right side (everything kept)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import anti_join, anti_join_sql
+
+    customer = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(1, 6)]),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([2, 2, 4], pa.int64()),
+    })
+    got = anti_join(
+        rd.from_arrow(customer).repartition(3),
+        rd.from_arrow(orders).repartition(2),
+        left_key="c_custkey", right_key="o_custkey",
+        columns=["c_custkey", "c_name"],
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("customer", customer)
+    con.register("orders", orders)
+    orc = con.execute(anti_join_sql(
+        left_table="customer", right_table="orders",
+        left_key="c_custkey", right_key="o_custkey",
+        columns=["c_custkey", "c_name"],
+    )).fetchdf()
+    assert got[orc.columns].reset_index(drop=True).equals(orc)
+    assert list(got["c_custkey"]) == [1, 3, 5]
+    assert str(got["c_custkey"].dtype) == "int64"
+
+    empty = pa.table({"o_custkey": pa.array([], pa.int64())})
+    all_kept = anti_join(
+        rd.from_arrow(customer), rd.from_arrow(empty),
+        left_key="c_custkey", right_key="o_custkey",
+        columns=["c_custkey", "c_name"],
+    ).to_pandas()
+    assert list(all_kept["c_custkey"]) == [1, 2, 3, 4, 5]
