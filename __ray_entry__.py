@@ -1182,6 +1182,22 @@ def _q_rollup_counts(sf_dir: str):
 BIG_ORDER_PRICE = 300_000.0
 
 
+def _q_percentile_ranks(sf_dir: str):
+    """Exact global percent_rank / cume_dist annotation (round 5):
+    one domain-bounded histogram fold + a broadcast zero-shuffle
+    annotate pass — no global sort; rank()/count() window SQL twin
+    with identical integer floor scaling."""
+    import ray.data as rd
+
+    from raysearch.pipelines.profile import percentile_ranks
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    return percentile_ranks(ds, "n_chars")
+
+
 def _q_customers_no_orders(sf_dir: str):
     """Anti-join audit row (round 5): customers with NO high-value
     order (the TPC-H Q22 shape over a filtered fact side) — one
@@ -2004,7 +2020,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compare) and epoch_shuffle drives the same keyed-hash idiom
         # above the cap (oracle + pytest retained).
         "temperature_mix": _q_temperature_mix,
-        "quality_filter": _q_quality_filter,
+        # round 5 (late): percentile_ranks admitted above the cap;
+        # quality_filter demoted — its C4 rule evaluation is
+        # quality_metrics_from_codes + a fixed-threshold compare, the
+        # same path quality_topfrac drives above the cap with an
+        # adaptive threshold (oracle + pytest retained).
+        "percentile_ranks": _q_percentile_ranks,
         # round 5 (late): js_divergence admitted above the cap;
         # vec_dup_clusters demoted — it shares the connected-components
         # machinery with dup_clusters (above the cap) and its pair
@@ -2052,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_skip_counts": _q_media_skip_counts,
         # ---- below the driver's 50-row cap (operators still fully
         # pytest-covered; oracles retained where they exist) ----
+        "quality_filter": _q_quality_filter,
         "zipf_buckets": _q_zipf_buckets,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
         "conjunctive_search": _q_conjunctive,
@@ -2664,6 +2686,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["retention_cohorts"] = retention_cohorts_sql()
+    from raysearch.pipelines.profile import percentile_ranks_sql
+
+    out["percentile_ranks"] = percentile_ranks_sql("n_chars")
     out["customers_no_orders"] = anti_join_sql(
         left_table="customer", right_table="orders",
         left_key="c_custkey", right_key="o_custkey",

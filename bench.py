@@ -160,6 +160,7 @@ def _pipeline_bench() -> dict:
         "prefix_jaccard_pairs": E._q_prefix_jaccard_pairs,
         "retention_cohorts": E._q_retention_cohorts,
         "customers_no_orders": E._q_customers_no_orders,
+        "percentile_ranks": E._q_percentile_ranks,
     }
     out = {}
     for name, fn in stages.items():

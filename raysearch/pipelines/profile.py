@@ -219,3 +219,88 @@ def exact_quantiles_by(ds, col: str, qs: list[float], *, group_col: str):
     import ray.data as rd
 
     return rd.from_arrow(res)
+
+
+def percentile_ranks(ds, col: str, *, id_col: str = "doc_id"):
+    """Annotate every row with its EXACT global ``percent_rank`` and
+    ``cume_dist`` over an integer-domain column — the distributed
+    window function, computed WITHOUT a global sort: ties share a
+    rank, so both statistics are pure functions of (value, histogram)
+    and the histogram is the only exchange (domain-bounded, the
+    :func:`exact_quantiles` pattern).
+
+    ``pr_qi = (count_less · 10⁹) // (n − 1)`` (SQL
+    ``(rank() − 1)/(n − 1)``) and ``cd_qi = (count_le · 10⁹) // n``
+    (SQL ``cume_dist``) — integer floor arithmetic end-to-end, so
+    rows are bit-identical across parallelism and vs the window-twin.
+    (BIGINT headroom: count × 10⁹ caps the exact path at ~9·10⁹ rows;
+    past that the SQL twin needs HUGEINT and the engine 128-bit
+    Python ints — same structure.)  Plan: one value-counts fold →
+    driver prefix sums (≤ MAX_QUANTILE_BINS rows) → one broadcast
+    zero-shuffle annotate pass; the curriculum-bucketing primitive
+    (train on the easiest X %, anneal by percentile)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.drop_null(b[col]))
+        return pa.table(
+            {"value": pc.cast(vc.field("values"), pa.int64()),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    hist = (
+        ds.select_columns([col])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    parts = [p for p in ray.get(hist.to_arrow_refs()) if p.num_rows]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"value": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if merged.num_rows > MAX_QUANTILE_BINS:
+        raise ValueError(
+            f"{col}: {merged.num_rows} distinct values exceeds "
+            f"MAX_QUANTILE_BINS={MAX_QUANTILE_BINS}; use a sketch"
+        )
+    vals = merged["value"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="stable")
+    vals = vals[order]
+    cnts = merged["n"].to_numpy(zero_copy_only=False)[order]
+    cum_le = np.cumsum(cnts)
+    cum_lt = cum_le - cnts
+    n = int(cum_le[-1]) if len(cum_le) else 0
+    ref = ray.put((vals, cum_lt, cum_le))
+
+    def annotate(b: pa.Table) -> pa.Table:
+        values, lt, le = ray.get(ref)
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(values, v)
+        pr = (lt[idx] * 1_000_000_000) // max(n - 1, 1)
+        cd = (le[idx] * 1_000_000_000) // max(n, 1)
+        return pa.table(
+            {id_col: b[id_col], col: b[col],
+             "pr_qi": pa.array(pr, pa.int64()),
+             "cd_qi": pa.array(cd, pa.int64())}
+        )
+
+    return (
+        ds.select_columns([id_col, col])
+        .map_batches(annotate, batch_format="pyarrow")
+        .sort(id_col)
+    )
+
+
+def percentile_ranks_sql(col: str, *, id_col: str = "doc_id",
+                         table: str = "documents") -> str:
+    """DuckDB twin of :func:`percentile_ranks` (rank()/count() window
+    form with the same integer floor scaling)."""
+    return (
+        f"SELECT {id_col}, {col}, "
+        f"CAST(((rank() OVER (ORDER BY {col})) - 1) * 1000000000 "
+        f"// greatest(count(*) OVER () - 1, 1) AS BIGINT) AS pr_qi, "
+        f"CAST((count(*) OVER (ORDER BY {col})) * 1000000000 "
+        f"// greatest(count(*) OVER (), 1) AS BIGINT) AS cd_qi "
+        f"FROM {table} ORDER BY {id_col}"
+    )

@@ -828,3 +828,37 @@ def test_anti_join_matches_duckdb_and_edge_cases(ray_session):
         columns=["c_custkey", "c_name"],
     ).to_pandas()
     assert list(all_kept["c_custkey"]) == [1, 2, 3, 4, 5]
+
+
+def test_percentile_ranks_matches_duckdb(ray_session):
+    """Exact percent_rank/cume_dist equal the window twin, ties share
+    ranks, min gets pr 0 and max gets cd 1e9."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.profile import (
+        percentile_ranks,
+        percentile_ranks_sql,
+    )
+
+    vals = [5, 3, 3, 9, 1, 3, 9, 7]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(vals)), pa.int64()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })
+    got = (
+        percentile_ranks(rd.from_arrow(tbl).repartition(3), "n_chars")
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(percentile_ranks_sql("n_chars")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by_id = {r.doc_id: (r.pr_qi, r.cd_qi) for r in got.itertuples()}
+    assert by_id[4] == (0, 125_000_000)               # min value 1
+    assert by_id[3] == by_id[6]                       # ties share rank
+    assert by_id[3][1] == 1_000_000_000               # max: cd = 1
+    # value 3 (three ties): count_less=1 -> pr = 1e9//7
+    assert by_id[1][0] == 1_000_000_000 // 7
