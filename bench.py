@@ -161,6 +161,10 @@ def _pipeline_bench() -> dict:
         "retention_cohorts": E._q_retention_cohorts,
         "customers_no_orders": E._q_customers_no_orders,
         "percentile_ranks": E._q_percentile_ranks,
+        "sliding_chunks": E._q_sliding_chunks,
+        "ngram_novelty": E._q_ngram_novelty,
+        "edit_distance_pairs": E._q_edit_distance_pairs,
+        "vocab_encode": E._q_vocab_encode,
     }
     out = {}
     for name, fn in stages.items():

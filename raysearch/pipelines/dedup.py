@@ -1732,3 +1732,283 @@ def assign_clusters(ds, comp, *, id_col: str = "doc_id"):
         return pa.table({id_col: b["u"], "cluster_id": b["cluster_id"]})
 
     return out.map_batches(rename, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# Character-level edit-distance near-dup (exact, length-bucket blocked)
+# ---------------------------------------------------------------------------
+
+
+def _lev_capped(a: str, b: str, k: int) -> int:
+    """Levenshtein distance between ``a`` and ``b`` (character ops over
+    Unicode code points), capped at ``k + 1``: returns the exact
+    distance when it is ≤ k, else ``k + 1``.  Row DP vectorized with
+    numpy — the sequential ``cur[j-1] + 1`` insertion term becomes a
+    prefix-min after the ``c[j] - j`` change of variable — with an
+    early abandon as soon as a whole row exceeds ``k``."""
+    if abs(len(a) - len(b)) > k:
+        return k + 1
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if lb == 0:
+        return min(la, k + 1)
+    bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(lb + 1, dtype=np.int32)
+    idx = np.arange(lb + 1, dtype=np.int32)
+    for i, ca in enumerate(a, 1):
+        t = np.minimum(prev[1:] + 1, prev[:-1] + (bv != np.uint32(ord(ca))))
+        u = np.minimum.accumulate(np.concatenate(([np.int32(i)], t - idx[1:])))
+        prev = u + idx
+        if prev.min() > k:
+            return k + 1
+    return int(min(prev[lb], k + 1))
+
+
+def _char_hists(texts: list[str]) -> np.ndarray:
+    """(n_docs, 129) code-point histograms: 128 ASCII bins + one
+    catch-all for non-ASCII (lower bound only, still admissible)."""
+    out = np.zeros((len(texts), 129), dtype=np.int32)
+    for i, t in enumerate(texts):
+        if t.isascii():
+            out[i, :128] = np.bincount(
+                np.frombuffer(t.encode(), dtype=np.uint8), minlength=128
+            )
+        else:
+            cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            np.add.at(out[i], np.minimum(cps, 128).astype(np.int64), 1)
+    return out
+
+
+def edit_distance_pairs(ds, max_dist: int = 30):
+    """EXACT all-pairs character-level Levenshtein ≤ ``max_dist`` —
+    the dedup family's byte/character member (template boilerplate,
+    near-identical regenerations, OCR-noise dups that word-shingle
+    Jaccard misses when every word mutates slightly).
+
+    Blocking is length-bucketed and provably complete: edit distance
+    ≥ |len(a) − len(b)|, and with each doc emitted into buckets
+    ``len // d`` and ``len // d + 1`` every qualifying pair shares the
+    canonical bucket ``max(la // d, lb // d)`` (emitted exactly once
+    there).  Inside a bucket, candidates are pruned by an admissible
+    code-point-histogram bound (edit ≥ L1(hist_a, hist_b) / 2, each
+    substitution moves two histogram units, each indel one) before the
+    exact capped DP (:func:`_lev_capped`) runs on survivors.
+
+    Like :func:`jaccard_pairs_exact` this is the verification-scale
+    EXACT member of its family — in-bucket candidate generation is
+    quadratic in docs-per-length-bucket, so at 100 TB you run it on a
+    sampled or pre-blocked slice (the scale paths are
+    :func:`minhash_lsh_pairs` / :func:`prefix_jaccard_pairs`); unlike
+    them it must NOT star-cap hot buckets, or exactness vs the
+    ``levenshtein()`` oracle would break.
+
+    Output: ``(doc_a, doc_b, dist)`` with ``doc_a < doc_b``, pinned
+    ``(doc_a, doc_b)`` order and int64 dtypes across partitionings."""
+    d = int(max_dist)
+    if d < 1:
+        raise ValueError("max_dist must be >= 1")
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        n = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        base = pc.divide(n, pa.scalar(d, pa.int64()))
+        lo = pa.table(
+            {"bucket": base, "doc_id": ids, "text": batch["text"], "n": n}
+        )
+        hi = pa.table(
+            {
+                "bucket": pc.add(base, pa.scalar(1, pa.int64())),
+                "doc_id": ids,
+                "text": batch["text"],
+                "n": n,
+            }
+        )
+        return pa.concat_tables([lo, hi])
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+        sub = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(sub) < 2:
+            return empty
+        g = int(sub["bucket"].iloc[0])
+        ids = sub["doc_id"].to_numpy()
+        texts = sub["text"].tolist()
+        n = sub["n"].to_numpy()
+        ai, bi = np.triu_indices(len(ids), k=1)
+        # length prefilter + canonical-bucket dedup (emit once, in
+        # the max of the two base buckets)
+        keep = (np.abs(n[ai] - n[bi]) <= d) & (
+            np.maximum(n[ai] // d, n[bi] // d) == g
+        )
+        ai, bi = ai[keep], bi[keep]
+        if not len(ai):
+            return empty
+        hists = _char_hists(texts)
+        l1 = np.abs(hists[ai] - hists[bi]).sum(axis=1)
+        keep = l1 <= 2 * d
+        ai, bi = ai[keep], bi[keep]
+        rows = []
+        for x, y in zip(ai, bi):
+            dist = _lev_capped(texts[x], texts[y], d)
+            if dist <= d:
+                rows.append((int(ids[x]), int(ids[y]), dist))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "dist"])
+        return out.astype({"doc_a": "int64", "doc_b": "int64", "dist": "int64"})
+
+    return (
+        ds.map_batches(to_buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-occurrence n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(ds, shingle: int = 3):
+    """Per-doc FIRST-OCCURRENCE novelty profile: for each doc with at
+    least ``shingle`` tokens, the number of distinct word-``shingle``
+    n-grams it contains, how many of those the doc introduces to the
+    corpus (no doc with a smaller doc_id contains them), and the novel
+    fraction — the curation statistic behind "is this source adding
+    new content or re-treading the corpus" mixing decisions
+    (vocab_growth's unigram curve generalized to n-grams and resolved
+    per document).
+
+    Plan: ONE tokenize pass → per-doc sorted-unique shingle-hash blobs
+    (:class:`_ShingleSets`, shared with the minhash / prefix-jaccard /
+    decontaminate paths) → explode to ``(shingle_hash, doc_id)`` int
+    pairs → THREE native hash aggregates, never a per-group Python fn:
+    ``groupby(key).Min(doc_id)`` (first occurrence per shingle) →
+    ``groupby(first_doc).Count()`` (novel count per doc), unioned with
+    ``groupby(doc_id).Count()`` (distinct-shingle count per doc) via
+    the tagged-column trick from :func:`assign_clusters` and folded by
+    one final ``groupby(doc_id).Sum``.  All exchanges are pure-int
+    rows (16 B each), no text after the first pass; the min-per-group
+    shape is skew-safe (a hot shingle grows one group linearly, never
+    quadratically).  Engine keys are blake2b-64 hashes, the oracle
+    keys string shingles — equal absent 64-bit collisions (the
+    decontaminate / jaccard_pairs_exact argument).
+
+    Output: ``(doc_id, n_shingles, n_novel, novelty)`` sorted by
+    doc_id; docs with fewer than ``shingle`` tokens have no shingle
+    set and are absent (the oracle mirrors with ``len(toks) >= k``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    sh = ds.map_batches(
+        _shingle_set_task, fn_kwargs={"shingle": shingle}, batch_format="pyarrow"
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parent, vals = _unpack_blob_col(batch["shingles"])
+        return pa.table(
+            {
+                "key": pa.array(vals.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[parent], pa.int64()),
+            }
+        )
+
+    pairs = sh.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def tag_novel(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["first_doc"], pa.int64()),
+                "n_shingles": pa.array(np.zeros(n, np.int64)),
+                "n_novel": pc.cast(b["n_novel"], pa.int64()),
+            }
+        )
+
+    novel = (
+        pairs.groupby("key")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+        .groupby("first_doc")
+        .aggregate(Count(alias_name="n_novel"))
+        .map_batches(tag_novel, batch_format="pyarrow")
+    )
+
+    def tag_total(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                "n_shingles": pc.cast(b["n_shingles"], pa.int64()),
+                "n_novel": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    total = (
+        pairs.groupby("doc_id")
+        .aggregate(Count(alias_name="n_shingles"))
+        .map_batches(tag_total, batch_format="pyarrow")
+    )
+
+    agg = total.union(novel).groupby("doc_id").aggregate(
+        Sum("n_shingles", alias_name="n_shingles"),
+        Sum("n_novel", alias_name="n_novel"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = pc.cast(batch["n_shingles"], pa.int64())
+        nv = pc.cast(batch["n_novel"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_shingles": ns,
+                "n_novel": nv,
+                "novelty": pc.divide(
+                    pc.cast(nv, pa.float64()), pc.cast(ns, pa.float64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def ngram_novelty_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`ngram_novelty` (3-shingles; string keys
+    where the engine uses blake2b-64 hashes — equal absent
+    collisions)."""
+    return (
+        f"WITH arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        f"'[^a-z0-9]+'), x -> x <> '') AS toks FROM {table}), "
+        "sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle "
+        "FROM arr, UNNEST(range(1, len(toks)-1)) AS t(i) WHERE len(toks) >= 3), "
+        "f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1) "
+        "SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+        "CAST(count(*) FILTER (s.doc_id = f.first_doc) AS BIGINT) AS n_novel, "
+        "CAST(count(*) FILTER (s.doc_id = f.first_doc) AS DOUBLE) / count(*) AS novelty "
+        "FROM sh s JOIN f USING (shingle) GROUP BY 1 ORDER BY 1"
+    )
+
+
+def edit_distance_pairs_sql(max_dist: int = 30, table: str = "documents") -> str:
+    """DuckDB twin of :func:`edit_distance_pairs` — exhaustive join
+    with the same admissible length prefilter (edit ≥ |len diff|), so
+    it is complete over whatever ``table`` holds."""
+    d = int(max_dist)
+    return (
+        f"WITH p AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        f"levenshtein(a.text, b.text) AS dist "
+        f"FROM {table} a JOIN {table} b ON a.doc_id < b.doc_id "
+        f"AND abs(length(a.text) - length(b.text)) <= {d}) "
+        f"SELECT da AS doc_a, db AS doc_b, CAST(dist AS BIGINT) AS dist "
+        f"FROM p WHERE dist <= {d} ORDER BY 1, 2"
+    )

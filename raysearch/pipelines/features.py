@@ -111,3 +111,153 @@ def tfidf_features(ds, dim: int = 1024, decimals: int = 4):
         )
 
     return hashed.map_batches(weigh, batch_format="pyarrow")
+
+
+def build_vocab(ds, vocab_size: int = 1024) -> "pa.Table":
+    """Top-``vocab_size`` terms by corpus frequency with PINNED tie
+    order (count desc, term asc) and contiguous ids ``0..V-1`` — the
+    dictionary-featurization / pretokenization vocabulary.
+
+    Per-batch partial counts (one row per DISTINCT term per batch) →
+    one vocabulary-bounded ``groupby(term)`` fold → block-local exact
+    top-V (the fold hash-partitions terms, so each folded block holds
+    FINAL counts — the ``bigram_topk`` pruning argument) → global sort
+    over ≤ V × blocks candidate rows → ``limit(V)``.  The only driver
+    materialization is the V-row vocabulary itself (bounded by the
+    caller's parameter, never by the corpus)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        inst = _CACHE.get(0)
+        if inst is None:
+            inst = _CACHE[0] = _HashedFeatures(1)  # lexer carrier
+        _, codes, uniq = inst.lexer.token_parent_codes(
+            batch["text"].combine_chunks()
+        )
+        if len(codes) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"term": pa.array(list(uniq), pa.string()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def local_topv(b: pa.Table) -> pa.Table:
+        b = b.append_column("_negn", pc.multiply(b["n"], pa.scalar(-1)))
+        order = pc.sort_indices(
+            b, sort_keys=[("_negn", "ascending"), ("term", "ascending")]
+        )
+        return b.take(order[: vocab_size])
+
+    cand = (
+        folded.map_batches(local_topv, batch_format="pyarrow")
+        .sort(["_negn", "term"])
+        .limit(vocab_size)
+    )
+    batches = [pa.table(b) for b in cand.iter_batches(batch_format="pyarrow")]
+    if batches:
+        tbl = pa.concat_tables(batches).drop_columns(["_negn"])
+    else:
+        tbl = pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    return tbl.append_column(
+        "token_id", pa.array(np.arange(tbl.num_rows, dtype=np.int64))
+    ).select(["token_id", "term", "n"])
+
+
+def vocab_encode(ds, vocab_size: int = 1024):
+    """Pretokenization: encode every doc into its ordered token-id
+    sequence under the corpus top-``vocab_size`` vocabulary
+    (:func:`build_vocab`), OOV → −1 — the step that turns curated text
+    into trainer-ready integer streams (and the exact-dictionary
+    counterpart of :func:`hashed_features`' hash trick).
+
+    The V-row vocabulary is broadcast ONCE via ``ray.put`` and read by
+    every encode task (never re-shipped per batch); encoding is one
+    stateful-lexer pass — per batch, the dict lookup runs once per
+    DISTINCT surface form and is broadcast back through integer codes,
+    and per-token positions come from one ``arange`` minus the
+    flattened row starts.  No shuffle beyond the pinned output sort.
+
+    Output: ``(doc_id, pos, token_id)`` — one row per kept token,
+    pinned (doc_id, pos) order, int64 throughout."""
+    import ray
+
+    vocab = build_vocab(ds, vocab_size)
+    vmap = dict(
+        zip(
+            vocab["term"].to_pylist(),
+            vocab["token_id"].to_numpy(zero_copy_only=False),
+        )
+    )
+    vref = ray.put(vmap)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vm = ray.get(vref)
+        inst = _CACHE.get(0)
+        if inst is None:
+            inst = _CACHE[0] = _HashedFeatures(1)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parent, codes, uniq = inst.lexer.token_parent_codes(
+            batch["text"].combine_chunks()
+        )
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "token_id": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.fromiter(
+            (vm.get(t, -1) for t in uniq), dtype=np.int64, count=len(uniq)
+        )
+        # positions: token order within each row is list_flatten order;
+        # parent is non-decreasing, so row starts fall out of the deltas
+        starts = np.flatnonzero(
+            np.concatenate(([True], parent[1:] != parent[:-1]))
+        )
+        base = np.repeat(
+            np.arange(len(parent), dtype=np.int64)[starts],
+            np.diff(np.concatenate((starts, [len(parent)]))),
+        )
+        pos = np.arange(len(parent), dtype=np.int64) - base
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[parent], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token_id": pa.array(ids[codes], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow").sort(
+        ["doc_id", "pos"]
+    )
+
+
+def vocab_encode_sql(vocab_size: int = 1024, table: str = "documents") -> str:
+    """DuckDB twin of :func:`vocab_encode` (same tokenizer rule, same
+    (count desc, term asc) vocabulary order, LEFT JOIN → −1 OOV)."""
+    return (
+        f"WITH arr AS (SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        f"'[^a-z0-9]+'), x -> x <> '') AS toks FROM {table}), "
+        "tok AS (SELECT doc_id, i - 1 AS pos, toks[i] AS term "
+        "FROM arr, UNNEST(range(1, len(toks) + 1)) AS t(i)), "
+        "cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1), "
+        "vocab AS (SELECT term, row_number() OVER (ORDER BY c DESC, term) - 1 "
+        f"AS token_id FROM cnt ORDER BY c DESC, term LIMIT {int(vocab_size)}) "
+        "SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, "
+        "CAST(COALESCE(v.token_id, -1) AS BIGINT) AS token_id "
+        "FROM tok t LEFT JOIN vocab v USING (term) ORDER BY doc_id, pos"
+    )

@@ -169,3 +169,76 @@ def chunk_manifest_sql(seq_len: int, table: str = "documents") -> str:
         f"- greatest(s, chunk_id * {ln}) + 1 AS BIGINT) AS n "
         "FROM e ORDER BY chunk_id, doc_id"
     )
+
+
+def sliding_chunks(ds, window: int = 64, stride: int = 48):
+    """RAG-style overlapping token windows: one row per (doc, chunk)
+    where chunk ``i`` covers whitespace tokens ``[i*stride,
+    min(i*stride + window, n))`` — the retrieval-corpus chunking step
+    that precedes embedding (every doc sliced into fixed windows with
+    ``window - stride`` tokens of overlap so no boundary sentence is
+    lost to a hard cut).
+
+    Pure per-row arithmetic on the vectorized whitespace token count
+    (the ``pack_offsets`` / ``token_counts`` rule) — no shuffle, no
+    state, embarrassingly parallel at any scale; the explode is
+    numpy ``repeat``/``arange``, never a Python loop.  A doc with
+    ``0 < n ≤ window`` yields exactly one chunk ``[0, n)``; an empty
+    doc yields none; chunk count is ``1 + ceil(max(n - window, 0) /
+    stride)`` so the final window always reaches the last token and
+    no chunk is a pure suffix of its predecessor.
+
+    Output: ``(doc_id, chunk_idx, tok_start, tok_end, chunk_tokens)``
+    with pinned ``(doc_id, chunk_idx)`` order (block completion order
+    is nondeterministic under parallel reads, so the gate-facing order
+    is sorted explicitly, the ``chunk_manifest`` convention), int64
+    throughout."""
+    w, s = int(window), int(stride)
+    if w < 1 or s < 1 or s > w:
+        raise ValueError("need 1 <= stride <= window")
+
+    def chunks(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy()
+        n = (
+            pc.cast(
+                pc.count_substring_regex(b["text"], pattern=WS_TOKEN_PATTERN),
+                pa.int64(),
+            )
+            .to_numpy()
+        )
+        k = np.where(n > 0, 1 + (np.maximum(n - w, 0) + s - 1) // s, 0)
+        doc = np.repeat(ids, k)
+        base = np.repeat(np.cumsum(k) - k, k)
+        idx = np.arange(int(k.sum()), dtype=np.int64) - base
+        tok_start = idx * s
+        tok_end = np.minimum(tok_start + w, np.repeat(n, k))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "tok_end": pa.array(tok_end, pa.int64()),
+                "chunk_tokens": pa.array(tok_end - tok_start, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow").sort(
+        ["doc_id", "chunk_idx"]
+    )
+
+
+def sliding_chunks_sql(window: int, stride: int, table: str = "documents") -> str:
+    """DuckDB twin of :func:`sliding_chunks` (same whitespace token
+    rule, same chunk-count formula, range explode)."""
+    w, s = int(window), int(stride)
+    return (
+        f"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) "
+        f"AS n FROM {table}), "
+        f"c AS (SELECT doc_id, n, CASE WHEN n = 0 THEN 0 ELSE "
+        f"1 + (greatest(n - {w}, 0) + {s} - 1) // {s} END AS k FROM t) "
+        f"SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"CAST(i * {s} AS BIGINT) AS tok_start, "
+        f"CAST(least(i * {s} + {w}, n) AS BIGINT) AS tok_end, "
+        f"CAST(least(i * {s} + {w}, n) - i * {s} AS BIGINT) AS chunk_tokens "
+        f"FROM c, UNNEST(range(0, k)) AS u(i) ORDER BY doc_id, chunk_idx"
+    )

@@ -40,6 +40,10 @@ DEFAULT_QUERIES = [
     "chunk_manifest",
     "zipf_buckets",
     "js_divergence",
+    "sliding_chunks",
+    "ngram_novelty",
+    "edit_distance_pairs",
+    "vocab_encode",
 ]
 
 

@@ -1,0 +1,341 @@
+"""Round-5 late additions: sliding_chunks (RAG window chunking),
+ngram_novelty (first-occurrence n-gram profile) and
+edit_distance_pairs (exact banded Levenshtein near-dup) — each checked
+against its DuckDB twin, across partitionings, and on edge cases the
+sf corpora don't exercise (empty docs, bucket-straddling lengths,
+non-ASCII text)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _doc_table(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding_chunks
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_chunks_matches_duckdb_and_edges(ray_session):
+    """Window arithmetic equals the SQL twin for empty, short, exactly
+    window-sized, one-over and long docs; last chunk reaches the final
+    token; no chunk is a suffix of its predecessor."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.packing import sliding_chunks, sliding_chunks_sql
+
+    w, s = 5, 3
+    texts = [
+        "",                                  # 0 tokens -> no chunks
+        "a b c",                             # n < w -> one chunk [0, 3)
+        "a b c d e",                         # n == w -> one chunk [0, 5)
+        "a b c d e f",                       # n == w+1 -> [0,5) + [3,6)
+        " ".join(f"t{i}" for i in range(17)),  # long
+    ]
+    tbl = _doc_table(texts)
+    got = (
+        sliding_chunks(rd.from_arrow(tbl).repartition(3), window=w, stride=s)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(sliding_chunks_sql(w, s)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert not (got["doc_id"] == 0).any()                      # empty doc
+    assert list(got[got["doc_id"] == 3]["tok_start"]) == [0, 3]
+    long = got[got["doc_id"] == 4]
+    assert long["tok_end"].iloc[-1] == 17                      # reaches end
+    # every consecutive chunk adds at least one new token
+    assert (long["tok_end"].diff().dropna() > 0).all()
+
+
+def test_sliding_chunks_validates_params(ray_session):
+    import ray.data as rd
+
+    from raysearch.pipelines.packing import sliding_chunks
+
+    ds = rd.from_arrow(_doc_table(["a b"]))
+    with pytest.raises(ValueError):
+        sliding_chunks(ds, window=4, stride=5)   # stride > window
+    with pytest.raises(ValueError):
+        sliding_chunks(ds, window=0, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_matches_duckdb_and_planted_dup(ray_session):
+    """A verbatim duplicate introduces nothing (novelty 0); the corpus
+    opener introduces everything (novelty 1); a doc with < k tokens is
+    absent; values equal the DuckDB string-shingle twin."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import ngram_novelty, ngram_novelty_sql
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",   # opener: all novel
+        "an entirely different second document body here",
+        "the quick brown fox jumps over the lazy dog",   # dup of doc 0
+        "the quick brown fox sat very still today",      # partial overlap
+        "too short",                                     # < 3 tokens: absent
+    ]
+    tbl = _doc_table(texts)
+    got = (
+        ngram_novelty(rd.from_arrow(tbl).repartition(3), shingle=3)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(ngram_novelty_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by_id = got.set_index("doc_id")
+    assert 4 not in by_id.index
+    assert by_id.loc[0, "novelty"] == 1.0
+    assert by_id.loc[2, "novelty"] == 0.0 and by_id.loc[2, "n_novel"] == 0
+    assert by_id.loc[2, "n_shingles"] == by_id.loc[0, "n_shingles"]
+    assert 0.0 < by_id.loc[3, "novelty"] < 1.0
+
+
+def test_ngram_novelty_sf0001_slice_matches_duckdb(ray_session):
+    """The real sf0.001 corpus through the full distributed plan."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import ngram_novelty, ngram_novelty_sql
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    docs = rd.read_parquet(p, columns=["doc_id", "text"])
+    got = ngram_novelty(docs, shingle=3).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    orc = con.execute(ngram_novelty_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs
+# ---------------------------------------------------------------------------
+
+
+def _lev_reference(a: str, b: str) -> int:
+    """Plain quadratic DP, the textbook reference."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
+
+
+def test_lev_capped_matches_reference():
+    """Capped numpy DP equals the textbook DP whenever dist <= k, and
+    returns k+1 (never an undershoot) when the true distance exceeds
+    the cap — fuzzed over random mutation pairs incl. non-ASCII."""
+    from raysearch.pipelines.dedup import _lev_capped
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcdé文 xyz")
+    for trial in range(60):
+        n = int(rng.integers(0, 40))
+        a = "".join(rng.choice(alpha, size=n))
+        b = list(a)
+        for _ in range(int(rng.integers(0, 8))):
+            op = rng.integers(0, 3)
+            pos = int(rng.integers(0, max(len(b), 1)))
+            if op == 0 and b:
+                b[pos % len(b)] = str(rng.choice(alpha))
+            elif op == 1:
+                b.insert(pos, str(rng.choice(alpha)))
+            elif b:
+                del b[pos % len(b)]
+        b = "".join(b)
+        true = _lev_reference(a, b)
+        for k in (0, 2, 5, 50):
+            got = _lev_capped(a, b, k)
+            assert got == (true if true <= k else k + 1), (a, b, k)
+
+
+def test_edit_distance_pairs_matches_duckdb_and_bucket_straddle(ray_session):
+    """Engine pairs equal the exhaustive DuckDB ``levenshtein`` twin,
+    including a pair whose lengths straddle a length-bucket boundary
+    (the canonical-bucket emission rule) and identical docs (dist 0);
+    each qualifying pair is emitted exactly once."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_sql,
+    )
+
+    d = 10
+    base = "x" * 9               # len 9: buckets {0, 1} at width 10
+    straddle = "x" * 11          # len 11: buckets {1, 2} -> shared bucket 1
+    texts = [
+        base,
+        straddle,                            # dist 2 from base
+        "completely unrelated content that is rather long indeed",
+        base,                                # exact dup of doc 0 (dist 0)
+        "x" * 9 + "yyyyy",                   # dist 5 from doc 0
+    ]
+    tbl = _doc_table(texts)
+    got = (
+        edit_distance_pairs(rd.from_arrow(tbl).repartition(3), max_dist=d)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(edit_distance_pairs_sql(d)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs                       # bucket straddle found
+    assert (0, 3) in pairs and (1, 3) in pairs   # exact dup
+    assert len(pairs) == len(got)                # emitted exactly once
+
+
+def test_edit_distance_pairs_sf0001_slice_matches_duckdb(ray_session):
+    """A 100-doc slice of the real sf0.001 corpus (doc_id % 5 == 0)
+    through the full distributed plan vs the exhaustive oracle."""
+    import duckdb
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import (
+        edit_distance_pairs,
+        edit_distance_pairs_sql,
+    )
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+
+    def sl(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        keep = pc.equal(
+            pc.subtract(
+                ids, pc.multiply(pc.divide(ids, pa.scalar(5, pa.int64())),
+                                 pa.scalar(5, pa.int64()))
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return b.filter(keep)
+
+    docs = rd.read_parquet(p, columns=["doc_id", "text"]).map_batches(
+        sl, batch_format="pyarrow"
+    )
+    got = edit_distance_pairs(docs, max_dist=30).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    orc = con.execute(
+        edit_distance_pairs_sql(
+            30, table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"
+        )
+    ).fetchdf()
+    assert got[orc.columns].equals(orc)
+
+
+def test_edit_distance_pairs_deterministic_across_partitionings(ray_session):
+    """Same bytes regardless of input partitioning (the gate's
+    order/dtype determinism contract)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from raysearch.pipelines.dedup import edit_distance_pairs
+
+    texts = ["alpha beta " + "z" * i for i in range(20)] + ["alpha beta z"]
+    tbl = _doc_table(texts)
+    hashes = []
+    for n_blocks in (1, 6):
+        df = (
+            edit_distance_pairs(rd.from_arrow(tbl).repartition(n_blocks), 8)
+            .to_pandas()
+        )
+        df = df[sorted(df.columns)]
+        hashes.append(
+            hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+        )
+    assert hashes[0] == hashes[1]
+    assert len(set(hashes)) == 1
+
+
+# ---------------------------------------------------------------------------
+# vocab_encode
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_encode_matches_duckdb_oov_and_ties(ray_session):
+    """Top-V vocabulary pins ties (count desc, term asc), OOV encodes
+    as -1, positions follow token order, empty docs emit nothing —
+    all equal to the DuckDB twin."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.features import (
+        build_vocab,
+        vocab_encode,
+        vocab_encode_sql,
+    )
+
+    texts = [
+        "bb aa bb cc",          # bb:2
+        "aa cc dd bb",          # aa:2 cc:2 dd:1 -> tie aa/bb/cc broken asc
+        "",                     # empty: no rows
+        "ee dd aa",             # ee rare -> OOV at V=3
+    ]
+    tbl = _doc_table(texts)
+    ds = rd.from_arrow(tbl).repartition(2)
+    vocab = build_vocab(ds, vocab_size=3)
+    # counts: aa=3 bb=3 cc=3 dd=2 ee=1 -> top3 = aa,bb,cc (tie asc)
+    assert vocab["term"].to_pylist() == ["aa", "bb", "cc"]
+    assert vocab["token_id"].to_pylist() == [0, 1, 2]
+
+    got = vocab_encode(ds, vocab_size=3).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(vocab_encode_sql(3)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert not (got["doc_id"] == 2).any()
+    row3 = got[got["doc_id"] == 3]
+    assert list(row3["token_id"]) == [-1, -1, 0]   # ee,dd OOV; aa id 0
+    assert list(row3["pos"]) == [0, 1, 2]
+
+
+def test_vocab_encode_deterministic_across_partitionings(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from raysearch.pipelines.features import vocab_encode
+
+    texts = [f"w{i % 7} w{(i + 1) % 5} common" for i in range(30)]
+    tbl = _doc_table(texts)
+    hashes = []
+    for n_blocks in (1, 5):
+        df = vocab_encode(
+            rd.from_arrow(tbl).repartition(n_blocks), vocab_size=4
+        ).to_pandas()
+        df = df[sorted(df.columns)]
+        hashes.append(hashlib.md5(df.to_csv(index=False).encode()).hexdigest())
+    assert len(set(hashes)) == 1
