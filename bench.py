@@ -165,6 +165,9 @@ def _pipeline_bench() -> dict:
         "ngram_novelty": E._q_ngram_novelty,
         "edit_distance_pairs": E._q_edit_distance_pairs,
         "vocab_encode": E._q_vocab_encode,
+        "conv_role_stats": E._q_conv_role_stats,
+        "conv_dedup": E._q_conv_dedup,
+        "turn_gap_stats": E._q_turn_gap_stats,
     }
     out = {}
     for name, fn in stages.items():

@@ -5,7 +5,9 @@ pipeline needs around the core index engine: deduplication families
 and duplicate clustering (dedup.py), similarity search over embeddings
 (simsearch.py), text analysis / quality filtering / redaction
 (textstats.py), sampling and windowed ranking (sampling.py), sequence
-packing (packing.py), feature extraction (features.py), dataset
+packing (packing.py), feature extraction (features.py),
+conversation-level curation over the transcript shape's role/tool/ts
+columns (convstats.py), dataset
 profiling (profile.py), cardinality
 sketches (sketch.py), the composed curation flagship (curation.py),
 multimodal binary-column plumbing (multimodal.py), and generic

@@ -1,0 +1,292 @@
+"""Conversation-level curation operators over the north-rule
+transcript shape ``(conv_id, turn_idx, role, text, tool, ts)`` — the
+columns the index pipeline does not consume (role / tool / ts) become
+first-class curation signals here:
+
+* :func:`role_stats` — per-role turn/token/conversation counts (the
+  "how much assistant text vs user text am I training on" mix audit);
+* :func:`conv_dedup` — whole-conversation exact dedup: md5 over the
+  turn texts in pinned turn order, canonical keep = min conv_id per
+  hash (the conversation-granularity sibling of ``exact_dedup``);
+* :func:`tool_stats` — tool-call frequency and conversation reach per
+  tool (agent-transcript telemetry);
+* :func:`turn_gap_stats` — per-conversation inter-turn latency
+  profile from ``ts`` (exact integer microseconds, no float folds).
+
+All four stream: per-batch partials feed one or two small hash
+aggregates; the only per-group Python is :func:`conv_dedup`'s per-
+conversation md5, which is irreducible sequential work over that
+conversation's own bytes (a conversation is the natural work unit,
+never the corpus).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: simple-mode token rule as a COUNT kernel: occurrences of [a-z0-9]+
+#: runs in the lowered text == number of non-empty simple tokens
+#: (lex._MODES["simple"] splits on the complement), so SQL replays it
+#: with len(regexp_extract_all(lower(text), '[a-z0-9]+')).
+SIMPLE_TOKEN_RUN = r"[a-z0-9]+"
+
+
+def role_stats(ds):
+    """Per-role ``(role, n_convs, n_turns, n_tokens)`` sorted by role.
+
+    One pass emits per-batch ``(role, conv_id)`` partials with turn +
+    token sums; a ``groupby(role, conv_id)`` fold (bounded by convs ×
+    4 roles) collapses cross-batch splits, then ``groupby(role)``
+    counts conversations and sums the rest — distinct-conv counting
+    without a distinct operator."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        roles = b["role"].to_numpy(zero_copy_only=False)
+        convs = b["conv_id"].to_numpy(zero_copy_only=False)
+        toks = (
+            pc.count_substring_regex(
+                pc.utf8_lower(b["text"]), pattern=SIMPLE_TOKEN_RUN
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        key = pd.MultiIndex.from_arrays([roles, convs])
+        df = pd.DataFrame({"n_turns": 1, "n_tokens": toks}, index=key)
+        agg = df.groupby(level=[0, 1], sort=True).sum()
+        return pa.table(
+            {
+                "role": pa.array(
+                    agg.index.get_level_values(0).to_numpy(object), pa.string()
+                ),
+                "conv_id": pa.array(
+                    agg.index.get_level_values(1).to_numpy(object), pa.string()
+                ),
+                "n_turns": pa.array(agg["n_turns"].to_numpy(np.int64)),
+                "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["role", "conv_id"])
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )
+    out = per_conv.groupby("role").aggregate(
+        Count(alias_name="n_convs"),
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_tokens", alias_name="n_tokens"),
+    )
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "role": b["role"],
+                "n_convs": pc.cast(b["n_convs"], pa.int64()),
+                "n_turns": pc.cast(b["n_turns"], pa.int64()),
+                "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort("role")
+
+
+def role_stats_sql(table: str) -> str:
+    """DuckDB twin of :func:`role_stats`."""
+    return (
+        f"SELECT role, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs, "
+        f"CAST(count(*) AS BIGINT) AS n_turns, "
+        f"CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) "
+        f"AS n_tokens FROM {table} GROUP BY role ORDER BY role"
+    )
+
+
+def conv_dedup(ds):
+    """Whole-conversation exact dedup: ``(conv_id, content_hash,
+    keep)`` sorted by conv_id, where ``content_hash`` is the md5 hex
+    of the conversation's turn texts joined by ``\\x1f`` in turn_idx
+    order and ``keep`` marks the lexicographically-smallest conv_id
+    per hash (the canonical copy).
+
+    ``groupby(conv_id)`` routes each conversation's turns to one
+    group (per-conv md5 is irreducible sequential work); the hash →
+    canonical-min resolution reuses :func:`raysearch.util.
+    copartition_attach` over the n_convs-row hash table."""
+    from raysearch.util import copartition_attach
+
+    def conv_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        h = hashlib.md5(
+            "\x1f".join(g["text"].tolist()).encode()
+        ).hexdigest()
+        return pd.DataFrame(
+            {"conv_id": [g["conv_id"].iloc[0]], "content_hash": [h]}
+        )
+
+    hashes = (
+        ds.groupby("conv_id")
+        .map_groups(conv_hash, batch_format="pandas")
+        .materialize()
+    )
+
+    def to_min(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"content_hash": b["content_hash"], "canon": b["conv_id"]}
+        )
+
+    from ray.data.aggregate import Min
+
+    canon = (
+        hashes.map_batches(to_min, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("canon", alias_name="canon"))
+    )
+    joined = copartition_attach(
+        hashes,
+        canon,
+        key="content_hash",
+        left_schema=pa.schema(
+            [("conv_id", pa.string()), ("content_hash", pa.string())]
+        ),
+        payload={"canon": pa.string()},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "content_hash": b["content_hash"],
+                "keep": pc.equal(b["conv_id"], b["canon"]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("conv_id")
+
+
+def conv_dedup_sql(table: str) -> str:
+    """DuckDB twin of :func:`conv_dedup` (same separator byte, same
+    min-conv_id canonical rule)."""
+    return (
+        f"WITH h AS (SELECT conv_id, "
+        f"md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS content_hash "
+        f"FROM {table} GROUP BY conv_id) "
+        f"SELECT conv_id, content_hash, "
+        f"conv_id = min(conv_id) OVER (PARTITION BY content_hash) AS keep "
+        f"FROM h ORDER BY conv_id"
+    )
+
+
+def tool_stats(ds):
+    """Per-tool ``(tool, n_calls, n_convs)`` over tool-role turns,
+    sorted by tool — agent-telemetry mix audit.  Same distinct-conv
+    fold shape as :func:`role_stats`."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b["role"], pa.scalar("tool")),
+            pc.not_equal(b["tool"], pa.scalar("")),
+        )
+        b = b.filter(keep)
+        tools = b["tool"].to_numpy(zero_copy_only=False)
+        convs = b["conv_id"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([tools, convs])
+        agg = pd.DataFrame({"n_calls": 1}, index=key).groupby(
+            level=[0, 1], sort=True
+        ).sum()
+        return pa.table(
+            {
+                "tool": pa.array(
+                    agg.index.get_level_values(0).to_numpy(object), pa.string()
+                ),
+                "conv_id": pa.array(
+                    agg.index.get_level_values(1).to_numpy(object), pa.string()
+                ),
+                "n_calls": pa.array(agg["n_calls"].to_numpy(np.int64)),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tool", "conv_id"])
+        .aggregate(Sum("n_calls", alias_name="n_calls"))
+    )
+    out = per_conv.groupby("tool").aggregate(
+        Count(alias_name="n_convs"), Sum("n_calls", alias_name="n_calls")
+    )
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tool": b["tool"],
+                "n_calls": pc.cast(b["n_calls"], pa.int64()),
+                "n_convs": pc.cast(b["n_convs"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort("tool")
+
+
+def tool_stats_sql(table: str) -> str:
+    """DuckDB twin of :func:`tool_stats`."""
+    return (
+        f"SELECT tool, CAST(count(*) AS BIGINT) AS n_calls, "
+        f"CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
+        f"FROM {table} WHERE role = 'tool' AND tool <> '' "
+        f"GROUP BY tool ORDER BY tool"
+    )
+
+
+def turn_gap_stats(ds):
+    """Per-conversation inter-turn latency profile: ``(conv_id,
+    n_turns, total_gap_us, max_gap_us)`` sorted by conv_id, gaps =
+    consecutive ``ts`` deltas in turn_idx order.  Exact int64
+    microseconds end-to-end (no float folds); single-turn
+    conversations report 0/0.  Per-conv work is one vectorized sort +
+    diff inside the conversation's own group."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = np.diff(ts)
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": np.int64(len(g)),
+                "total_gap_us": d.sum() if len(d) else np.int64(0),
+                "max_gap_us": d.max() if len(d) else np.int64(0),
+            }
+        ).astype(
+            {
+                "n_turns": "int64",
+                "total_gap_us": "int64",
+                "max_gap_us": "int64",
+            }
+        )
+
+    return (
+        ds.groupby("conv_id")
+        .map_groups(gaps, batch_format="pandas")
+        .sort("conv_id")
+    )
+
+
+def turn_gap_stats_sql(table: str) -> str:
+    """DuckDB twin of :func:`turn_gap_stats`."""
+    return (
+        f"WITH g AS (SELECT conv_id, "
+        f"epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        f"(PARTITION BY conv_id ORDER BY turn_idx) AS gap FROM {table}) "
+        f"SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+        f"CAST(COALESCE(sum(gap), 0) AS BIGINT) AS total_gap_us, "
+        f"CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us "
+        f"FROM g GROUP BY conv_id ORDER BY conv_id"
+    )

@@ -44,6 +44,10 @@ DEFAULT_QUERIES = [
     "ngram_novelty",
     "edit_distance_pairs",
     "vocab_encode",
+    "conv_role_stats",
+    "conv_dedup",
+    "tool_stats",
+    "turn_gap_stats",
 ]
 
 

@@ -339,3 +339,119 @@ def test_vocab_encode_deterministic_across_partitionings(ray_session):
         df = df[sorted(df.columns)]
         hashes.append(hashlib.md5(df.to_csv(index=False).encode()).hexdigest())
     assert len(set(hashes)) == 1
+
+
+# ---------------------------------------------------------------------------
+# convstats (role_stats / conv_dedup / tool_stats / turn_gap_stats)
+# ---------------------------------------------------------------------------
+
+
+def _conv_table():
+    """Tiny transcript corpus with a planted duplicate conversation
+    (c3 == c1 content in the same turn order), shuffled row order, a
+    single-turn conversation and an empty tool field."""
+    rows = [
+        # conv, turn, role, text, tool, ts_us
+        ("c1", 1, "assistant", "beta gamma", "", 2_000_000),
+        ("c1", 0, "user", "alpha one", "", 1_000_000),
+        ("c2", 0, "user", "solo turn", "", 5_000_000),
+        ("c3", 0, "user", "alpha one", "", 9_000_000),
+        ("c3", 1, "tool", "beta gamma", "grep", 12_000_000),
+        ("c4", 1, "tool", "zz", "grep", 8_000_000),
+        ("c4", 0, "tool", "yy", "ls", 7_000_000),
+    ]
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+def test_conv_dedup_matches_duckdb_and_planted_dup(ray_session):
+    """c3 duplicates c1's ordered content (role/ts differ — content
+    hash covers TEXT in turn order only): c1 keeps (min conv_id), c3
+    drops; ordering is by turn_idx, not input row order."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import conv_dedup, conv_dedup_sql
+
+    tbl = _conv_table()
+    got = (
+        conv_dedup(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(conv_dedup_sql("corpus")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by = got.set_index("conv_id")
+    assert by.loc["c1", "content_hash"] == by.loc["c3", "content_hash"]
+    assert bool(by.loc["c1", "keep"]) and not bool(by.loc["c3", "keep"])
+    assert bool(by.loc["c2", "keep"]) and bool(by.loc["c4", "keep"])
+
+
+def test_role_and_tool_stats_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import (
+        role_stats,
+        role_stats_sql,
+        tool_stats,
+        tool_stats_sql,
+    )
+
+    tbl = _conv_table()
+    ds = rd.from_arrow(tbl).repartition(3)
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+
+    got = role_stats(ds).to_pandas().reset_index(drop=True)
+    orc = con.execute(role_stats_sql("corpus")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by = got.set_index("role")
+    assert by.loc["user", "n_convs"] == 3       # c1, c2, c3
+    assert by.loc["tool", "n_turns"] == 3       # c3 x1 + c4 x2
+
+    got_t = tool_stats(ds).to_pandas().reset_index(drop=True)
+    orc_t = con.execute(tool_stats_sql("corpus")).fetchdf()
+    assert got_t[orc_t.columns].equals(orc_t)
+    byt = got_t.set_index("tool")
+    assert byt.loc["grep", "n_calls"] == 2 and byt.loc["grep", "n_convs"] == 2
+    assert byt.loc["ls", "n_calls"] == 1
+
+
+def test_turn_gap_stats_matches_duckdb_and_single_turn(ray_session):
+    """Gaps follow turn_idx order even when input rows are shuffled
+    (c4's rows arrive reversed → gap 1s, never negative); single-turn
+    conversations report 0/0."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import turn_gap_stats, turn_gap_stats_sql
+
+    tbl = _conv_table()
+    got = (
+        turn_gap_stats(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(turn_gap_stats_sql("corpus")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by = got.set_index("conv_id")
+    assert by.loc["c2", "n_turns"] == 1
+    assert by.loc["c2", "total_gap_us"] == 0 == by.loc["c2", "max_gap_us"]
+    assert by.loc["c4", "total_gap_us"] == 1_000_000
+    assert by.loc["c1", "total_gap_us"] == 1_000_000
+    assert by.loc["c3", "total_gap_us"] == 3_000_000
