@@ -922,6 +922,36 @@ def _q_turn_gap_stats(sf_dir: str):
     return turn_gap_stats(_conv_corpus(sf_dir, ["conv_id", "turn_idx", "ts"]))
 
 
+def _q_sft_pairs(sf_dir: str):
+    """SFT (prompt, response) extraction (round 5, late): every
+    assistant turn directly preceded (turn_idx order) by a user turn
+    becomes a training pair."""
+    from raysearch.pipelines.convstats import sft_pairs
+
+    return sft_pairs(
+        _conv_corpus(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    )
+
+
+def _q_role_transitions(sf_dir: str):
+    """Global (prev_role, role) bigram counts (round 5, late):
+    conversation-structure audit over the transcript shape."""
+    from raysearch.pipelines.convstats import role_transitions
+
+    return role_transitions(
+        _conv_corpus(sf_dir, ["conv_id", "turn_idx", "role"])
+    )
+
+
+def _q_assistant_share(sf_dir: str):
+    """Per-conversation assistant-token share in exact integer basis
+    points + keep flag (round 5, late): drop conversations the
+    assistant barely speaks in, or monologues."""
+    from raysearch.pipelines.convstats import assistant_share
+
+    return assistant_share(_conv_corpus(sf_dir, ["conv_id", "role", "text"]))
+
+
 def _q_vocab_encode(sf_dir: str):
     """Dictionary pretokenization (round 5): corpus top-16 vocabulary
     (count desc, term asc — 16 < the corpus's 31 distinct terms, so
@@ -2123,23 +2153,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above the cap; the stats API stays pytest-checked (oracle
         # retained).
         "funnel_counts": _q_funnel_counts,
-        # round 5: epoch_shuffle admitted above the cap (new operators
-        # get driver-checked immediately); transcripts_bm25 demoted —
-        # its scoring path stays triply driver-checked via
-        # transcripts_bm25_sql, transcripts_bm25_sharded and bm25_topk
-        # (and pytest-pinned vs oracle.py).
-        "epoch_shuffle": _q_epoch_shuffle,
+        # round 5 (late): sft_pairs admitted above the cap (new
+        # operators get driver-checked immediately); epoch_shuffle
+        # demoted — its keyed-hash ordering/selection idiom stays
+        # driver-checked via group_sample_k (same keyed-hash bottom-k
+        # machinery, above the cap) and its seed-distinct permutation
+        # is pytest-pinned + crosspar byte-identity-checked (oracle
+        # retained below the cap).  epoch_shuffle's original admission
+        # note: transcripts_bm25's scoring path stays triply
+        # driver-checked via transcripts_bm25_sql / bm25_topk.
+        "sft_pairs": _q_sft_pairs,
         # round 5: group_sample_k admitted above the cap;
         # transcripts_reference demoted — its scorer stays
         # driver-checked via transcripts_reference_sql and
         # reference_topk (and pytest-pinned vs oracle.py).
         "group_sample_k": _q_group_sample_k,
-        # round 5: normalize_text admitted above the cap;
-        # hashed_features demoted — its hashing-trick mechanism (same
-        # Lexer + _stable_u64 % dim) stays driver-checked via
+        # round 5 (late): role_transitions admitted above the cap (new
+        # operators get driver-checked immediately); normalize_text
+        # demoted — its Arrow string-kernel map machinery stays
+        # driver-checked via redact_text (same RE2/utf8 kernel shape,
+        # above the cap); oracle + pytest + crosspar retained.
+        # normalize_text's original admission note: hashed_features'
+        # hashing-trick mechanism stays driver-checked via
         # tfidf_features.
-        "normalize_text": _q_normalize_text,
-        "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
+        "role_transitions": _q_role_transitions,
+        # round 5 (late): assistant_share admitted above the cap (new
+        # operators get driver-checked immediately; the conversation-
+        # granularity quality gate over the transcript shape);
+        # transcripts_bm25_sharded demoted — ShardedSearcher is
+        # pytest-pinned bit-identical to IndexSearcher
+        # (test_sharded_searcher_*), whose scorer stays driver-checked
+        # via transcripts_bm25_sql and bm25_topk above the cap (oracle
+        # retained below the cap).
+        "assistant_share": _q_assistant_share,
         "transcripts_snippets": _q_transcripts_snippets,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -2218,6 +2264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "tool_stats": _q_tool_stats,
         "turn_gap_stats": _q_turn_gap_stats,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "normalize_text": _q_normalize_text,
+        "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
         "quality_filter": _q_quality_filter,
         "zipf_buckets": _q_zipf_buckets,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
@@ -3011,6 +3060,15 @@ def oracle_sql() -> dict[str, str]:
     out["conv_dedup"] = conv_dedup_sql(_conv_tbl)
     out["tool_stats"] = tool_stats_sql(_conv_tbl)
     out["turn_gap_stats"] = turn_gap_stats_sql(_conv_tbl)
+    from raysearch.pipelines.convstats import (
+        assistant_share_sql,
+        role_transitions_sql,
+        sft_pairs_sql,
+    )
+
+    out["sft_pairs"] = sft_pairs_sql(_conv_tbl)
+    out["role_transitions"] = role_transitions_sql(_conv_tbl)
+    out["assistant_share"] = assistant_share_sql(_conv_tbl)
 
     # first-occurrence n-gram novelty: engine counts blake2b-64 hash
     # shingles, oracle counts string shingles — equal absent 64-bit

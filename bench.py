@@ -168,6 +168,8 @@ def _pipeline_bench() -> dict:
         "conv_role_stats": E._q_conv_role_stats,
         "conv_dedup": E._q_conv_dedup,
         "turn_gap_stats": E._q_turn_gap_stats,
+        "sft_pairs": E._q_sft_pairs,
+        "assistant_share": E._q_assistant_share,
     }
     out = {}
     for name, fn in stages.items():

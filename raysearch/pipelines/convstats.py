@@ -11,13 +11,23 @@ first-class curation signals here:
 * :func:`tool_stats` — tool-call frequency and conversation reach per
   tool (agent-transcript telemetry);
 * :func:`turn_gap_stats` — per-conversation inter-turn latency
-  profile from ``ts`` (exact integer microseconds, no float folds).
+  profile from ``ts`` (exact integer microseconds, no float folds);
+* :func:`sft_pairs` — (prompt, response) extraction: every assistant
+  turn whose predecessor (in turn_idx order) is a user turn becomes a
+  supervised-finetuning example;
+* :func:`role_transitions` — global (prev_role, role) bigram counts
+  (conversation-structure audit: does user→assistant alternation
+  hold, how often do tool loops run);
+* :func:`assistant_share` — per-conversation assistant-token share in
+  exact integer basis points + a keep flag (drop conversations the
+  assistant barely speaks in, or monologues).
 
-All four stream: per-batch partials feed one or two small hash
-aggregates; the only per-group Python is :func:`conv_dedup`'s per-
-conversation md5, which is irreducible sequential work over that
-conversation's own bytes (a conversation is the natural work unit,
-never the corpus).
+All stream: per-batch or per-conversation partials feed one or two
+small hash aggregates; per-group Python appears only where the work
+is irreducibly sequential over one conversation's own rows
+(:func:`conv_dedup`'s md5, the turn-order shifts in
+:func:`sft_pairs` / :func:`role_transitions`) — a conversation is the
+natural work unit, never the corpus.
 """
 
 from __future__ import annotations
@@ -276,6 +286,220 @@ def turn_gap_stats(ds):
         ds.groupby("conv_id")
         .map_groups(gaps, batch_format="pandas")
         .sort("conv_id")
+    )
+
+
+def sft_pairs(ds):
+    """Supervised-finetuning pair extraction: ``(conv_id, turn_idx,
+    prompt, response)`` sorted by (conv_id, turn_idx) — one row per
+    assistant turn whose immediate predecessor in turn_idx order is a
+    user turn (prompt = that user text, response = the assistant
+    text).  ``groupby(conv_id)`` routes each conversation to one
+    group; inside, a vectorized pandas shift finds the adjacencies.
+    Expects columns (conv_id, turn_idx, role, text)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        prev_role = g["role"].shift(1)
+        prev_text = g["text"].shift(1)
+        m = (g["role"] == "assistant") & (prev_role == "user")
+        return pd.DataFrame(
+            {
+                "conv_id": g.loc[m, "conv_id"].to_numpy(),
+                "turn_idx": g.loc[m, "turn_idx"].to_numpy(),
+                "prompt": prev_text[m].to_numpy(),
+                "response": g.loc[m, "text"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.groupby("conv_id")
+        .map_groups(pairs, batch_format="pandas")
+        .sort(["conv_id", "turn_idx"])
+    )
+
+
+def sft_pairs_sql(table: str) -> str:
+    """DuckDB twin of :func:`sft_pairs`."""
+    return (
+        f"WITH w AS (SELECT conv_id, turn_idx, role, text, "
+        f"lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role, "
+        f"lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text "
+        f"FROM {table}) "
+        f"SELECT conv_id, turn_idx, prev_text AS prompt, text AS response "
+        f"FROM w WHERE role = 'assistant' AND prev_role = 'user' "
+        f"ORDER BY conv_id, turn_idx"
+    )
+
+
+def role_transitions(ds):
+    """Global conversation-structure bigram counts: ``(prev_role,
+    role, n)`` sorted by (prev_role, role), counting consecutive-turn
+    role adjacencies in turn_idx order within each conversation.
+    Per-conversation partials (a shift + value_counts, rows ≤ roles²)
+    feed one small ``groupby((prev_role, role)).Sum`` — the exchange
+    carries role-pair counts, never turns."""
+    from ray.data.aggregate import Sum
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        prev = g["role"].shift(1)
+        m = prev.notna()
+        if not m.any():
+            return pd.DataFrame(
+                {"prev_role": [], "role": [], "n": []}
+            ).astype({"prev_role": "object", "role": "object", "n": "int64"})
+        key = pd.MultiIndex.from_arrays([prev[m], g["role"][m]])
+        agg = pd.Series(1, index=key).groupby(level=[0, 1]).sum()
+        return pd.DataFrame(
+            {
+                "prev_role": agg.index.get_level_values(0),
+                "role": agg.index.get_level_values(1),
+                "n": agg.to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ds.groupby("conv_id")
+        .map_groups(partial, batch_format="pandas")
+        .groupby(["prev_role", "role"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_role": b["prev_role"],
+                "role": b["role"],
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort(
+        ["prev_role", "role"]
+    )
+
+
+def role_transitions_sql(table: str) -> str:
+    """DuckDB twin of :func:`role_transitions`."""
+    return (
+        f"WITH w AS (SELECT conv_id, role, "
+        f"lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role "
+        f"FROM {table}) "
+        f"SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n "
+        f"FROM w WHERE prev_role IS NOT NULL "
+        f"GROUP BY prev_role, role ORDER BY prev_role, role"
+    )
+
+
+#: assistant-share keep band in basis points (floor division — exact
+#: integers end-to-end); conversations outside [lo, hi] are flagged
+#: drop: below lo the assistant barely speaks (low training signal),
+#: above hi it's a monologue (likely degenerate).
+ASSISTANT_SHARE_LO_BP = 1000
+ASSISTANT_SHARE_HI_BP = 9000
+
+
+def assistant_share(
+    ds,
+    lo_bp: int = ASSISTANT_SHARE_LO_BP,
+    hi_bp: int = ASSISTANT_SHARE_HI_BP,
+):
+    """Per-conversation assistant-token share: ``(conv_id, n_turns,
+    assistant_tokens, total_tokens, share_bp, keep)`` sorted by
+    conv_id, where ``share_bp = assistant_tokens * 10000 //
+    total_tokens`` (int64 floor — no float anywhere) and ``keep``
+    means lo_bp ≤ share_bp ≤ hi_bp with total_tokens > 0.  One
+    per-batch partial + one ``groupby(conv_id)`` of four int sums —
+    the exchange carries 4 ints per (batch, conv)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        convs = b["conv_id"].to_numpy(zero_copy_only=False)
+        toks = (
+            pc.count_substring_regex(
+                pc.utf8_lower(b["text"]), pattern=SIMPLE_TOKEN_RUN
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        is_a = pc.equal(b["role"], pa.scalar("assistant")).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "n_turns": np.int64(1),
+                "assistant_tokens": np.where(is_a, toks, 0),
+                "total_tokens": toks,
+            },
+            index=convs,
+        )
+        agg = df.groupby(level=0, sort=True).sum()
+        return pa.table(
+            {
+                "conv_id": pa.array(agg.index.to_numpy(object), pa.string()),
+                "n_turns": pa.array(agg["n_turns"].to_numpy(np.int64)),
+                "assistant_tokens": pa.array(
+                    agg["assistant_tokens"].to_numpy(np.int64)
+                ),
+                "total_tokens": pa.array(
+                    agg["total_tokens"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("assistant_tokens", alias_name="assistant_tokens"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        at = b["assistant_tokens"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        tt = b["total_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        share = np.where(tt > 0, (at * 10000) // np.maximum(tt, 1), 0)
+        keep = (tt > 0) & (share >= lo_bp) & (share <= hi_bp)
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "n_turns": pc.cast(b["n_turns"], pa.int64()),
+                "assistant_tokens": pa.array(at),
+                "total_tokens": pa.array(tt),
+                "share_bp": pa.array(share.astype(np.int64)),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return per_conv.map_batches(finish, batch_format="pyarrow").sort("conv_id")
+
+
+def assistant_share_sql(
+    table: str,
+    lo_bp: int = ASSISTANT_SHARE_LO_BP,
+    hi_bp: int = ASSISTANT_SHARE_HI_BP,
+) -> str:
+    """DuckDB twin of :func:`assistant_share` (same floor-division
+    basis points, same keep band)."""
+    ntok = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    return (
+        f"WITH c AS (SELECT conv_id, "
+        f"CAST(count(*) AS BIGINT) AS n_turns, "
+        f"CAST(sum(CASE WHEN role = 'assistant' THEN {ntok} ELSE 0 END) "
+        f"AS BIGINT) AS assistant_tokens, "
+        f"CAST(sum({ntok}) AS BIGINT) AS total_tokens "
+        f"FROM {table} GROUP BY conv_id) "
+        f"SELECT conv_id, n_turns, assistant_tokens, total_tokens, "
+        f"CASE WHEN total_tokens > 0 THEN "
+        f"(assistant_tokens * 10000) // total_tokens ELSE 0 END AS share_bp, "
+        f"(total_tokens > 0 AND "
+        f"(assistant_tokens * 10000) // total_tokens BETWEEN {lo_bp} AND {hi_bp}) "
+        f"AS keep FROM c ORDER BY conv_id"
     )
 
 

@@ -48,6 +48,9 @@ DEFAULT_QUERIES = [
     "conv_dedup",
     "tool_stats",
     "turn_gap_stats",
+    "sft_pairs",
+    "role_transitions",
+    "assistant_share",
 ]
 
 

@@ -455,3 +455,115 @@ def test_turn_gap_stats_matches_duckdb_and_single_turn(ray_session):
     assert by.loc["c4", "total_gap_us"] == 1_000_000
     assert by.loc["c1", "total_gap_us"] == 1_000_000
     assert by.loc["c3", "total_gap_us"] == 3_000_000
+
+
+def _conv_table2():
+    """Transcript corpus exercising SFT-pair adjacency (assistant
+    after user vs after tool), role transitions, and assistant-share
+    edge cases (all-assistant conv, zero-token conv)."""
+    rows = [
+        ("c1", 0, "user", "alpha one", "", 1),
+        ("c1", 1, "assistant", "beta gamma delta", "", 2),
+        ("c1", 2, "user", "next q", "", 3),
+        ("c1", 3, "tool", "tool out", "grep", 4),
+        ("c1", 4, "assistant", "after tool", "", 5),
+        ("c2", 0, "user", "solo", "", 6),
+        ("c3", 0, "assistant", "only assistant words here", "", 7),
+        ("c4", 0, "user", "", "", 8),
+    ]
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array(
+                [r[5] * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+
+
+def test_sft_pairs_matches_duckdb_and_adjacency(ray_session):
+    """Only user→assistant adjacencies emit pairs: c1 turn 1 pairs
+    with turn 0; c1 turn 4 (assistant after tool) does not; c3's
+    conversation-opening assistant turn has no prompt."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import sft_pairs, sft_pairs_sql
+
+    tbl = _conv_table2()
+    got = (
+        sft_pairs(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(sft_pairs_sql("corpus")).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    assert len(got) == 1
+    assert got.loc[0, "prompt"] == "alpha one"
+    assert got.loc[0, "response"] == "beta gamma delta"
+
+
+def test_role_transitions_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import (
+        role_transitions,
+        role_transitions_sql,
+    )
+
+    tbl = _conv_table2()
+    got = (
+        role_transitions(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(role_transitions_sql("corpus")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    by = got.set_index(["prev_role", "role"])["n"]
+    assert by[("user", "assistant")] == 1
+    assert by[("tool", "assistant")] == 1
+    assert by[("assistant", "user")] == 1
+    assert by[("user", "tool")] == 1
+    # single-turn conversations contribute no transitions
+    assert int(got["n"].sum()) == 4
+
+
+def test_assistant_share_matches_duckdb_and_keep_band(ray_session):
+    """share_bp is exact integer floor basis points; keep band
+    [1000, 9000]: c1 in-band, c2 (0 assistant tokens) drops low, c3
+    (10000 bp monologue) drops high, c4 (zero tokens) drops."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import (
+        assistant_share,
+        assistant_share_sql,
+    )
+
+    tbl = _conv_table2()
+    got = (
+        assistant_share(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(assistant_share_sql("corpus")).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    by = got.set_index("conv_id")
+    # c1: assistant 5 of 11 tokens -> floor(50000/11) = 4545 bp, keep
+    assert by.loc["c1", "share_bp"] == 4545 and bool(by.loc["c1", "keep"])
+    assert by.loc["c2", "share_bp"] == 0 and not bool(by.loc["c2", "keep"])
+    assert by.loc["c3", "share_bp"] == 10000 and not bool(by.loc["c3", "keep"])
+    assert by.loc["c4", "total_tokens"] == 0 and not bool(by.loc["c4", "keep"])
