@@ -20,7 +20,13 @@ first-class curation signals here:
   hold, how often do tool loops run);
 * :func:`assistant_share` — per-conversation assistant-token share in
   exact integer basis points + a keep flag (drop conversations the
-  assistant barely speaks in, or monologues).
+  assistant barely speaks in, or monologues);
+* :func:`role_run_stats` — per-(conversation, role) longest
+  consecutive same-role run + run count (gaps-and-islands; catches
+  degenerate tool loops and assistant monologue streaks);
+* :func:`conv_truncate` — last-K-turn context windowing: keep each
+  conversation's final ``k`` turns (the standard context-length
+  truncation before packing).
 
 All stream: per-batch or per-conversation partials feed one or two
 small hash aggregates; per-group Python appears only where the work
@@ -500,6 +506,85 @@ def assistant_share_sql(
         f"(total_tokens > 0 AND "
         f"(assistant_tokens * 10000) // total_tokens BETWEEN {lo_bp} AND {hi_bp}) "
         f"AS keep FROM c ORDER BY conv_id"
+    )
+
+
+def role_run_stats(ds):
+    """Gaps-and-islands over turn roles: ``(conv_id, role, max_run,
+    n_runs)`` sorted by (conv_id, role) — the longest consecutive
+    same-role run and the number of runs, per conversation and role.
+    A long ``tool`` run is a stuck agent loop; a long ``assistant``
+    run is a monologue.  Per-conv work is one vectorized
+    boundary-diff; output is bounded by convs × roles."""
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        roles = g["role"].to_numpy(object)
+        # run boundaries: position 0 plus every role change
+        change = np.flatnonzero(
+            np.concatenate(([True], roles[1:] != roles[:-1]))
+        )
+        lengths = np.diff(np.append(change, len(roles)))
+        run_roles = roles[change]
+        df = pd.DataFrame({"role": run_roles, "len": lengths})
+        agg = df.groupby("role", sort=True)["len"].agg(["max", "count"])
+        return pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].iloc[0],
+                "role": agg.index.to_numpy(object),
+                "max_run": agg["max"].to_numpy(np.int64),
+                "n_runs": agg["count"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.groupby("conv_id")
+        .map_groups(runs, batch_format="pandas")
+        .sort(["conv_id", "role"])
+    )
+
+
+def role_run_stats_sql(table: str) -> str:
+    """DuckDB twin of :func:`role_run_stats` (row_number-difference
+    islands)."""
+    return (
+        f"WITH s AS (SELECT conv_id, role, "
+        f"row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - "
+        f"row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx) "
+        f"AS grp FROM {table}), "
+        f"r AS (SELECT conv_id, role, grp, count(*) AS run_len "
+        f"FROM s GROUP BY conv_id, role, grp) "
+        f"SELECT conv_id, role, CAST(max(run_len) AS BIGINT) AS max_run, "
+        f"CAST(count(*) AS BIGINT) AS n_runs "
+        f"FROM r GROUP BY conv_id, role ORDER BY conv_id, role"
+    )
+
+
+def conv_truncate(ds, k: int):
+    """Context-length truncation: keep each conversation's LAST ``k``
+    turns — ``(conv_id, turn_idx, role, text)`` sorted by (conv_id,
+    turn_idx).  The standard pre-packing window: recent context
+    matters most, old turns drop.  Per-conv work is a sort + tail."""
+
+    def tail(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("turn_idx").tail(k)[
+            ["conv_id", "turn_idx", "role", "text"]
+        ]
+
+    return (
+        ds.groupby("conv_id")
+        .map_groups(tail, batch_format="pandas")
+        .sort(["conv_id", "turn_idx"])
+    )
+
+
+def conv_truncate_sql(table: str, k: int) -> str:
+    """DuckDB twin of :func:`conv_truncate`."""
+    return (
+        f"SELECT conv_id, turn_idx, role, text FROM {table} "
+        f"QUALIFY row_number() OVER "
+        f"(PARTITION BY conv_id ORDER BY turn_idx DESC) <= {k} "
+        f"ORDER BY conv_id, turn_idx"
     )
 
 

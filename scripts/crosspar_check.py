@@ -51,6 +51,8 @@ DEFAULT_QUERIES = [
     "sft_pairs",
     "role_transitions",
     "assistant_share",
+    "role_run_stats",
+    "conv_truncate",
 ]
 
 

@@ -567,3 +567,75 @@ def test_assistant_share_matches_duckdb_and_keep_band(ray_session):
     assert by.loc["c2", "share_bp"] == 0 and not bool(by.loc["c2", "keep"])
     assert by.loc["c3", "share_bp"] == 10000 and not bool(by.loc["c3", "keep"])
     assert by.loc["c4", "total_tokens"] == 0 and not bool(by.loc["c4", "keep"])
+
+
+def _conv_table3():
+    """Corpus with a 3-turn tool run (stuck-loop shape) and a long
+    conversation for truncation."""
+    rows = [
+        ("c1", 0, "user", "a"),
+        ("c1", 1, "tool", "t1"),
+        ("c1", 2, "tool", "t2"),
+        ("c1", 3, "tool", "t3"),
+        ("c1", 4, "assistant", "ans"),
+        ("c1", 5, "user", "b"),
+        ("c1", 6, "tool", "t4"),
+        ("c2", 0, "user", "solo"),
+    ]
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_role_run_stats_matches_duckdb_islands(ray_session):
+    """c1's tool turns form runs of 3 and 1 (max_run 3, n_runs 2)
+    even with shuffled partitioning; user appears in 2 runs of 1."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import role_run_stats, role_run_stats_sql
+
+    tbl = _conv_table3()
+    got = (
+        role_run_stats(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(role_run_stats_sql("corpus")).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    by = got.set_index(["conv_id", "role"])
+    assert by.loc[("c1", "tool"), "max_run"] == 3
+    assert by.loc[("c1", "tool"), "n_runs"] == 2
+    assert by.loc[("c1", "user"), "max_run"] == 1
+    assert by.loc[("c1", "user"), "n_runs"] == 2
+    assert by.loc[("c2", "user"), "n_runs"] == 1
+
+
+def test_conv_truncate_matches_duckdb_and_keeps_tail(ray_session):
+    """k=3 keeps c1's LAST three turns (idx 4, 5, 6) and all of c2."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import conv_truncate, conv_truncate_sql
+
+    tbl = _conv_table3()
+    got = (
+        conv_truncate(rd.from_arrow(tbl).repartition(3), k=3)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(conv_truncate_sql("corpus", 3)).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    assert list(got[got["conv_id"] == "c1"]["turn_idx"]) == [4, 5, 6]
+    assert list(got[got["conv_id"] == "c2"]["turn_idx"]) == [0]
