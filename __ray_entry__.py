@@ -972,6 +972,27 @@ def _q_conv_truncate(sf_dir: str):
     )
 
 
+def _q_boilerplate_turns(sf_dir: str):
+    """Top-20 most-repeated exact turn texts (round 5, late): canned
+    greetings / templates surface first.  min_count=1 at the gate —
+    the deterministic corpus has no repeated turn texts, so
+    min_count=2 would make the row degenerately empty; the planted-
+    duplicate pytest covers the filtering semantics."""
+    from raysearch.pipelines.convstats import boilerplate_turns
+
+    return boilerplate_turns(
+        _conv_corpus(sf_dir, ["conv_id", "text"]), k=20, min_count=1
+    )
+
+
+def _q_turn_rate(sf_dir: str):
+    """Hourly turn / active-conversation collection rate from ts
+    (round 5, late)."""
+    from raysearch.pipelines.convstats import turn_rate
+
+    return turn_rate(_conv_corpus(sf_dir, ["conv_id", "ts"]))
+
+
 def _q_vocab_encode(sf_dir: str):
     """Dictionary pretokenization (round 5): corpus top-16 vocabulary
     (count desc, term asc — 16 < the corpus's 31 distinct terms, so
@@ -2239,10 +2260,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle re-derives the ENTIRE pack_offsets prefix sum before
         # the explode, so the offsets mechanism stays driver-checked;
         # pack_offsets itself demoted (oracle + pytest retained).
-        "chunk_manifest": _q_chunk_manifest,
+        # round 5 (late): boilerplate_turns admitted above the cap
+        # (new operators get driver-checked immediately);
+        # chunk_manifest demoted — its window/stride chunk arithmetic
+        # is pinned by sliding_chunks above the cap and its
+        # prefix-sum source (pack_offsets) keeps its oracle below the
+        # cap (oracle + pytest + crosspar retained).
+        "boilerplate_turns": _q_boilerplate_turns,
         "curation_pipeline": _q_curation_pipeline,
         "tfidf_features": _q_tfidf_features,
-        "column_profile": _q_column_profile,
+        # round 5 (late): turn_rate admitted above the cap (new
+        # operators get driver-checked immediately; first gate row
+        # bucketing the transcript shape's ts column);
+        # column_profile demoted — its per-block partial fold is the
+        # combiner shape dozens of above-cap rows drive (role_stats /
+        # rollup_counts / transcripts_stats family) (oracle + pytest
+        # retained).
+        "turn_rate": _q_turn_rate,
         # round 5 (late): zipf_buckets admitted above the cap;
         # ngram_jaccard_pairs demoted — its exact-Jaccard verification
         # tail is the same code path minhash_pairs' candidate
@@ -2296,6 +2330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25_sharded": _q_transcripts_bm25_sharded,
         "vocab_growth": _q_vocab_growth,
         "char_entropy": _q_char_entropy,
+        "chunk_manifest": _q_chunk_manifest,
+        "column_profile": _q_column_profile,
         "quality_filter": _q_quality_filter,
         "zipf_buckets": _q_zipf_buckets,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
@@ -3105,6 +3141,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["role_run_stats"] = role_run_stats_sql(_conv_tbl)
     out["conv_truncate"] = conv_truncate_sql(_conv_tbl, 8)
+    from raysearch.pipelines.convstats import (
+        boilerplate_turns_sql,
+        turn_rate_sql,
+    )
+
+    out["boilerplate_turns"] = boilerplate_turns_sql(_conv_tbl, 20, 1)
+    out["turn_rate"] = turn_rate_sql(_conv_tbl)
 
     # first-occurrence n-gram novelty: engine counts blake2b-64 hash
     # shingles, oracle counts string shingles — equal absent 64-bit

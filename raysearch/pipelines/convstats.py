@@ -26,7 +26,12 @@ first-class curation signals here:
   degenerate tool loops and assistant monologue streaks);
 * :func:`conv_truncate` — last-K-turn context windowing: keep each
   conversation's final ``k`` turns (the standard context-length
-  truncation before packing).
+  truncation before packing);
+* :func:`boilerplate_turns` — the most-repeated exact turn texts
+  across the corpus (canned greetings, error templates, refusal
+  boilerplate — the first thing a curation pass strips);
+* :func:`turn_rate` — hourly turn / active-conversation throughput
+  from ``ts`` (corpus freshness + collection-rate audit).
 
 All stream: per-batch or per-conversation partials feed one or two
 small hash aggregates; per-group Python appears only where the work
@@ -585,6 +590,145 @@ def conv_truncate_sql(table: str, k: int) -> str:
         f"QUALIFY row_number() OVER "
         f"(PARTITION BY conv_id ORDER BY turn_idx DESC) <= {k} "
         f"ORDER BY conv_id, turn_idx"
+    )
+
+
+def boilerplate_turns(ds, k: int = 20, min_count: int = 2):
+    """Top-``k`` most-repeated exact turn texts: ``(text, n_turns,
+    n_convs)`` ordered by (n_turns desc, text asc), texts appearing
+    fewer than ``min_count`` times dropped.  Canned greetings / error
+    templates / refusal boilerplate surface here first.
+
+    Per-batch partials collapse duplicate (text, conv) rows before
+    the exchange; the distinct-conv count is the same (key, conv)
+    fold as :func:`role_stats`.  The final sort runs over the
+    min_count-filtered distinct-text table and the result is
+    ``limit(k)``-bounded."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_numpy(zero_copy_only=False)
+        convs = b["conv_id"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([texts, convs])
+        agg = pd.DataFrame({"n": 1}, index=key).groupby(
+            level=[0, 1], sort=True
+        ).sum()
+        return pa.table(
+            {
+                "text": pa.array(
+                    agg.index.get_level_values(0).to_numpy(object),
+                    pa.string(),
+                ),
+                "conv_id": pa.array(
+                    agg.index.get_level_values(1).to_numpy(object),
+                    pa.string(),
+                ),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["text", "conv_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    per_text = per_conv.groupby("text").aggregate(
+        Sum("n", alias_name="n_turns"), Count(alias_name="n_convs")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "text": b["text"],
+                "n_turns": pc.cast(b["n_turns"], pa.int64()),
+                "n_convs": pc.cast(b["n_convs"], pa.int64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t["n_turns"], min_count))
+
+    return (
+        per_text.map_batches(finish, batch_format="pyarrow")
+        .sort(["n_turns", "text"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def boilerplate_turns_sql(table: str, k: int = 20, min_count: int = 2) -> str:
+    """DuckDB twin of :func:`boilerplate_turns` (same tie-break)."""
+    return (
+        f"SELECT text, CAST(count(*) AS BIGINT) AS n_turns, "
+        f"CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
+        f"FROM {table} GROUP BY text HAVING count(*) >= {min_count} "
+        f"ORDER BY n_turns DESC, text LIMIT {k}"
+    )
+
+
+def turn_rate(ds):
+    """Hourly collection-rate audit: ``(hour, n_turns, n_convs)``
+    sorted by hour, where ``hour`` is ``ts`` floored to the hour and
+    ``n_convs`` counts conversations ACTIVE in that hour (same
+    (hour, conv) fold as :func:`role_stats` — never a distinct
+    operator).  Exact integer microsecond arithmetic."""
+    from ray.data.aggregate import Count, Sum
+
+    US_PER_HOUR = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(b["ts"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        hours = (ts // US_PER_HOUR) * US_PER_HOUR
+        convs = b["conv_id"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([hours, convs])
+        agg = pd.DataFrame({"n": 1}, index=key).groupby(
+            level=[0, 1], sort=True
+        ).sum()
+        return pa.table(
+            {
+                "hour_us": pa.array(
+                    agg.index.get_level_values(0).to_numpy(np.int64)
+                ),
+                "conv_id": pa.array(
+                    agg.index.get_level_values(1).to_numpy(object),
+                    pa.string(),
+                ),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+            }
+        )
+
+    per_conv = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["hour_us", "conv_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = per_conv.groupby("hour_us").aggregate(
+        Sum("n", alias_name="n_turns"), Count(alias_name="n_convs")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.cast(
+                    pc.cast(b["hour_us"], pa.int64()), pa.timestamp("us")
+                ),
+                "n_turns": pc.cast(b["n_turns"], pa.int64()),
+                "n_convs": pc.cast(b["n_convs"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("hour")
+
+
+def turn_rate_sql(table: str) -> str:
+    """DuckDB twin of :func:`turn_rate`."""
+    return (
+        f"SELECT date_trunc('hour', ts) AS hour, "
+        f"CAST(count(*) AS BIGINT) AS n_turns, "
+        f"CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
+        f"FROM {table} GROUP BY hour ORDER BY hour"
     )
 
 

@@ -53,6 +53,8 @@ DEFAULT_QUERIES = [
     "assistant_share",
     "role_run_stats",
     "conv_truncate",
+    "boilerplate_turns",
+    "turn_rate",
 ]
 
 

@@ -639,3 +639,67 @@ def test_conv_truncate_matches_duckdb_and_keeps_tail(ray_session):
     assert got[orc.columns].astype(str).equals(orc.astype(str))
     assert list(got[got["conv_id"] == "c1"]["turn_idx"]) == [4, 5, 6]
     assert list(got[got["conv_id"] == "c2"]["turn_idx"]) == [0]
+
+
+def test_boilerplate_turns_matches_duckdb_and_tiebreak(ray_session):
+    """'hello' repeats 3x across 2 convs; 'bye' and 'aa' both repeat
+    2x (tie broken by text asc); singletons drop (min_count=2)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import (
+        boilerplate_turns,
+        boilerplate_turns_sql,
+    )
+
+    texts = ["hello", "hello", "bye", "unique1", "bye", "hello", "aa", "aa"]
+    convs = ["c1", "c1", "c1", "c2", "c2", "c2", "c3", "c3"]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(convs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        boilerplate_turns(rd.from_arrow(tbl).repartition(3), k=2, min_count=2)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(boilerplate_turns_sql("corpus", 2, 2)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert list(got["text"]) == ["hello", "aa"]
+    assert list(got["n_turns"]) == [3, 2]
+    assert list(got["n_convs"]) == [2, 1]
+
+
+def test_turn_rate_matches_duckdb_hour_buckets(ray_session):
+    """Turns at 00:10, 00:50, 01:05 land in two hour buckets; a conv
+    spanning both hours counts as active in each."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import turn_rate, turn_rate_sql
+
+    h = 3_600_000_000
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c2", "c1"], pa.string()),
+            "ts": pa.array([600_000_000, 3_000_000_000, h + 300_000_000],
+                           pa.timestamp("us")),
+        }
+    )
+    got = (
+        turn_rate(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(turn_rate_sql("corpus")).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    assert list(got["n_turns"]) == [2, 1]
+    assert list(got["n_convs"]) == [2, 1]
