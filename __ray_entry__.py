@@ -993,6 +993,16 @@ def _q_turn_rate(sf_dir: str):
     return turn_rate(_conv_corpus(sf_dir, ["conv_id", "ts"]))
 
 
+def _q_tool_latency(sf_dir: str):
+    """Per-tool execution-time profile (round 5, late): gap from each
+    tool turn to the conversation's next turn, exact int64 µs."""
+    from raysearch.pipelines.convstats import tool_latency
+
+    return tool_latency(
+        _conv_corpus(sf_dir, ["conv_id", "turn_idx", "role", "tool", "ts"])
+    )
+
+
 def _q_vocab_encode(sf_dir: str):
     """Dictionary pretokenization (round 5): corpus top-16 vocabulary
     (count desc, term asc — 16 < the corpus's 31 distinct terms, so
@@ -2249,7 +2259,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality_metrics_from_codes + a fixed-threshold compare, the
         # same path quality_topfrac drives above the cap with an
         # adaptive threshold (oracle + pytest retained).
-        "percentile_ranks": _q_percentile_ranks,
+        # round 5 (late): tool_latency admitted above the cap (new
+        # operators get driver-checked immediately); percentile_ranks
+        # demoted — its exact histogram-CDF machinery is the same
+        # structure quality_topfrac drives above the cap (percentile
+        # threshold from the identical quantile histogram), and
+        # length_quantiles keeps the quantile oracle below the cap
+        # (oracle + pytest retained).
+        "tool_latency": _q_tool_latency,
         # round 5 (late): js_divergence admitted above the cap;
         # vec_dup_clusters demoted — it shares the connected-components
         # machinery with dup_clusters (above the cap) and its pair
@@ -2332,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "chunk_manifest": _q_chunk_manifest,
         "column_profile": _q_column_profile,
+        "percentile_ranks": _q_percentile_ranks,
         "quality_filter": _q_quality_filter,
         "zipf_buckets": _q_zipf_buckets,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
@@ -3148,6 +3166,9 @@ def oracle_sql() -> dict[str, str]:
 
     out["boilerplate_turns"] = boilerplate_turns_sql(_conv_tbl, 20, 1)
     out["turn_rate"] = turn_rate_sql(_conv_tbl)
+    from raysearch.pipelines.convstats import tool_latency_sql
+
+    out["tool_latency"] = tool_latency_sql(_conv_tbl)
 
     # first-occurrence n-gram novelty: engine counts blake2b-64 hash
     # shingles, oracle counts string shingles — equal absent 64-bit

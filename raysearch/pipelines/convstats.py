@@ -31,7 +31,10 @@ first-class curation signals here:
   across the corpus (canned greetings, error templates, refusal
   boilerplate — the first thing a curation pass strips);
 * :func:`turn_rate` — hourly turn / active-conversation throughput
-  from ``ts`` (corpus freshness + collection-rate audit).
+  from ``ts`` (corpus freshness + collection-rate audit);
+* :func:`tool_latency` — per-tool execution-time profile: the gap
+  from each tool turn to the conversation's next turn (exact int64
+  microseconds; slow-tool telemetry).
 
 All stream: per-batch or per-conversation partials feed one or two
 small hash aggregates; per-group Python appears only where the work
@@ -729,6 +732,67 @@ def turn_rate_sql(table: str) -> str:
         f"CAST(count(*) AS BIGINT) AS n_turns, "
         f"CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
         f"FROM {table} GROUP BY hour ORDER BY hour"
+    )
+
+
+def tool_latency(ds):
+    """Per-tool execution-time profile: ``(tool, n_timed, total_us,
+    max_us)`` sorted by tool, where each tool-role turn's latency is
+    the gap to the conversation's NEXT turn (turn_idx order, exact
+    int64 microseconds).  A conversation's final turn has no
+    successor and is untimed.  Per-conv work is one vectorized shift;
+    the exchange carries (tool, dur) rows for tool turns only."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        dur = np.empty(len(g), dtype=np.int64)
+        if len(g) > 1:
+            dur[:-1] = ts[1:] - ts[:-1]
+        m = (
+            (g["role"].to_numpy(object) == "tool")
+            & (g["tool"].to_numpy(object) != "")
+            & (np.arange(len(g)) < len(g) - 1)
+        )
+        return pd.DataFrame(
+            {
+                "tool": g["tool"].to_numpy(object)[m],
+                "dur_us": dur[m],
+            }
+        )
+
+    timed = ds.groupby("conv_id").map_groups(partial, batch_format="pandas")
+    out = timed.groupby("tool").aggregate(
+        Count(alias_name="n_timed"),
+        Sum("dur_us", alias_name="total_us"),
+        Max("dur_us", alias_name="max_us"),
+    )
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tool": b["tool"],
+                "n_timed": pc.cast(b["n_timed"], pa.int64()),
+                "total_us": pc.cast(b["total_us"], pa.int64()),
+                "max_us": pc.cast(b["max_us"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort("tool")
+
+
+def tool_latency_sql(table: str) -> str:
+    """DuckDB twin of :func:`tool_latency`."""
+    return (
+        f"WITH w AS (SELECT conv_id, role, tool, "
+        f"epoch_us(lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) "
+        f"- epoch_us(ts) AS dur FROM {table}) "
+        f"SELECT tool, CAST(count(*) AS BIGINT) AS n_timed, "
+        f"CAST(sum(dur) AS BIGINT) AS total_us, "
+        f"CAST(max(dur) AS BIGINT) AS max_us "
+        f"FROM w WHERE role = 'tool' AND tool <> '' AND dur IS NOT NULL "
+        f"GROUP BY tool ORDER BY tool"
     )
 
 

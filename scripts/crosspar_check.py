@@ -55,6 +55,7 @@ DEFAULT_QUERIES = [
     "conv_truncate",
     "boilerplate_turns",
     "turn_rate",
+    "tool_latency",
 ]
 
 

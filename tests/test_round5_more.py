@@ -703,3 +703,44 @@ def test_turn_rate_matches_duckdb_hour_buckets(ray_session):
     assert got[orc.columns].astype(str).equals(orc.astype(str))
     assert list(got["n_turns"]) == [2, 1]
     assert list(got["n_convs"]) == [2, 1]
+
+
+def test_tool_latency_matches_duckdb_and_untimed_final_turn(ray_session):
+    """Latency = gap to the NEXT turn in turn_idx order; a tool turn
+    that ends its conversation is untimed (no successor)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import tool_latency, tool_latency_sql
+
+    rows = [
+        ("c1", 0, "user", "", 0),
+        ("c1", 1, "tool", "grep", 1_000_000),
+        ("c1", 2, "tool", "ls", 4_000_000),
+        ("c1", 3, "assistant", "", 9_000_000),
+        ("c2", 0, "user", "", 5_000_000),
+        ("c2", 1, "tool", "grep", 7_000_000),  # final turn: untimed
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([r[3] for r in rows], pa.string()),
+            "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = (
+        tool_latency(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(tool_latency_sql("corpus")).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    by = got.set_index("tool")
+    assert by.loc["grep", "n_timed"] == 1      # c2's final tool turn untimed
+    assert by.loc["grep", "total_us"] == 3_000_000
+    assert by.loc["ls", "total_us"] == 5_000_000
