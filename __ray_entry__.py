@@ -1003,6 +1003,20 @@ def _q_tool_latency(sf_dir: str):
     )
 
 
+def _q_conv_similarity_pairs(sf_dir: str):
+    """Exact all-pairs conversation vocabulary-overlap (round 5,
+    late): unigram Jaccard ≥ 0.22 over whole-conversation token sets
+    (the threshold sits just under the corpus's 0.249 max so the row
+    is non-degenerate: 185 pairs at sf0.01)."""
+    from raysearch.pipelines.convstats import conv_similarity_pairs
+
+    return conv_similarity_pairs(
+        _conv_corpus(sf_dir, ["conv_id", "turn_idx", "text"]),
+        threshold=0.22,
+        shingle=1,
+    )
+
+
 def _q_vocab_encode(sf_dir: str):
     """Dictionary pretokenization (round 5): corpus top-16 vocabulary
     (count desc, term asc — 16 < the corpus's 31 distinct terms, so
@@ -2135,7 +2149,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # consumes the same _conjunctive_frame term-intersection
         # candidates, so the mechanism stays driver-checked (oracle +
         # pytest retained).
-        "prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
+        # round 5 (late): conv_similarity_pairs admitted above the
+        # cap (new operators get driver-checked immediately);
+        # prefix_jaccard_pairs demoted — conv_similarity_pairs drives
+        # the IDENTICAL prefix-filtering code path
+        # (dedup.prefix_jaccard_pairs) at conversation granularity, so
+        # the machinery stays driver-checked; the doc-level row keeps
+        # its oracle + pytest below the cap, and jaccard_pairs_exact's
+        # shared oracle is also pytest-pinned.
+        "conv_similarity_pairs": _q_conv_similarity_pairs,
         "bm25_topk": _q_bm25_topk,
         # round 5: pmi_topk (PMI collocations via copartition joins)
         # admitted above the cap per the r04 lesson — new operators
@@ -2350,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_manifest": _q_chunk_manifest,
         "column_profile": _q_column_profile,
         "percentile_ranks": _q_percentile_ranks,
+        "prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
         "quality_filter": _q_quality_filter,
         "zipf_buckets": _q_zipf_buckets,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
@@ -3169,6 +3192,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.convstats import tool_latency_sql
 
     out["tool_latency"] = tool_latency_sql(_conv_tbl)
+    from raysearch.pipelines.convstats import conv_similarity_pairs_sql
+
+    out["conv_similarity_pairs"] = conv_similarity_pairs_sql(_conv_tbl, 0.22)
 
     # first-occurrence n-gram novelty: engine counts blake2b-64 hash
     # shingles, oracle counts string shingles — equal absent 64-bit

@@ -34,7 +34,12 @@ first-class curation signals here:
   from ``ts`` (corpus freshness + collection-rate audit);
 * :func:`tool_latency` — per-tool execution-time profile: the gap
   from each tool turn to the conversation's next turn (exact int64
-  microseconds; slow-tool telemetry).
+  microseconds; slow-tool telemetry);
+* :func:`conv_similarity_pairs` — EXACT all-pairs conversation
+  vocabulary-overlap (unigram Jaccard ≥ τ) over whole-conversation
+  token sets: related / near-duplicate conversation detection one
+  level above :func:`conv_dedup`'s byte-exact hash (reuses the
+  prefix-filtering machinery from ``dedup.py``).
 
 All stream: per-batch or per-conversation partials feed one or two
 small hash aggregates; per-group Python appears only where the work
@@ -793,6 +798,81 @@ def tool_latency_sql(table: str) -> str:
         f"CAST(max(dur) AS BIGINT) AS max_us "
         f"FROM w WHERE role = 'tool' AND tool <> '' AND dur IS NOT NULL "
         f"GROUP BY tool ORDER BY tool"
+    )
+
+
+def conv_similarity_pairs(ds, threshold: float = 0.22, shingle: int = 1):
+    """EXACT all-pairs conversation similarity: ``(conv_a, conv_b,
+    jaccard)`` sorted by (conv_a, conv_b), where jaccard is computed
+    over each conversation's distinct token-shingle set (turn texts
+    joined by a space in turn_idx order) and pairs below ``threshold``
+    drop.  Related / near-duplicate conversation detection one level
+    above :func:`conv_dedup`'s byte-exact hash.
+
+    Delegates to :func:`raysearch.pipelines.dedup.
+    prefix_jaccard_pairs` (complete prefix-filtering plan — no missed
+    pair) over a conversation-concatenated doc table; like the doc-
+    level exact-Jaccard family this is a verification-scale setting —
+    at low τ the prefix bound covers most of each set.  Expects
+    ``conv-%08d``-style ids (the numeric suffix becomes the int64
+    doc id the pair machinery requires; zero-padding makes string
+    order equal numeric order)."""
+    from raysearch.pipelines.dedup import prefix_jaccard_pairs
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx")
+        cid = g["conv_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "doc_id": [np.int64(int(cid.rsplit("-", 1)[1]))],
+                "text": [" ".join(g["text"].tolist())],
+            }
+        )
+
+    docs = ds.groupby("conv_id").map_groups(concat, batch_format="pandas")
+    pairs = prefix_jaccard_pairs(docs, threshold=threshold, shingle=shingle)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        c = b["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_a": pa.array(
+                    [f"conv-{int(x):08d}" for x in a], pa.string()
+                ),
+                "conv_b": pa.array(
+                    [f"conv-{int(x):08d}" for x in c], pa.string()
+                ),
+                "jaccard": b["jaccard"],
+            }
+        )
+
+    return pairs.map_batches(fmt, batch_format="pyarrow").sort(
+        ["conv_a", "conv_b"]
+    )
+
+
+def conv_similarity_pairs_sql(table: str, threshold: float = 0.22) -> str:
+    """DuckDB twin of :func:`conv_similarity_pairs` (unigram sets,
+    shingle=1; same tokenizer split and 4-dp rounding as the doc-level
+    jaccard oracle)."""
+    return (
+        f"WITH docs AS (SELECT conv_id, "
+        f"string_agg(text, ' ' ORDER BY turn_idx) AS text "
+        f"FROM {table} GROUP BY conv_id), "
+        f"arr AS (SELECT conv_id, list_filter(string_split_regex(lower(text), "
+        f"'[^a-z0-9]+'), x -> x <> '') AS toks FROM docs), "
+        f"sh AS (SELECT DISTINCT conv_id, UNNEST(toks) AS tok FROM arr), "
+        f"sizes AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY 1), "
+        f"inter AS (SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, "
+        f"count(*) AS i FROM sh a JOIN sh b USING (tok) "
+        f"WHERE a.conv_id < b.conv_id GROUP BY 1, 2) "
+        f"SELECT conv_a, conv_b, "
+        f"round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard "
+        f"FROM inter JOIN sizes sa ON sa.conv_id = conv_a "
+        f"JOIN sizes sb ON sb.conv_id = conv_b "
+        f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold} "
+        f"ORDER BY conv_a, conv_b"
     )
 
 

@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     "boilerplate_turns",
     "turn_rate",
     "tool_latency",
+    "conv_similarity_pairs",
 ]
 
 

@@ -744,3 +744,46 @@ def test_tool_latency_matches_duckdb_and_untimed_final_turn(ray_session):
     assert by.loc["grep", "n_timed"] == 1      # c2's final tool turn untimed
     assert by.loc["grep", "total_us"] == 3_000_000
     assert by.loc["ls", "total_us"] == 5_000_000
+
+
+def test_conv_similarity_pairs_matches_duckdb(ray_session):
+    """Whole-conversation unigram Jaccard: conv 0 and conv 1 share
+    2 of 4 distinct tokens (j=0.5); conv 2 is disjoint.  Turn order
+    and partitioning must not change the concatenated sets."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import (
+        conv_similarity_pairs,
+        conv_similarity_pairs_sql,
+    )
+
+    rows = [
+        ("conv-00000000", 1, "bb cc"),
+        ("conv-00000000", 0, "aa bb"),
+        ("conv-00000001", 0, "bb cc dd"),
+        ("conv-00000002", 0, "xx yy zz"),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        conv_similarity_pairs(
+            rd.from_arrow(tbl).repartition(3), threshold=0.4, shingle=1
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(conv_similarity_pairs_sql("corpus", 0.4)).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    assert len(got) == 1
+    assert got.loc[0, "conv_a"] == "conv-00000000"
+    assert got.loc[0, "conv_b"] == "conv-00000001"
+    assert float(got.loc[0, "jaccard"]) == 0.5
