@@ -1017,6 +1017,17 @@ def _q_conv_similarity_pairs(sf_dir: str):
     )
 
 
+def _q_conv_curation(sf_dir: str):
+    """Composed conversation-curation flagship (round 5, late):
+    assistant-share band ∧ whole-conversation dedup → last-8-turn
+    truncation → SFT pair extraction, one chained SQL twin."""
+    from raysearch.pipelines.convstats import conv_curation
+
+    return conv_curation(
+        _conv_corpus(sf_dir, ["conv_id", "turn_idx", "role", "text"]), k=8
+    )
+
+
 def _q_vocab_encode(sf_dir: str):
     """Dictionary pretokenization (round 5): corpus top-16 vocabulary
     (count desc, term asc — 16 < the corpus's 31 distinct terms, so
@@ -2328,7 +2339,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (length(bin(n))-1) is the same integer-log2 idiom
         # hll_vocab_registers' register oracle checks (oracle +
         # pytest retained).
-        "customers_no_orders": _q_customers_no_orders,
+        # round 5 (late): conv_curation admitted above the cap (the
+        # conversation-granularity composed flagship — new operators
+        # get driver-checked immediately); customers_no_orders
+        # demoted — its anti-join is the inverted-keep flag of the
+        # SAME copartition_attach tagged-union exchange whose semi
+        # flag conv_curation now drives above the cap, and conv_dedup
+        # (above the cap) drives the attach's inner-join path (oracle
+        # + pytest retained).
+        "conv_curation": _q_conv_curation,
         "events_hopping": _q_events_hopping,
         # round 5: hll_vocab_registers (the round's new sketch
         # operator) admitted above the cap per the r04 lesson — new
@@ -2373,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": _q_column_profile,
         "percentile_ranks": _q_percentile_ranks,
         "prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
+        "customers_no_orders": _q_customers_no_orders,
         "quality_filter": _q_quality_filter,
         "zipf_buckets": _q_zipf_buckets,
         "transcripts_lexicon_sql": _q_transcripts_lexicon_sql,
@@ -3195,6 +3215,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.convstats import conv_similarity_pairs_sql
 
     out["conv_similarity_pairs"] = conv_similarity_pairs_sql(_conv_tbl, 0.22)
+    from raysearch.pipelines.convstats import conv_curation_sql
+
+    out["conv_curation"] = conv_curation_sql(_conv_tbl, k=8)
 
     # first-occurrence n-gram novelty: engine counts blake2b-64 hash
     # shingles, oracle counts string shingles — equal absent 64-bit

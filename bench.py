@@ -170,6 +170,7 @@ def _pipeline_bench() -> dict:
         "turn_gap_stats": E._q_turn_gap_stats,
         "sft_pairs": E._q_sft_pairs,
         "assistant_share": E._q_assistant_share,
+        "conv_curation": E._q_conv_curation,
     }
     out = {}
     for name, fn in stages.items():

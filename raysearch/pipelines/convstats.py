@@ -39,7 +39,10 @@ first-class curation signals here:
   vocabulary-overlap (unigram Jaccard ≥ τ) over whole-conversation
   token sets: related / near-duplicate conversation detection one
   level above :func:`conv_dedup`'s byte-exact hash (reuses the
-  prefix-filtering machinery from ``dedup.py``).
+  prefix-filtering machinery from ``dedup.py``);
+* :func:`conv_curation` — the composed conversation flagship:
+  assistant-share band ∧ whole-conversation dedup → last-K-turn
+  truncation → SFT pair extraction, one chained SQL twin.
 
 All stream: per-batch or per-conversation partials feed one or two
 small hash aggregates; per-group Python appears only where the work
@@ -873,6 +876,113 @@ def conv_similarity_pairs_sql(table: str, threshold: float = 0.22) -> str:
         f"JOIN sizes sb ON sb.conv_id = conv_b "
         f"WHERE i * 1.0 / (sa.n + sb.n - i) >= {threshold} "
         f"ORDER BY conv_a, conv_b"
+    )
+
+
+def conv_curation(
+    ds,
+    lo_bp: int = ASSISTANT_SHARE_LO_BP,
+    hi_bp: int = ASSISTANT_SHARE_HI_BP,
+    k: int = 8,
+):
+    """Composed conversation-curation flagship: keep conversations
+    that pass BOTH the assistant-token-share band
+    (:func:`assistant_share`) and whole-conversation exact dedup
+    (:func:`conv_dedup`), truncate each survivor to its last ``k``
+    turns (:func:`conv_truncate`), and extract SFT ``(prompt,
+    response)`` pairs (:func:`sft_pairs`) — the end-to-end SFT
+    data-prep a training pipeline runs nightly.
+
+    Scale shape: the two keep decisions are per-conversation tables
+    (one row per conv, never per turn); their AND is one small
+    groupby, and the turn stream is filtered by ONE semi-join
+    (:func:`raysearch.util.copartition_attach`, ``semi=True``) before
+    the truncate/extract tail.  Expects columns (conv_id, turn_idx,
+    role, text)."""
+    from ray.data.aggregate import Min
+
+    from raysearch.util import copartition_attach
+
+    share = assistant_share(
+        ds.select_columns(["conv_id", "role", "text"]), lo_bp, hi_bp
+    )
+    dedup = conv_dedup(ds.select_columns(["conv_id", "turn_idx", "text"]))
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "ok": pc.cast(b["keep"], pa.int64()),
+            }
+        )
+        return t
+
+    both = (
+        share.map_batches(keep_rows, batch_format="pyarrow")
+        .union(dedup.map_batches(keep_rows, batch_format="pyarrow"))
+        .groupby("conv_id")
+        .aggregate(Min("ok", alias_name="ok"))
+    )
+
+    def kept_only(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.cast(b["ok"], pa.int64()), 1))
+        return b.select(["conv_id"])
+
+    kept = both.map_batches(kept_only, batch_format="pyarrow")
+    turns = copartition_attach(
+        ds.select_columns(["conv_id", "turn_idx", "role", "text"]),
+        kept,
+        key="conv_id",
+        left_schema=pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("role", pa.string()),
+                ("text", pa.string()),
+            ]
+        ),
+        payload={},
+        semi=True,
+    )
+    return sft_pairs(conv_truncate(turns, k))
+
+
+def conv_curation_sql(
+    table: str,
+    lo_bp: int = ASSISTANT_SHARE_LO_BP,
+    hi_bp: int = ASSISTANT_SHARE_HI_BP,
+    k: int = 8,
+) -> str:
+    """DuckDB twin of :func:`conv_curation` — the component twins
+    chained as CTEs (same share band, same dedup canonical rule, same
+    truncation window, same pair adjacency)."""
+    ntok = "len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+    return (
+        f"WITH share AS (SELECT conv_id, "
+        f"CAST(sum(CASE WHEN role = 'assistant' THEN {ntok} ELSE 0 END) "
+        f"AS BIGINT) AS a, CAST(sum({ntok}) AS BIGINT) AS t "
+        f"FROM {table} GROUP BY conv_id), "
+        f"skeep AS (SELECT conv_id FROM share WHERE t > 0 "
+        f"AND (a * 10000) // t BETWEEN {lo_bp} AND {hi_bp}), "
+        f"h AS (SELECT conv_id, "
+        f"md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS ch "
+        f"FROM {table} GROUP BY conv_id), "
+        f"dkeep AS (SELECT conv_id FROM h "
+        f"QUALIFY conv_id = min(conv_id) OVER (PARTITION BY ch)), "
+        f"kept AS (SELECT conv_id FROM skeep INTERSECT "
+        f"SELECT conv_id FROM dkeep), "
+        f"trunc AS (SELECT conv_id, turn_idx, role, text FROM ("
+        f"SELECT t.conv_id, t.turn_idx, t.role, t.text, "
+        f"row_number() OVER "
+        f"(PARTITION BY t.conv_id ORDER BY t.turn_idx DESC) AS rn "
+        f"FROM {table} t JOIN kept USING (conv_id)) WHERE rn <= {k}), "
+        f"w AS (SELECT conv_id, turn_idx, role, text, "
+        f"lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pr, "
+        f"lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pt "
+        f"FROM trunc) "
+        f"SELECT conv_id, turn_idx, pt AS prompt, text AS response "
+        f"FROM w WHERE role = 'assistant' AND pr = 'user' "
+        f"ORDER BY conv_id, turn_idx"
     )
 
 

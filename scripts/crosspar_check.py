@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "turn_rate",
     "tool_latency",
     "conv_similarity_pairs",
+    "conv_curation",
 ]
 
 

@@ -787,3 +787,54 @@ def test_conv_similarity_pairs_matches_duckdb(ray_session):
     assert got.loc[0, "conv_a"] == "conv-00000000"
     assert got.loc[0, "conv_b"] == "conv-00000001"
     assert float(got.loc[0, "jaccard"]) == 0.5
+
+
+def test_conv_curation_composed_flagship(ray_session):
+    """End-to-end: the monologue conv drops (share band), the
+    duplicate conv drops (dedup, min-id canonical), the long conv's
+    early pairs fall outside the k=4 truncation window; the output
+    matches the chained DuckDB twin exactly."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raysearch.pipelines.convstats import conv_curation, conv_curation_sql
+
+    rows = [
+        ("conv-00000001", 0, "user", "alpha beta"),
+        ("conv-00000001", 1, "assistant", "gamma delta"),
+        ("conv-00000001", 2, "user", "eps zeta"),
+        ("conv-00000001", 3, "assistant", "eta theta"),
+        # exact content duplicate of conv 1 -> dropped (dedup)
+        ("conv-00000003", 0, "user", "alpha beta"),
+        ("conv-00000003", 1, "assistant", "gamma delta"),
+        ("conv-00000003", 2, "user", "eps zeta"),
+        ("conv-00000003", 3, "assistant", "eta theta"),
+        # all-assistant monologue -> dropped (share band)
+        ("conv-00000002", 0, "assistant", "mono logue only"),
+    ] + [
+        ("conv-00000004", i, role, f"t{i} words here")
+        for i, role in enumerate(
+            ["user", "assistant", "user", "assistant", "user", "assistant"]
+        )
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    got = (
+        conv_curation(rd.from_arrow(tbl).repartition(3), k=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus", tbl)
+    orc = con.execute(conv_curation_sql("corpus", k=4)).fetchdf()
+    assert got[orc.columns].astype(str).equals(orc.astype(str))
+    assert set(got["conv_id"]) == {"conv-00000001", "conv-00000004"}
+    # conv 4's k=4 window starts at turn 2: pairs at idx 3 and 5 only
+    assert list(got[got["conv_id"] == "conv-00000004"]["turn_idx"]) == [3, 5]
