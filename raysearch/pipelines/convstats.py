@@ -144,27 +144,44 @@ def role_stats_sql(table: str) -> str:
 def conv_dedup(ds):
     """Whole-conversation exact dedup: ``(conv_id, content_hash,
     keep)`` sorted by conv_id, where ``content_hash`` is the md5 hex
-    of the conversation's turn texts joined by ``\\x1f`` in turn_idx
-    order and ``keep`` marks the lexicographically-smallest conv_id
-    per hash (the canonical copy).
+    of the conversation's per-turn text md5s joined by ``\\x1f`` in
+    turn_idx order and ``keep`` marks the lexicographically-smallest
+    conv_id per hash (the canonical copy).
 
-    ``groupby(conv_id)`` routes each conversation's turns to one
-    group (per-conv md5 is irreducible sequential work); the hash →
-    canonical-min resolution reuses :func:`raysearch.util.
-    copartition_attach` over the n_convs-row hash table."""
+    Scale shape (round 5): each turn's text is digested to a 32-hex
+    md5 inside a shuffle-free ``map_batches`` pass, so the
+    ``groupby(conv_id)`` exchange carries ~40 B/turn of digests
+    instead of the raw text — at 10^12 turns of ~0.5 KB that is a
+    ~15× smaller all-to-all with identical dedup semantics (md5 of
+    ordered turn-md5s equates exactly the conversations whose ordered
+    turn texts are equal).  The hash → canonical-min resolution
+    reuses :func:`raysearch.util.copartition_attach` over the
+    n_convs-row hash table."""
     from raysearch.util import copartition_attach
+
+    def turn_digest(b: pa.Table) -> pa.Table:
+        th = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in b["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"],
+                "th": pa.array(th, pa.string()),
+            }
+        )
 
     def conv_hash(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("turn_idx")
-        h = hashlib.md5(
-            "\x1f".join(g["text"].tolist()).encode()
-        ).hexdigest()
+        h = hashlib.md5("\x1f".join(g["th"].tolist()).encode()).hexdigest()
         return pd.DataFrame(
             {"conv_id": [g["conv_id"].iloc[0]], "content_hash": [h]}
         )
 
     hashes = (
-        ds.groupby("conv_id")
+        ds.map_batches(turn_digest, batch_format="pyarrow")
+        .groupby("conv_id")
         .map_groups(conv_hash, batch_format="pandas")
         .materialize()
     )
@@ -204,11 +221,12 @@ def conv_dedup(ds):
 
 
 def conv_dedup_sql(table: str) -> str:
-    """DuckDB twin of :func:`conv_dedup` (same separator byte, same
-    min-conv_id canonical rule)."""
+    """DuckDB twin of :func:`conv_dedup` (same per-turn digest, same
+    separator byte, same min-conv_id canonical rule)."""
     return (
         f"WITH h AS (SELECT conv_id, "
-        f"md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS content_hash "
+        f"md5(string_agg(md5(text), chr(31) ORDER BY turn_idx)) "
+        f"AS content_hash "
         f"FROM {table} GROUP BY conv_id) "
         f"SELECT conv_id, content_hash, "
         f"conv_id = min(conv_id) OVER (PARTITION BY content_hash) AS keep "
@@ -944,7 +962,34 @@ def conv_curation(
         payload={},
         semi=True,
     )
-    return sft_pairs(conv_truncate(turns, k))
+
+    # Fused truncate+pair tail (round 5): ``sft_pairs(conv_truncate(
+    # turns, k))`` would shuffle the surviving turn stream by conv_id
+    # TWICE more (each helper owns a groupby + a pinned global sort)
+    # right after the semi-join above already hash-exchanged it.  Both
+    # steps are per-conversation transforms, so one map_groups does
+    # tail-k and adjacency extraction in a single pass — same rows,
+    # same (conv_id, turn_idx) final order, two full-text all-to-alls
+    # saved (the composed path's dominant cost at 10^12-turn scale).
+    def tail_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx").tail(k)
+        prev_role = g["role"].shift(1)
+        prev_text = g["text"].shift(1)
+        m = (g["role"] == "assistant") & (prev_role == "user")
+        return pd.DataFrame(
+            {
+                "conv_id": g.loc[m, "conv_id"].to_numpy(),
+                "turn_idx": g.loc[m, "turn_idx"].to_numpy(),
+                "prompt": prev_text[m].to_numpy(),
+                "response": g.loc[m, "text"].to_numpy(),
+            }
+        )
+
+    return (
+        turns.groupby("conv_id")
+        .map_groups(tail_pairs, batch_format="pandas")
+        .sort(["conv_id", "turn_idx"])
+    )
 
 
 def conv_curation_sql(
@@ -965,7 +1010,7 @@ def conv_curation_sql(
         f"skeep AS (SELECT conv_id FROM share WHERE t > 0 "
         f"AND (a * 10000) // t BETWEEN {lo_bp} AND {hi_bp}), "
         f"h AS (SELECT conv_id, "
-        f"md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS ch "
+        f"md5(string_agg(md5(text), chr(31) ORDER BY turn_idx)) AS ch "
         f"FROM {table} GROUP BY conv_id), "
         f"dkeep AS (SELECT conv_id FROM h "
         f"QUALIFY conv_id = min(conv_id) OVER (PARTITION BY ch)), "
