@@ -1517,6 +1517,57 @@ def _q_lexical_diversity(sf_dir: str):
 
 BIGRAM_TOPK_K = 20
 QUALITY_TOPFRAC = 0.5
+KEYTERMS_N = 3
+LANG_BIGRAMS_K = 10
+#: fixed phrase for the phrase_search gate row — the most frequent
+#: token trigram of the sf0.01 corpus (8 occurrences); any phrase
+#: works, this one keeps the fixture non-degenerate
+PHRASE_QUERY = ("slow", "hash", "batch")
+
+
+def _q_keyterms_topk(sf_dir: str):
+    """Per-doc top-3 distinctive terms (round 5, final block): one
+    vocab-bounded df fold, then a zero-shuffle second pass selecting
+    each doc's (tf DESC, df ASC, term) head via the bounded ray.put
+    df broadcast (copartition-join path above the limit)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import keyterms_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return keyterms_topk(ds, n=KEYTERMS_N)
+
+
+def _q_lang_bigrams(sf_dir: str):
+    """Per-language top-k bigrams (round 5, final block): partials
+    keyed on (lang, w1, w2), one fold, block-local per-lang top-k then
+    a candidate-only sort."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lang_bigrams
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "text"],
+    )
+    return lang_bigrams(ds, k=LANG_BIGRAMS_K)
+
+
+def _q_phrase_search(sf_dir: str):
+    """Exact token-adjacency phrase occurrence counts (round 5, final
+    block): zero-shuffle streaming pass, shifted code-equality masks."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import phrase_search
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return phrase_search(ds, PHRASE_QUERY)
 
 
 def _q_quality_topfrac(sf_dir: str):
@@ -2432,6 +2483,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": _q_lang_length_quantiles,
         "repetition_stats": _q_repetition_stats,
         "bigram_topk": _q_bigram_topk,
+        "keyterms_topk": _q_keyterms_topk,
+        "lang_bigrams": _q_lang_bigrams,
+        "phrase_search": _q_phrase_search,
     }
 
 
@@ -3083,6 +3137,15 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.textstats import js_divergence_sql
 
     out["js_divergence"] = js_divergence_sql()
+    from raysearch.pipelines.textstats import (
+        keyterms_sql,
+        lang_bigrams_sql,
+        phrase_search_sql,
+    )
+
+    out["keyterms_topk"] = keyterms_sql(KEYTERMS_N)
+    out["lang_bigrams"] = lang_bigrams_sql(LANG_BIGRAMS_K)
+    out["phrase_search"] = phrase_search_sql(PHRASE_QUERY)
     out["bigram_topk"] = (
         "WITH f AS (SELECT list_filter(regexp_split_to_array("
         "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "

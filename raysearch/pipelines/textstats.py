@@ -1979,3 +1979,352 @@ def normalize_sql(table: str = "documents") -> str:
         "'\\s+', ' ', 'g'))) AS BIGINT) AS n_chars "
         f"FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (final block): per-doc key terms, per-language bigrams, exact
+# token-adjacency phrase search.
+# ---------------------------------------------------------------------------
+
+#: vocabulary rows above which keyterms_topk switches from the bounded
+#: ray.put df broadcast to the fully-distributed copartition join path
+KEYTERMS_BROADCAST_LIMIT = 5_000_000
+
+
+def keyterms_topk(ds, n: int = 3):
+    """Per-document top-``n`` DISTINCTIVE terms — the keyword-extraction
+    pass of a training-data curation pipeline (tf-idf-style salience
+    without the float): rank a doc's terms by ``(tf DESC, df ASC, term
+    ASC)`` — highest in-doc frequency first, rarest-in-corpus breaking
+    ties — and keep the first ``n``.  All three keys are integers or
+    ASCII tokens, so the engine↔SQL comparison is exact (no idf-log
+    ulp hazard; cf. the pinned-idf workaround tfidf_features needs).
+
+    Plan: ONE df fold (``_tokenize_task`` partials → ``groupby(term)``
+    — exchange bounded by the vocabulary, the term_df/A2 bound), then
+
+    * vocabulary ≤ :data:`KEYTERMS_BROADCAST_LIMIT`: pull the (term,
+      df) arrays once, ``ray.put``, and a SECOND streaming pass over
+      the corpus computes each doc's tf in-batch (docs never span
+      batches), attaches df by searchsorted lookup and selects the
+      per-doc top-``n`` with one vectorized lexsort — the big table is
+      never shuffled at all;
+    * above the limit: :func:`raysearch.util.copartition_attach` joins
+      df onto the (doc_id, term, tf) rows by term, then a
+      ``groupby(doc_id).map_groups`` window takes the per-doc head —
+      both exchanges bounded by Σ per-doc distinct terms, the
+      postings_tf/A1 bound; the vocabulary never reaches the driver.
+
+    Both paths emit identical rows (pytest-pinned at a forced-low
+    limit).  Output ``(doc_id, rk, term, tf, df)``, rk 1-based, sorted
+    by (doc_id, rk)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from raysearch.util import copartition_attach
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        t = _tokenize_task(b)  # (doc_id, term, tf): distinct per doc
+        if not t.num_rows:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        terms = np.asarray(t["term"].to_pylist(), dtype=object)
+        uniq, counts = np.unique(terms, return_counts=True)
+        return pa.table(
+            {"term": pa.array(uniq, pa.string()),
+             "df": pa.array(counts, pa.int64())}
+        )
+
+    dfds = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    i64, s = pa.int64(), pa.string()
+    empty = pa.table(
+        {"doc_id": pa.array([], i64), "rk": pa.array([], i64),
+         "term": pa.array([], s), "tf": pa.array([], i64),
+         "df": pa.array([], i64)}
+    )
+
+    if dfds.count() <= KEYTERMS_BROADCAST_LIMIT:
+        parts = [p for p in _ray.get(dfds.to_arrow_refs()) if p.num_rows]
+        dt = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"term": pa.array([], s), "df": pa.array([], i64)})
+        )
+        terms = np.asarray(dt["term"].to_pylist(), dtype=object)
+        dfs = dt["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(terms, kind="stable")
+        df_ref = _ray.put((terms[order], dfs[order]))
+
+        def topn_broadcast(b: pa.Table) -> pa.Table:
+            t_sorted, df_sorted = _ray.get(df_ref)
+            doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            lexer = _cached(_RepetitionStats).lexer
+            parent, codes, uniq = lexer.token_parent_codes(b["text"])
+            if not len(codes):
+                return empty
+            v = len(uniq)
+            key = parent.astype(np.int64) * v + codes
+            ukeys, tf = np.unique(key, return_counts=True)
+            rows, ucodes = ukeys // v, ukeys % v
+            # integer sort surrogate for the ASCII term tie-break
+            term_rank = np.empty(v, np.int64)
+            term_rank[np.argsort(uniq, kind="stable")] = np.arange(v)
+            df = df_sorted[np.searchsorted(t_sorted, uniq)][ucodes]
+            order = np.lexsort((term_rank[ucodes], df, -tf, rows))
+            rows_o = rows[order]
+            starts = np.flatnonzero(
+                np.r_[True, rows_o[1:] != rows_o[:-1]]
+            )
+            sizes = np.diff(np.r_[starts, len(rows_o)])
+            rk = (
+                np.arange(len(rows_o), dtype=np.int64)
+                - np.repeat(starts, sizes)
+                + 1
+            )
+            keep = rk <= n
+            o = order[keep]
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[rows[o]], i64),
+                    "rk": pa.array(rk[keep], i64),
+                    "term": pa.array(uniq[ucodes[o]], s),
+                    "tf": pa.array(tf[o], i64),
+                    "df": pa.array(df[o], i64),
+                }
+            )
+
+        out = ds.map_batches(topn_broadcast, batch_format="pyarrow")
+        return out.sort(["doc_id", "rk"])
+
+    tf_rows = ds.map_batches(_tokenize_task, batch_format="pyarrow")
+    joined = copartition_attach(
+        tf_rows,
+        dfds,
+        "term",
+        pa.schema([("doc_id", i64), ("term", s), ("tf", i64)]),
+        {"df": i64},
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["tf", "df", "term"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(n)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["doc_id", "rk", "term", "tf", "df"]]
+
+    return (
+        joined.groupby("doc_id")
+        .map_groups(final, batch_format="pandas")
+        .sort(["doc_id", "rk"])
+    )
+
+
+def lang_bigrams(ds, k: int = 10):
+    """Per-LANGUAGE top-``k`` token bigrams — :func:`bigram_topk`
+    partitioned by the ``lang`` column (the per-domain / per-language
+    phrase-statistics pass a multilingual curation pipeline runs).
+
+    Plan: per-batch partial counts keyed on (lang, w1, w2) → one
+    ``groupby(lang, w1, w2)`` fold (exchange bounded by distinct
+    per-lang bigrams) → block-local per-lang top-``k`` (exact: the
+    fold hash-partitions (lang, w1, w2) triples, so folded counts are
+    final and any global per-lang top-k row is a block-local one) →
+    a ≤ k×blocks×langs candidate sort → per-lang rank in one final
+    block.  Ties pin on ascending (w1, w2).  Output ``(lang, rk, w1,
+    w2, n)``."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()),
+         "w1": pa.array([], pa.string()),
+         "w2": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+        if len(parent) > 1:
+            valid = parent[1:] == parent[:-1]
+            first, second = codes[:-1][valid], codes[1:][valid]
+            par = parent[:-1][valid]
+        else:
+            first = second = par = np.empty(0, np.int64)
+        if not len(first):
+            return empty
+        lcodes, luniq = pd.factorize(langs)
+        v = int(codes.max()) + 1
+        key = (
+            lcodes[par].astype(np.int64) * v + first.astype(np.int64)
+        ) * v + second
+        ukeys, counts = np.unique(key, return_counts=True)
+        li, rest = ukeys // (v * v), ukeys % (v * v)
+        return pa.table(
+            {
+                "lang": pa.array(np.asarray(luniq, object)[li], pa.string()),
+                "w1": pa.array(uniq[rest // v], pa.string()),
+                "w2": pa.array(uniq[rest % v], pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _ranked(b: pa.Table, keep_k: int) -> pa.Table:
+        """Sort by (lang, -n, w1, w2) and keep the first ``keep_k``
+        rows per lang, attaching the within-lang 1-based rank."""
+        b = b.append_column("_negn", pc.multiply(b["n"], pa.scalar(-1)))
+        order = pc.sort_indices(
+            b,
+            sort_keys=[("lang", "ascending"), ("_negn", "ascending"),
+                       ("w1", "ascending"), ("w2", "ascending")],
+        )
+        b = b.take(order)
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        if not len(langs):
+            return b.append_column("rk", pa.array([], pa.int64()))
+        starts = np.flatnonzero(np.r_[True, langs[1:] != langs[:-1]])
+        sizes = np.diff(np.r_[starts, len(langs)])
+        rk = (
+            np.arange(len(langs), dtype=np.int64)
+            - np.repeat(starts, sizes)
+            + 1
+        )
+        b = b.append_column("rk", pa.array(rk, pa.int64()))
+        return b.filter(pc.less_equal(b["rk"], pa.scalar(keep_k)))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        return _ranked(b, k).drop_columns(["rk"])
+
+    def rank(b: pa.Table) -> pa.Table:
+        b = _ranked(b.drop_columns(["_negn"]), k)
+        return b.select(["lang", "rk", "w1", "w2", "n"])
+
+    return (
+        folded.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["lang", "_negn", "w1", "w2"])
+        .repartition(1)
+        .map_batches(rank, batch_format="pyarrow")
+    )
+
+
+def phrase_search(ds, phrase: tuple[str, ...]):
+    """Exact token-adjacency phrase search: per-doc occurrence counts
+    of ``phrase`` as CONSECUTIVE simple-mode tokens (the positional /
+    phrase-query operator classic search engines layer over the
+    posting lists; the reference's conjunctive AND — SURVEY §2 J2 —
+    is the unordered relaxation of this).
+
+    Plan: zero-shuffle — docs never span batches, so one streaming
+    pass computes each batch's counts: tokenize to integer codes, map
+    the phrase words into the batch dictionary (searchsorted over the
+    sorted batch vocabulary — absent word ⇒ no hits), AND together
+    the L shifted code-equality masks plus a same-row mask, and
+    bincount hits per row.  Emits only matching docs.  Output
+    ``(doc_id, n_hits)`` sorted by doc_id."""
+    words = [w.lower() for w in phrase]
+    if not words:
+        raise ValueError("empty phrase")
+    L = len(words)
+    warr = np.asarray(words, dtype=object)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_hits": pa.array([], pa.int64())}
+    )
+
+    def find(batch: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+        if len(codes) < L:
+            return empty
+        vorder = np.argsort(uniq, kind="stable")
+        pos = np.searchsorted(uniq[vorder], warr)
+        if (pos >= len(uniq)).any() or (uniq[vorder][pos] != warr).any():
+            return empty
+        wcodes = vorder[pos]
+        span = len(codes) - L + 1
+        m = codes[:span] == wcodes[0]
+        for j in range(1, L):
+            m &= codes[j:span + j] == wcodes[j]
+        m &= parent[:span] == parent[L - 1:]
+        if not m.any():
+            return empty
+        upar, counts = np.unique(parent[:span][m], return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[upar], pa.int64()),
+             "n_hits": pa.array(counts, pa.int64())}
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow").sort("doc_id")
+
+
+def keyterms_sql(n: int, table: str = "documents") -> str:
+    """DuckDB twin of :func:`keyterms_topk` (same integer keys, same
+    tie pins)."""
+    return (
+        "WITH tok AS (SELECT doc_id, t.term FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "GROUP BY 1), "
+        "r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df, "
+        "row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk "
+        "FROM tf JOIN df USING (term)) "
+        "SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, "
+        "CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df "
+        f"FROM r WHERE rk <= {n} ORDER BY doc_id, rk"
+    )
+
+
+def lang_bigrams_sql(k: int, table: str = "documents") -> str:
+    """DuckDB twin of :func:`lang_bigrams` (same tie pins)."""
+    return (
+        "WITH f AS (SELECT lang, list_filter(regexp_split_to_array("
+        f"lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM {table}), "
+        "b AS (SELECT lang, ts[i] AS w1, ts[i+1] AS w2 FROM f, "
+        "unnest(generate_series(1, len(ts)-1)) AS u(i)), "
+        "c AS (SELECT lang, w1, w2, count(*) AS n FROM b GROUP BY 1, 2, 3), "
+        "r AS (SELECT lang, w1, w2, n, row_number() OVER ("
+        "PARTITION BY lang ORDER BY n DESC, w1, w2) AS rk FROM c) "
+        "SELECT lang, CAST(rk AS BIGINT) AS rk, w1, w2, "
+        f"CAST(n AS BIGINT) AS n FROM r WHERE rk <= {k} "
+        "ORDER BY lang, rk"
+    )
+
+
+def phrase_search_sql(phrase: tuple[str, ...],
+                      table: str = "documents") -> str:
+    """DuckDB twin of :func:`phrase_search` (adjacency via the array
+    index arithmetic the bigram oracle uses)."""
+    words = [w.lower() for w in phrase]
+    L = len(words)
+    conds = " AND ".join(
+        f"ts[i+{j}] = '{w}'" if j else f"ts[i] = '{w}'"
+        for j, w in enumerate(words)
+    )
+    return (
+        "WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        f"lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM {table}), "
+        "m AS (SELECT doc_id FROM f, "
+        f"unnest(generate_series(1, len(ts)-{L - 1})) AS u(i) "
+        f"WHERE {conds}) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM m "
+        "GROUP BY doc_id ORDER BY doc_id"
+    )

@@ -1,0 +1,245 @@
+"""Round-5 final-block operators: keyterms_topk (per-doc distinctive
+terms), lang_bigrams (per-language phrase statistics) and
+phrase_search (exact token-adjacency phrase query) — each checked
+against its DuckDB twin, across partitionings, on edge cases, and
+(keyterms) across both join strategies."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _doc_table(texts, langs=None):
+    cols = {
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }
+    if langs is not None:
+        cols["lang"] = pa.array(langs)
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# keyterms_topk
+# ---------------------------------------------------------------------------
+
+
+def test_keyterms_matches_duckdb_and_ties(ray_session):
+    """(tf DESC, df ASC, term) ranking equals the SQL window across
+    partitionings; tf ties resolve to the rarer (lower-df) term and
+    df ties to the lexicographically smaller term; empty docs emit
+    nothing; docs with < n distinct terms emit what they have."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import keyterms_sql, keyterms_topk
+
+    texts = [
+        "",                        # no rows
+        "zz zz aa aa bb",          # tf tie zz/aa -> df decides, then term
+        "aa",                      # 1 distinct term -> 1 row
+        "cc cc cc zz aa bb dd",    # clear winner + 3-way tie tail
+        "dd dd ee ee ff ff",       # full 3-way tf tie
+    ]
+    tbl = _doc_table(texts)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(keyterms_sql(3)).fetchdf()
+    for parts in (1, 4):
+        got = (
+            keyterms_topk(rd.from_arrow(tbl).repartition(parts), n=3)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got[orc.columns].equals(orc), parts
+    assert not (orc["doc_id"] == 0).any()
+    assert list(orc[orc["doc_id"] == 2]["term"]) == ["aa"]
+    # doc 3: cc (tf 3) first, then the tf-1 four-way tie by (df, term)
+    assert list(orc[orc["doc_id"] == 3]["term"])[0] == "cc"
+
+
+def test_keyterms_copartition_path_identical(ray_session):
+    """Forcing the vocabulary over the broadcast limit switches to the
+    copartition-join + map_groups path; rows must be identical."""
+    import ray.data as rd
+
+    import raysearch.pipelines.textstats as ts
+
+    texts = ["aa bb cc", "bb cc dd", "cc dd ee", ""]
+    tbl = _doc_table(texts)
+    ds = rd.from_arrow(tbl).repartition(2)
+    fast = ts.keyterms_topk(ds, n=2).to_pandas().reset_index(drop=True)
+    old = ts.KEYTERMS_BROADCAST_LIMIT
+    ts.KEYTERMS_BROADCAST_LIMIT = 1
+    try:
+        slow = ts.keyterms_topk(ds, n=2).to_pandas().reset_index(drop=True)
+    finally:
+        ts.KEYTERMS_BROADCAST_LIMIT = old
+    assert fast.equals(slow)
+
+
+def test_keyterms_real_corpus(ray_session):
+    """The sf0.001 corpus through the distributed plan: every doc with
+    text emits exactly min(3, distinct terms) rows, ranks are 1..k,
+    df values equal the independent term_df aggregate."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import keyterms_sql, keyterms_topk
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        keyterms_topk(
+            rd.read_parquet(p, columns=["doc_id", "text"]), n=3
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    orc = con.execute(keyterms_sql(3)).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert (got.groupby("doc_id")["rk"].agg(list).map(
+        lambda r: r == list(range(1, len(r) + 1))
+    )).all()
+
+
+# ---------------------------------------------------------------------------
+# lang_bigrams
+# ---------------------------------------------------------------------------
+
+
+def test_lang_bigrams_matches_duckdb(ray_session):
+    """Per-lang counts and (n DESC, w1, w2) ranks equal the SQL window
+    across partitionings; langs never bleed into each other; a lang
+    with fewer than k distinct bigrams emits them all."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lang_bigrams, lang_bigrams_sql
+
+    texts = [
+        "a b a b c",     # en: (a,b)x2 (b,a) (b,c)
+        "a b d",         # en
+        "x y x y x y",   # de: (x,y)x3 (y,x)x2
+        "",              # de: nothing
+        "a b",           # fr: single bigram
+    ]
+    langs = ["en", "en", "de", "de", "fr"]
+    tbl = _doc_table(texts, langs)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(lang_bigrams_sql(3)).fetchdf()
+    for parts in (1, 3):
+        got = (
+            lang_bigrams(rd.from_arrow(tbl).repartition(parts), k=3)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got[orc.columns].equals(orc), parts
+    en = orc[orc["lang"] == "en"]
+    assert list(en[["w1", "w2"]].itertuples(index=False, name=None))[0] == (
+        "a", "b",
+    )
+    assert list(orc[orc["lang"] == "fr"]["n"]) == [1]
+    assert set(orc["lang"]) == {"en", "de", "fr"}
+
+
+def test_lang_bigrams_real_corpus(ray_session):
+    """sf0.001 corpus: distributed result equals the DuckDB window over
+    the same parquet."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lang_bigrams, lang_bigrams_sql
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        lang_bigrams(rd.read_parquet(p, columns=["lang", "text"]), k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    orc = con.execute(lang_bigrams_sql(10)).fetchdf()
+    assert got[orc.columns].equals(orc)
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_adjacency_and_counts(ray_session):
+    """Only CONSECUTIVE same-doc token runs match: scattered terms
+    (the conjunctive-AND relaxation) don't; overlapping occurrences
+    each count; punctuation splits per the simple tokenizer; phrase
+    words absent from a batch's vocabulary short-circuit."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import (
+        phrase_search,
+        phrase_search_sql,
+    )
+
+    texts = [
+        "the quick fox",            # exact single hit
+        "quick the fox the quick",  # words present, never adjacent
+        "the quick fox the quick fox",   # two hits
+        "THE, quick... FOX",        # case/punct normalize -> hit
+        "the quick",                # prefix only
+        "",                         # empty
+        "a a a a",                  # self-overlap probe (phrase a a)
+    ]
+    tbl = _doc_table(texts)
+    phrase = ("the", "quick", "fox")
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(phrase_search_sql(phrase)).fetchdf()
+    for parts in (1, 4):
+        got = (
+            phrase_search(rd.from_arrow(tbl).repartition(parts), phrase)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got[orc.columns].equals(orc), parts
+    assert dict(zip(orc["doc_id"], orc["n_hits"])) == {0: 1, 2: 2, 3: 1}
+    # overlapping occurrences: "a a a a" has three "a a" bigram hits
+    got2 = (
+        phrase_search(rd.from_arrow(tbl), ("a", "a"))
+        .to_pandas()
+    )
+    orc2 = con.execute(phrase_search_sql(("a", "a"))).fetchdf()
+    assert got2[orc2.columns].equals(orc2)
+    assert dict(zip(got2["doc_id"], got2["n_hits"]))[6] == 3
+
+
+def test_phrase_search_single_word_and_missing(ray_session):
+    """L=1 degenerates to per-doc tf of the word; a phrase containing
+    an out-of-corpus word matches nothing."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import (
+        phrase_search,
+        phrase_search_sql,
+    )
+
+    tbl = _doc_table(["b a b b", "a", "c"])
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    got = phrase_search(rd.from_arrow(tbl), ("b",)).to_pandas()
+    orc = con.execute(phrase_search_sql(("b",))).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert dict(zip(got["doc_id"], got["n_hits"])) == {0: 3}
+    missing = phrase_search(
+        rd.from_arrow(tbl), ("b", "zzz")
+    ).to_pandas()
+    assert len(missing) == 0
