@@ -141,6 +141,15 @@ def _q_doc_fingerprints(sf_dir: str):
     return doc_fingerprints(_docs(sf_dir))
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Per-doc shared-winnowed-fingerprint counts (round 5, final
+    block): exact cross-doc substring-duplication evidence — two
+    bounded exchanges (fp vocab, then docs), no driver state."""
+    from raysearch.pipelines.textstats import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir))
+
+
 def _q_lang_id_ngram(sf_dir: str):
     import ray.data as rd
 
@@ -182,10 +191,11 @@ def _langid_sql() -> str:
     )
 
 
-def _fingerprint_sql() -> str:
-    """Winnowed rolling-hash fingerprint oracle — the IDENTICAL
+def _fingerprint_cte() -> str:
+    """Shared winnowed rolling-hash fingerprint CTE — the IDENTICAL
     polynomial (base/k/w constants imported from the operator) written
-    as a per-position HUGEINT sum mod 2^64, windowed MIN, DISTINCT."""
+    as a per-position HUGEINT sum mod 2^64, windowed MIN, DISTINCT.
+    Yields ``fps(doc_id, fp)``."""
     from raysearch.pipelines.textstats import FP_BASE, FP_K, FP_W
 
     k, w = FP_K, FP_W
@@ -199,9 +209,26 @@ def _fingerprint_sql() -> str:
         f"h AS (SELECT doc_id, pos, n_grams, "
         f"CAST(({terms}) % 18446744073709551616 AS UBIGINT) AS hh FROM g), "
         f"wn AS (SELECT doc_id, pos, n_grams, MIN(hh) OVER ("
-        f"PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp FROM h) "
-        f"SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= n_grams - {w} + 1 "
-        f"ORDER BY doc_id, fp"
+        f"PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp FROM h), "
+        f"fps AS (SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= n_grams - {w} + 1)"
+    )
+
+
+def _fingerprint_sql() -> str:
+    """Winnowed fingerprint oracle (see :func:`_fingerprint_cte`)."""
+    return f"{_fingerprint_cte()} SELECT doc_id, fp FROM fps ORDER BY doc_id, fp"
+
+
+def _dup_span_sql() -> str:
+    """DuckDB twin of ``dup_span_stats`` — per-fp distinct-doc counts
+    joined back onto the shared fingerprint CTE."""
+    return (
+        f"{_fingerprint_cte()}, "
+        "c AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM fps GROUP BY 1) "
+        "SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_fp, "
+        "CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_shared "
+        "FROM fps f JOIN c USING (fp) GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -2205,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lexical_diversity.
         "conv_truncate": _q_conv_truncate,
         "doc_fingerprints": _q_doc_fingerprints,
+        "dup_span_stats": _q_dup_span_stats,
         "lang_id_ngram": _q_lang_id_ngram,
         # round 5 (late): prefix_jaccard_pairs admitted above the cap;
         # conjunctive_search demoted — bm25_topk (above the cap)
@@ -2820,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprints": _fingerprint_sql(),
+        "dup_span_stats": _dup_span_sql(),
         "lang_id_ngram": _langid_sql(),
         "conjunctive_search": f"{_TOK}{_TF}{_CAND} SELECT doc_id FROM cand ORDER BY doc_id",
         "bm25_topk": (

@@ -2328,3 +2328,85 @@ def phrase_search_sql(phrase: tuple[str, ...],
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM m "
         "GROUP BY doc_id ORDER BY doc_id"
     )
+
+
+def dup_span_stats(ds, k: int = FP_K, w: int = FP_W, base: int = FP_BASE):
+    """Cross-document substring-duplication evidence per doc — the
+    exact-substring complement of MinHash near-dup (Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"
+    motivates removing repeated spans; winnowing bounds the index):
+    for each doc, how many of its winnowed fingerprints are SHARED
+    with at least one other doc.  ``n_shared / n_fp`` is the
+    duplicated-span fraction a curation pipeline thresholds on.
+
+    Plan: :func:`doc_fingerprints` (partition-local, no shuffle) →
+    one ``groupby(fp)`` distinct-doc count (exchange bounded by the
+    distinct-fingerprint count, ~|text|/w per doc) →
+    :func:`raysearch.util.copartition_attach` of the per-fp doc count
+    back onto the fingerprint rows → one ``groupby(doc_id)`` fold to
+    (n_fp, n_shared) — both exchanges bounded, no driver state.  Docs
+    too short to emit a fingerprint are absent (same as the SQL twin).
+
+    The uint64 fp is BIT-CAST to int64 before it becomes an exchange
+    key: Ray Data's shuffle paths route keys through pandas, where
+    uint64 degrades to float64 (53-bit mantissa) and distinct
+    fingerprints can collide depending on the partition layout —
+    observed as nondeterministic row loss at 4 CPUs.  The cast is a
+    pure relabeling (bijective), so counts are unaffected.
+
+    Output ``(doc_id, n_fp, n_shared)`` sorted by doc_id."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.util import copartition_attach
+
+    def as_i64(b: pa.Table) -> pa.Table:
+        fp = b["fp"].to_numpy(zero_copy_only=False).view(np.int64)
+        return pa.table(
+            {"doc_id": b["doc_id"], "fp": pa.array(fp, pa.int64())}
+        )
+
+    fps = doc_fingerprints(ds, k=k, w=w, base=base).map_batches(
+        as_i64, batch_format="pyarrow"
+    )
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        # distinct docs per fp within the batch; summing partials is
+        # exact because doc_fingerprints emits DISTINCT (doc_id, fp)
+        return pa.table(
+            {"fp": b["fp"], "nd": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+
+    counts = (
+        fps.map_batches(fp_partial, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Sum("nd", alias_name="nd"))
+    )
+    joined = copartition_attach(
+        fps,
+        counts,
+        "fp",
+        pa.schema([("doc_id", pa.int64()), ("fp", pa.int64())]),
+        {"nd": pa.int64()},
+    )
+
+    def to_flags(b: pa.Table) -> pa.Table:
+        shared = pc.cast(
+            pc.greater_equal(b["nd"], pa.scalar(2, pa.int64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_fp": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_shared": shared,
+            }
+        )
+
+    return (
+        joined.map_batches(to_flags, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_fp", alias_name="n_fp"),
+            Sum("n_shared", alias_name="n_shared"),
+        )
+        .sort("doc_id")
+    )

@@ -243,3 +243,70 @@ def test_phrase_search_single_word_and_missing(ray_session):
         rd.from_arrow(tbl), ("b", "zzz")
     ).to_pandas()
     assert len(missing) == 0
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_stats_matches_duckdb(ray_session):
+    """Shared-fingerprint counts equal the SQL twin across
+    partitionings; a substring shared by two docs (length >= k+w-1,
+    the winnowing guarantee) yields n_shared >= 1 in BOTH; a doc with
+    unique text has n_shared = 0; a doc shorter than k emits nothing;
+    self-repeats within ONE doc don't count as shared."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import _dup_span_sql
+    from raysearch.pipelines.textstats import dup_span_stats
+
+    shared = "the identical duplicated span survives winnowing"
+    texts = [
+        f"left context {shared} right context",
+        f"other prefix {shared} other suffix",
+        "completely unique text with no twin anywhere here",
+        "hi",                                   # < k chars: no fps
+        "selfsame selfsame selfsame selfsame",  # repeats only itself
+    ]
+    tbl = _doc_table(texts)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    orc = con.execute(_dup_span_sql()).fetchdf()
+    for parts in (1, 3):
+        got = (
+            dup_span_stats(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got[orc.columns].equals(orc), parts
+    by = dict(zip(orc["doc_id"], orc["n_shared"]))
+    assert by[0] >= 1 and by[1] >= 1
+    assert by[2] == 0 and by[4] == 0
+    assert 3 not in by
+    assert (orc["n_shared"] <= orc["n_fp"]).all()
+
+
+def test_dup_span_stats_real_corpus(ray_session):
+    """sf0.001 corpus: distributed result equals the DuckDB twin."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import _dup_span_sql
+    from raysearch.pipelines.textstats import dup_span_stats
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        dup_span_stats(rd.read_parquet(p, columns=["doc_id", "text"]))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    orc = con.execute(_dup_span_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    # token-soup corpora share plenty of >=11-char spans: non-degenerate
+    assert (got["n_shared"] > 0).any()
