@@ -1395,6 +1395,36 @@ def _q_funnel_counts(sf_dir: str):
     return funnel_counts(ds, FUNNEL_STEPS)
 
 
+def _q_event_pairs(sf_dir: str):
+    """Event-type co-occurrence per user (round 5, final block):
+    bitmask Sum-of-distinct-powers-of-two OR trick — zero per-user
+    Python; exchanges bounded by (user, type) then users then masks."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import event_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return event_pairs(ds)
+
+
+def _q_props_stats(sf_dir: str):
+    """Per-type aggregate over the JSON props payload (round 5, final
+    block): Arrow RE2 extraction + in-batch partials; the only
+    exchange is the types-sized fold."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import props_stats
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+    return props_stats(ds)
+
+
 def _q_rollup_counts(sf_dir: str):
     """Multi-level ROLLUP counts (round 5): every prefix level of
     (lang, source) in one shuffle — per-batch all-level partials,
@@ -2323,6 +2353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above the cap; the stats API stays pytest-checked (oracle
         # retained).
         "funnel_counts": _q_funnel_counts,
+        "event_pairs": _q_event_pairs,
+        "props_stats": _q_props_stats,
         # round 5 (late): sft_pairs admitted above the cap (new
         # operators get driver-checked immediately); epoch_shuffle
         # demoted — its keyed-hash ordering/selection idiom stays
@@ -3072,12 +3104,16 @@ def oracle_sql() -> dict[str, str]:
         temperature=MIX_TEMPERATURE
     )
     from raysearch.pipelines.relational import (
+        event_pairs_sql,
         funnel_counts_sql,
+        props_stats_sql,
         rollup_counts_sql,
     )
 
     out["rollup_counts"] = rollup_counts_sql(ROLLUP_DIMS)
     out["funnel_counts"] = funnel_counts_sql(FUNNEL_STEPS)
+    out["event_pairs"] = event_pairs_sql()
+    out["props_stats"] = props_stats_sql()
     # prefix filtering is exact-complete, so its result IS
     # jaccard_pairs_exact's (pinned output order added)
     out["prefix_jaccard_pairs"] = (

@@ -711,3 +711,196 @@ def anti_join_sql(*, left_table: str, right_table: str, left_key: str,
         f"SELECT 1 FROM {right_table} r WHERE r.{right_key} = l.{left_key}"
         f"{extra}) ORDER BY l.{left_key}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (final block): event-type co-occurrence and props extraction.
+# ---------------------------------------------------------------------------
+
+
+def event_pairs(events):
+    """Market-basket co-occurrence over the event stream: for every
+    unordered pair of event types, how many USERS have both (the
+    association mining / "users who did A also did B" statistic).
+
+    Fully vectorized — no per-user Python.  Plan: a tiny
+    ``groupby(event_type)`` vocabulary fold (pulled once — bounded by
+    the type vocabulary, the langid-profile-broadcast precedent; bit
+    assignment by sorted type order, T ≤ 63 asserted) → distinct
+    (user_id, event_type) via one groupby → per-row mask ``1 <<
+    bit`` → ``groupby(user_id).Sum(mask)``: rows are DISTINCT per
+    (user, type), so the SUM of distinct powers of two IS the bitwise
+    OR of the user's type-set → ``groupby(mask).Count`` (≤
+    min(users, 2^T) rows) → each mask row expands to its ≤ T(T-1)/2
+    present pairs → a tiny pair-count fold.  Every exchange after
+    the distinct step is bounded by users, then by distinct masks.
+
+    Output ``(type_a, type_b, n_users)`` with type_a < type_b, sorted."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    vocab = sorted(
+        r["event_type"]
+        for r in events.groupby("event_type").count().take_all()
+    )
+    if len(vocab) > 63:
+        raise ValueError(
+            f"event_pairs bitmask path supports <= 63 types, got "
+            f"{len(vocab)}; use a map_groups per-user path for open "
+            f"type vocabularies"
+        )
+    bit = {t: i for i, t in enumerate(vocab)}
+    varr = np.asarray(vocab, dtype=object)
+
+    def to_mask(b: pa.Table) -> pa.Table:
+        codes = np.searchsorted(varr, np.asarray(
+            b["event_type"].to_pylist(), dtype=object
+        ))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "mask": pa.array(
+                    np.int64(1) << codes.astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    masks = (
+        events.select_columns(["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .count()
+        .map_batches(to_mask, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("mask", alias_name="mask"))
+        .groupby("mask")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def expand(b: pa.Table) -> pa.Table:
+        ms = b["mask"].to_numpy(zero_copy_only=False)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        out_a: list[str] = []
+        out_b: list[str] = []
+        out_n: list[int] = []
+        for m, n in zip(ms, ns):  # <= distinct-mask rows, not events
+            bits = [i for i in range(len(varr)) if m >> i & 1]
+            for x in range(len(bits)):
+                for y in range(x + 1, len(bits)):
+                    out_a.append(varr[bits[x]])
+                    out_b.append(varr[bits[y]])
+                    out_n.append(int(n))
+        return pa.table(
+            {
+                "type_a": pa.array(out_a, pa.string()),
+                "type_b": pa.array(out_b, pa.string()),
+                "n_users": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return (
+        masks.map_batches(expand, batch_format="pyarrow")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["type_a", "type_b"])
+    )
+
+
+def event_pairs_sql(*, table: str = "events") -> str:
+    """DuckDB twin of :func:`event_pairs` (distinct self-join form)."""
+    return (
+        f"WITH d AS (SELECT DISTINCT user_id, event_type FROM {table}) "
+        "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM d a JOIN d b ON a.user_id = b.user_id "
+        "AND a.event_type < b.event_type "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+#: regex shared with the SQL twin — the props payload is {"k": <int>}
+PROPS_K_RE = r'"k":\s*(\d+)'
+
+
+def props_stats(events):
+    """Per-event-type aggregate over a JSON-ish ``props`` payload
+    field — the semi-structured-extraction stage every event pipeline
+    runs (extract once, aggregate; never ship raw JSON through a
+    shuffle).  Extraction is the Arrow RE2 kernel
+    (``extract_regex``), partial aggregation happens inside the batch
+    (one row per type per batch), and the only exchange is the ≤
+    types-sized fold.
+
+    Output ``(event_type, n, sum_k, min_k, max_k)`` sorted by type;
+    events whose props lack ``k`` are excluded (n counts extracted
+    rows, matching the SQL twin's WHERE)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    # Arrow RE2 requires a NAMED group; same pattern as the SQL twin
+    named_re = PROPS_K_RE.replace("(", "(?P<k>", 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], named_re)
+        valid = pc.is_valid(m)
+        ks = pc.cast(pc.struct_field(m, ["k"]), pa.int64())
+        t = pa.table(
+            {"event_type": b["event_type"], "k": ks}
+        ).filter(valid)
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_k": pa.array([], pa.int64()),
+                    "min_k": pa.array([], pa.int64()),
+                    "max_k": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(
+            np.asarray(t["event_type"].to_pylist(), dtype=object)
+        )
+        ks_np = t["k"].to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(codes, weights=ks_np, minlength=len(uniq)).astype(
+            np.int64
+        )
+        order = np.argsort(codes, kind="stable")
+        bounds = np.r_[0, np.cumsum(n)]
+        ks_sorted = ks_np[order]
+        mn = np.minimum.reduceat(ks_sorted, bounds[:-1])
+        mx = np.maximum.reduceat(ks_sorted, bounds[:-1])
+        return pa.table(
+            {
+                "event_type": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sum_k": pa.array(s, pa.int64()),
+                "min_k": pa.array(mn, pa.int64()),
+                "max_k": pa.array(mx, pa.int64()),
+            }
+        )
+
+    return (
+        events.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .sort("event_type")
+    )
+
+
+def props_stats_sql(*, table: str = "events") -> str:
+    """DuckDB twin of :func:`props_stats` (same regex, same WHERE)."""
+    return (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(k) AS BIGINT) AS sum_k, "
+        "CAST(min(k) AS BIGINT) AS min_k, "
+        "CAST(max(k) AS BIGINT) AS max_k FROM ("
+        f"SELECT event_type, CAST(regexp_extract(props, '{PROPS_K_RE}', 1) "
+        f"AS BIGINT) AS k FROM {table} "
+        f"WHERE regexp_matches(props, '{PROPS_K_RE}')) "
+        "GROUP BY 1 ORDER BY 1"
+    )

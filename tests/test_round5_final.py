@@ -310,3 +310,125 @@ def test_dup_span_stats_real_corpus(ray_session):
     assert got[orc.columns].equals(orc)
     # token-soup corpora share plenty of >=11-char spans: non-degenerate
     assert (got["n_shared"] > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# event_pairs / props_stats
+# ---------------------------------------------------------------------------
+
+
+def _event_table(rows):
+    return pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "props": pa.array([r[2] if len(r) > 2 else "{}" for r in rows]),
+        }
+    )
+
+
+def test_event_pairs_matches_duckdb(ray_session):
+    """Pair counts equal the distinct self-join across partitionings;
+    repeat events don't double-count a user; a single-type user
+    contributes no pairs; unordered pairs appear once (a < b)."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import event_pairs, event_pairs_sql
+
+    rows = [
+        (1, "view"), (1, "click"), (1, "view"), (1, "view"),
+        (2, "view"), (2, "click"), (2, "purchase"),
+        (3, "view"),
+        (4, "purchase"), (4, "click"),
+    ]
+    tbl = _event_table(rows)
+    con = duckdb.connect()
+    con.register("events", tbl)
+    orc = con.execute(event_pairs_sql()).fetchdf()
+    for parts in (1, 3):
+        got = (
+            event_pairs(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got[orc.columns].equals(orc), parts
+    by = {(a, b): n for a, b, n in orc.itertuples(index=False)}
+    assert by[("click", "view")] == 2        # users 1, 2
+    assert by[("click", "purchase")] == 2    # users 2, 4
+    assert ("view", "click") not in by       # ordered once
+
+
+def test_event_pairs_real_corpus(ray_session):
+    """sf0.001 events through the distributed bitmask plan."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import event_pairs, event_pairs_sql
+
+    p = "/root/testdata/sf0.001/events.parquet"
+    got = (
+        event_pairs(
+            rd.read_parquet(p, columns=["user_id", "event_type"])
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    orc = con.execute(event_pairs_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert len(got) > 0
+
+
+def test_props_stats_matches_duckdb(ray_session):
+    """Extraction + per-type aggregates equal the SQL twin; rows
+    without an extractable k are excluded from n entirely."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import props_stats, props_stats_sql
+
+    rows = [
+        (1, "view", '{"k": 5}'),
+        (2, "view", '{"k": 11}'),
+        (3, "view", '{"nope": 1}'),       # no k -> excluded
+        (4, "click", '{"k": 0}'),
+        (5, "click", '{"k":  7}'),        # whitespace tolerated
+        (6, "error", "not json at all"),  # excluded
+    ]
+    tbl = _event_table(rows)
+    con = duckdb.connect()
+    con.register("events", tbl)
+    orc = con.execute(props_stats_sql()).fetchdf()
+    for parts in (1, 3):
+        got = (
+            props_stats(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got[orc.columns].equals(orc), parts
+    view = orc[orc["event_type"] == "view"].iloc[0]
+    assert (view["n"], view["sum_k"], view["min_k"], view["max_k"]) == (
+        2, 16, 5, 11,
+    )
+    assert "error" not in set(orc["event_type"])
+
+
+def test_props_stats_real_corpus(ray_session):
+    """sf0.001 events: distributed result equals the DuckDB twin."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import props_stats, props_stats_sql
+
+    p = "/root/testdata/sf0.001/events.parquet"
+    got = (
+        props_stats(rd.read_parquet(p, columns=["event_type", "props"]))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
+    orc = con.execute(props_stats_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
