@@ -353,22 +353,93 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_ann_cosine(sf_dir: str):
-    import numpy as np
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from raysearch.pipelines.simsearch import cosine_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return cosine_topk(ds, _query_matrix(sf_dir), list(ANN_QUERY_IDS), k=ANN_K)
+
+
+#: cosine radius for the ann_range gate row — 0.2 yields ~146
+#: matches across the 5 query vectors at sf0.01 (0.75 returned only
+#: the 5 self-matches: the synthetic embeddings are near-orthogonal)
+ANN_RANGE_THRESHOLD = 0.2
+#: label predicate for the filtered-ANN gate row
+ANN_FILTER_LABEL = 3
+
+
+def _query_matrix(sf_dir: str):
+    """The ANN_QUERY_IDS embedding rows as a (nq, dim) float64 matrix
+    (driver-side, bounded by nq)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(path, filters=[("vec_id", "in", list(ANN_QUERY_IDS))])
     order = {v: i for i, v in enumerate(qt["vec_id"].to_pylist())}
-    mats = [None] * len(ANN_QUERY_IDS)
-    for qid in ANN_QUERY_IDS:
-        mats[ANN_QUERY_IDS.index(qid)] = np.asarray(
-            qt["embedding"][order[qid]].as_py(), dtype=np.float64
-        )
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    return cosine_topk(ds, np.stack(mats), list(ANN_QUERY_IDS), k=ANN_K)
+    return np.stack(
+        [
+            np.asarray(qt["embedding"][order[qid]].as_py(), dtype=np.float64)
+            for qid in ANN_QUERY_IDS
+        ]
+    )
+
+
+def _q_ann_range(sf_dir: str):
+    """Cosine range (radius) search (round 5, final block): every
+    vector with rounded cosine >= threshold per query — zero driver
+    collection, matches stream straight to the final sort."""
+    import ray.data as rd
+
+    from raysearch.pipelines.simsearch import cosine_range
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return cosine_range(
+        ds, _query_matrix(sf_dir), list(ANN_QUERY_IDS), ANN_RANGE_THRESHOLD
+    )
+
+
+def _q_ann_filtered(sf_dir: str):
+    """Predicate-filtered exact ANN (round 5, final block): the label
+    filter is pushed to the parquet READ (row-group pruning — the
+    corpus shrinks before a single byte is scored), then the same
+    broadcast-matmul top-k as ann_cosine_topk."""
+    import ray.data as rd
+
+    from raysearch.pipelines.simsearch import cosine_topk
+
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        # predicate pushdown: the scan drops non-matching rows (and
+        # prunes row groups by statistics) before anything is scored
+        filter=pads.field("label") == ANN_FILTER_LABEL,
+    )
+    return cosine_topk(
+        ds, _query_matrix(sf_dir), list(ANN_QUERY_IDS), k=ANN_K
+    )
+
+
+def _q_embed_quantize(sf_dir: str):
+    """Per-dim scalar quantization to int8 codes (round 5, final
+    block): one dim-bounded min/max fold + a broadcast streaming
+    code pass."""
+    import ray.data as rd
+
+    from raysearch.pipelines.simsearch import embed_quantize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return embed_quantize(ds)
 
 
 def _q_events_window(sf_dir: str):
@@ -2294,6 +2365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the cap (oracle + pytest retained).
         "conv_dedup": _q_conv_dedup,
         "ann_cosine_topk": _q_ann_cosine,
+        "ann_range": _q_ann_range,
+        "ann_filtered_topk": _q_ann_filtered,
+        "embed_quantize": _q_embed_quantize,
         # round 5: vocab_overlap (source-vocabulary Jaccard matrix)
         # admitted above the cap; events_window demoted — tumbling is
         # the step=size special case of the hopping window, and
@@ -2915,7 +2989,38 @@ def oracle_sql() -> dict[str, str]:
             f"ranked AS (SELECT query_id, vec_id, score, "
             f"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank "
             f"FROM scored) "
-            f"SELECT query_id, rank, vec_id, score FROM ranked WHERE rank < {ANN_K}"
+            f"SELECT query_id, rank, vec_id, score FROM ranked WHERE rank < {ANN_K} "
+            f"ORDER BY query_id, rank"
+        ),
+        "ann_range": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            f"WHERE vec_id IN {tuple(ANN_QUERY_IDS)}) "
+            f"SELECT q.query_id, e.vec_id, "
+            f"round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score "
+            f"FROM embeddings e CROSS JOIN q "
+            f"WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) >= {ANN_RANGE_THRESHOLD} "
+            f"ORDER BY q.query_id, e.vec_id"
+        ),
+        "ann_filtered_topk": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            f"WHERE vec_id IN {tuple(ANN_QUERY_IDS)}), "
+            f"scored AS (SELECT q.query_id, e.vec_id, "
+            f"round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS score "
+            f"FROM embeddings e CROSS JOIN q WHERE e.label = {ANN_FILTER_LABEL}), "
+            f"ranked AS (SELECT query_id, vec_id, score, "
+            f"row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) - 1 AS rank "
+            f"FROM scored) "
+            f"SELECT query_id, rank, vec_id, score FROM ranked WHERE rank < {ANN_K} "
+            f"ORDER BY query_id, rank"
+        ),
+        "embed_quantize": (
+            "WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v, "
+            "unnest(range(0, len(embedding))) AS dim FROM embeddings), "
+            "s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1) "
+            "SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim, "
+            "CAST(round(round((e.v - s.mn) / (CASE WHEN s.mx = s.mn THEN 1 "
+            "ELSE s.mx - s.mn END), 4) * 255) AS BIGINT) AS code "
+            "FROM e JOIN s USING (dim) ORDER BY e.vec_id, e.dim"
         ),
         # round 3: the LSH pair rows carry their exact twins' SQL as a
         # REAL oracle — on this corpus the blocked plans are measured

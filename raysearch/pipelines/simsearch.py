@@ -538,3 +538,111 @@ def kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         ", ".join(parts)
         + " SELECT vec_id, CAST(j AS BIGINT) AS cluster FROM af ORDER BY vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5 (final block): range search and scalar quantization.
+# ---------------------------------------------------------------------------
+
+
+def cosine_range(ds, queries: np.ndarray, query_ids: list[int],
+                 threshold: float):
+    """Range query: ALL vectors with rounded cosine ≥ ``threshold``
+    per query — the radius-search companion to :func:`cosine_topk`
+    (dedup-by-similarity and recall-oriented retrieval want every
+    match, not a fixed k).
+
+    Purer streaming shape than top-k: each batch emits only its
+    matches (output bounded by the true result size, no candidate
+    reduce, NO driver collection at all) and the only wide step is
+    the final sort of the matches.  Queries broadcast once via
+    ``ray.put``.  Output ``(query_id, vec_id, score)`` sorted by
+    (query_id, vec_id)."""
+    import ray
+    import ray.data as rd
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    def find(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        emb = _unit(_to_matrix(batch["embedding"]))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = round_half_away(emb @ q.T, 4)  # (batch, nq)
+        vi, qi = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qid_arr[qi], pa.int64()),
+                "vec_id": pa.array(ids[vi], pa.int64()),
+                "score": pa.array(sims[vi, qi], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(find, batch_format="pyarrow")
+        .sort(["query_id", "vec_id"])
+    )
+
+
+def embed_quantize(ds):
+    """Per-dimension scalar quantization of the embedding column to
+    8-bit codes — the memory-compression pass a 100 TB vector corpus
+    runs before ANN indexing (4× over float32; codes feed asymmetric
+    distance computation).
+
+    Plan: ONE per-dim min/max fold (per-batch partials → a
+    dim-bounded groupby — 64 rows here, never more than the embedding
+    width) → the (mn, mx) arrays broadcast once → a second streaming
+    pass emits ``code = round(round((v-mn)/(mx-mn), 4)·255)`` per
+    (vec, dim).  All arithmetic is float64 (float32 widens losslessly)
+    with the house double-round, so the DuckDB twin lands on
+    identical codes.  Constant dims (mx == mn) code to 0.
+
+    Output ``(vec_id, dim, code)``, dim 0-based, sorted."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b["embedding"])
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0), pa.float64()),
+                "mx": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = stats["mn"].to_numpy()
+    rng = stats["mx"].to_numpy() - mn
+    rng[rng == 0] = 1.0  # constant dim -> (v - mn) is 0 -> code 0
+    ref = ray.put((mn, rng))
+
+    def quantize(b: pa.Table) -> pa.Table:
+        mn_, rng_ = ray.get(ref)
+        m = _to_matrix(b["embedding"])
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        codes = round_half_away(
+            round_half_away((m - mn_) / rng_, 4) * 255.0, 0
+        ).astype(np.int64)
+        n, d = m.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "code": pa.array(codes.ravel(), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(quantize, batch_format="pyarrow")
+        .sort(["vec_id", "dim"])
+    )

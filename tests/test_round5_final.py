@@ -432,3 +432,138 @@ def test_props_stats_real_corpus(ray_session):
     con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{p}')")
     orc = con.execute(props_stats_sql()).fetchdf()
     assert got[orc.columns].equals(orc)
+
+
+# ---------------------------------------------------------------------------
+# ann_range / ann_filtered_topk / embed_quantize
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_range_matches_duckdb(ray_session):
+    """Range matches equal the SQL twin at sf0.001 across the real
+    distributed plan; every returned score >= threshold; the top-1
+    hit of each query (itself, cosine 1.0) is present."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import ANN_QUERY_IDS, ANN_RANGE_THRESHOLD, _query_matrix
+    from raysearch.pipelines.simsearch import cosine_range
+
+    sf = "/root/testdata/sf0.001"
+    p = f"{sf}/embeddings.parquet"
+    got = (
+        cosine_range(
+            rd.read_parquet(p, columns=["vec_id", "embedding"]),
+            _query_matrix(sf),
+            list(ANN_QUERY_IDS),
+            ANN_RANGE_THRESHOLD,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+    q = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    orc = con.execute(
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        f"WHERE vec_id IN ({q})) "
+        "SELECT q.query_id, e.vec_id, "
+        "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.qe AS DOUBLE[])), 4) AS score "
+        "FROM embeddings e CROSS JOIN q "
+        "WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        f"CAST(q.qe AS DOUBLE[])), 4) >= {ANN_RANGE_THRESHOLD} "
+        "ORDER BY q.query_id, e.vec_id"
+    ).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert (got["score"] >= ANN_RANGE_THRESHOLD).all()
+    for qid in ANN_QUERY_IDS:
+        sub = got[got["query_id"] == qid]
+        assert qid in set(sub["vec_id"])  # self-match at cosine 1.0
+
+
+def test_embed_quantize_matches_duckdb_and_edges(ray_session):
+    """Codes equal the SQL twin on a hand-built table with a constant
+    dim (codes 0), the min (code 0) and max (code 255) of each dim,
+    across partitionings; and on the real sf0.001 table."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import oracle_sql
+    from raysearch.pipelines.simsearch import embed_quantize
+
+    sql = oracle_sql()["embed_quantize"]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 5.0, -1.0], [1.0, 5.0, 3.0], [0.5, 5.0, 1.0]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    orc = con.execute(sql).fetchdf()
+    for parts in (1, 3):
+        got = (
+            embed_quantize(rd.from_arrow(tbl).repartition(parts))
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got[orc.columns].equals(orc), parts
+    by = {(v, d): c for v, d, c in orc.itertuples(index=False)}
+    assert by[(0, 0)] == 0 and by[(1, 0)] == 255   # min/max of dim 0
+    assert by[(0, 1)] == by[(1, 1)] == by[(2, 1)] == 0  # constant dim
+    assert by[(0, 2)] == 0 and by[(1, 2)] == 255
+    assert by[(2, 2)] == 128  # 0.5 exactly -> round half away
+
+    p = "/root/testdata/sf0.001/embeddings.parquet"
+    got = (
+        embed_quantize(
+            rd.read_parquet(p, columns=["vec_id", "embedding"])
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')"
+    )
+    orc = con2.execute(sql).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert got["code"].between(0, 255).all()
+
+
+def test_ann_filtered_topk_matches_duckdb(ray_session):
+    """Filtered exact ANN via read-pushdown equals the SQL twin; every
+    returned vec has the filter label."""
+    import duckdb
+
+    from __ray_entry__ import (
+        ANN_FILTER_LABEL,
+        _q_ann_filtered,
+        oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_ann_filtered(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("embeddings",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    orc = con.execute(oracle_sql()["ann_filtered_topk"]).fetchdf()
+    assert got[orc.columns].equals(orc)
+    labels = dict(
+        zip(
+            *map(
+                list,
+                con.execute(
+                    "SELECT vec_id, label FROM embeddings"
+                ).fetchnumpy().values(),
+            )
+        )
+    )
+    assert all(labels[v] == ANN_FILTER_LABEL for v in got["vec_id"])
