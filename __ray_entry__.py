@@ -494,6 +494,54 @@ def _q_revenue(sf_dir: str):
     )
 
 
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-flavor 4-table join (round 5, final block): three
+    bounded exchanges (orders → customers → nations), integer-cents
+    revenue so partial-sum order can't flip a rounding boundary."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import nation_revenue
+
+    return nation_revenue(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "nation.parquet"),
+            columns=["n_nationkey", "n_name"],
+        ),
+    )
+
+
+def _q_order_priority(sf_dir: str):
+    """TPC-H Q4-flavor EXISTS semi-join (round 5, final block): the
+    lineitem side reduces to per-order max shipdate BEFORE the join —
+    the EXISTS never materializes pairs."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import order_priority_counts
+
+    return order_priority_counts(
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_shipdate"],
+        ),
+    )
+
+
 def _q_top_customers(sf_dir: str):
     import ray.data as rd
 
@@ -2563,6 +2611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_tf": _q_postings,
         "events_asof_join": _q_asof_last_error,
         "revenue_by_flag": _q_revenue,
+        "nation_revenue": _q_nation_revenue,
+        "order_priority_counts": _q_order_priority,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
         "top_customers": _q_top_customers,
@@ -3124,6 +3174,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2 ORDER BY total_spent DESC, o_custkey LIMIT 10"
         ),
     }
+    from raysearch.pipelines.relational import (
+        nation_revenue_sql,
+        order_priority_counts_sql,
+    )
+
+    out["nation_revenue"] = nation_revenue_sql()
+    out["order_priority_counts"] = order_priority_counts_sql()
     # C4-style rule filter — same metrics SQL, integer-scaled threshold
     # compare (matches quality_filter's ×10⁴ integer comparison, so a
     # last-ulp rounding difference can never flip a keep decision).

@@ -904,3 +904,218 @@ def props_stats_sql(*, table: str = "events") -> str:
         f"WHERE regexp_matches(props, '{PROPS_K_RE}')) "
         "GROUP BY 1 ORDER BY 1"
     )
+
+
+def nation_revenue(lineitem, orders, customer, nation):
+    """Revenue per customer nation — the TPC-H Q5-flavor multi-join
+    (lineitem ⋈ orders ⋈ customer ⋈ nation) expressed as
+    progressively-smaller bounded exchanges instead of one wide
+    multi-way shuffle:
+
+    1. per-batch partial revenue → ``groupby(l_orderkey)`` (exchange
+       bounded by orders, not lineitems);
+    2. ``copartition_attach`` of o_custkey onto the per-order rows
+       (orders-bounded);
+    3. ``groupby(o_custkey)`` (customers-bounded);
+    4. ``copartition_attach`` of c_nationkey (customers-bounded —
+       the dimension stays distributed, nothing vocab-scale on the
+       driver);
+    5. the 25-row nation table broadcast for the name lookup and a
+       final ≤ nations fold.
+
+    Revenue is integer CENTS of the per-lineitem rounded
+    ``l_extendedprice·(1-l_discount)`` — summing ints is associative,
+    so partial-sum order (Ray) vs single-pass order (DuckDB) cannot
+    flip a rounding boundary; the float-sum-then-round alternative
+    (revenue_by_flag's discipline) is exposed to ulp ties.
+
+    Output ``(n_name, revenue_cents)`` sorted by n_name."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from raysearch.util import copartition_attach
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]),
+        ).to_numpy(zero_copy_only=False)
+        cents = round_half_away(
+            round_half_away(rev, 2) * 100.0, 0
+        ).astype(np.int64)
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ukeys, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ukeys, pa.int64()),
+                "revenue_cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    per_order = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    with_cust = copartition_attach(
+        per_order,
+        orders.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+            lambda b: pa.table(
+                {"l_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        "l_orderkey",
+        pa.schema([("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
+        {"o_custkey": pa.int64()},
+    )
+    per_cust = (
+        with_cust.map_batches(
+            lambda b: b.select(["o_custkey", "revenue_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    with_nation = copartition_attach(
+        per_cust,
+        customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+            lambda b: pa.table(
+                {"o_custkey": b["c_custkey"], "c_nationkey": b["c_nationkey"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        "o_custkey",
+        pa.schema([("o_custkey", pa.int64()), ("revenue_cents", pa.int64())]),
+        {"c_nationkey": pa.int64()},
+    )
+    nt = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    keys = nt["n_nationkey"].to_numpy().astype(np.int64)
+    names = nt["n_name"].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], names[order]))
+
+    def to_name(b: pa.Table) -> pa.Table:
+        ks, ns = ray.get(ref)
+        nk = pc.cast(b["c_nationkey"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "n_name": pa.array(ns[np.searchsorted(ks, nk)], pa.string()),
+                "revenue_cents": b["revenue_cents"],
+            }
+        )
+
+    return (
+        with_nation.map_batches(to_name, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort("n_name")
+    )
+
+
+def nation_revenue_sql() -> str:
+    """DuckDB twin of :func:`nation_revenue` (same per-lineitem cents
+    quantization, so the sums are integer-exact on both engines)."""
+    return (
+        "SELECT n_name, CAST(sum(CAST(round(round(l_extendedprice * "
+        "(1 - l_discount), 2) * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
+def order_priority_counts(orders, lineitem):
+    """Orders per priority that have ≥ 1 lineitem shipped after the
+    order date — the TPC-H Q4 EXISTS-semi-join shape.
+
+    Plan: attach o_orderdate to the lineitem rows'
+    (l_orderkey, l_shipdate) pairs?  No — cheaper the other way: the
+    lineitem side reduces FIRST to one row per order (per-batch max
+    shipdate partial → ``groupby(l_orderkey).Max`` — exchange bounded
+    by orders), then ONE ``copartition_attach`` puts the max shipdate
+    next to o_orderdate, a vectorized compare filters, and a ≤
+    priorities fold counts.  The EXISTS never materializes pairs.
+
+    Output ``(o_orderpriority, n_orders)`` sorted."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from raysearch.util import copartition_attach
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        ukeys, inv = np.unique(keys, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.r_[0, np.cumsum(np.bincount(inv))]
+        mx = np.maximum.reduceat(ship[order], bounds[:-1])
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ukeys, pa.int64()),
+                "max_ship": pa.array(mx),
+            }
+        )
+
+    max_ship = (
+        lineitem.select_columns(["l_orderkey", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("max_ship", alias_name="max_ship"))
+    )
+    sch = max_ship.schema()  # ray.data Schema wrapper: .names/.types
+    ship_type = dict(zip(sch.names, sch.types))["max_ship"]
+    joined = copartition_attach(
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b["o_orderkey"],
+                    "o_orderdate": b["o_orderdate"],
+                    "o_orderpriority": b["o_orderpriority"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        max_ship,
+        "l_orderkey",
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", ship_type),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        {"max_ship": ship_type},
+    )
+
+    def late(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["max_ship"], b["o_orderdate"])
+        return pa.table(
+            {"o_orderpriority": b.filter(keep)["o_orderpriority"]}
+        )
+
+    return (
+        joined.map_batches(late, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .sort("o_orderpriority")
+    )
+
+
+def order_priority_counts_sql() -> str:
+    """DuckDB twin of :func:`order_priority_counts` (EXISTS form)."""
+    return (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+        "GROUP BY 1 ORDER BY 1"
+    )

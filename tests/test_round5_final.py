@@ -567,3 +567,112 @@ def test_ann_filtered_topk_matches_duckdb(ray_session):
         )
     )
     assert all(labels[v] == ANN_FILTER_LABEL for v in got["vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# nation_revenue / order_priority_counts
+# ---------------------------------------------------------------------------
+
+
+def test_nation_revenue_matches_duckdb(ray_session):
+    """4-table join chain equals the SQL twin on sf0.001; integer
+    cents make the comparison exact regardless of partial-sum order;
+    total is conserved across the join chain."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import _q_nation_revenue
+    from raysearch.pipelines.relational import nation_revenue_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_nation_revenue(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    orc = con.execute(nation_revenue_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    # conservation: every lineitem's order/customer/nation exists in
+    # the synthetic corpus, so nothing drops through the joins
+    total = con.execute(
+        "SELECT CAST(sum(CAST(round(round(l_extendedprice * "
+        "(1 - l_discount), 2) * 100) AS BIGINT)) AS BIGINT) FROM lineitem"
+    ).fetchone()[0]
+    assert got["revenue_cents"].sum() == total
+
+
+def test_order_priority_counts_matches_duckdb(ray_session):
+    """EXISTS semi-join equals the SQL twin; totals bounded by order
+    count; every priority value present in orders appears or is
+    legitimately zero-matched."""
+    import duckdb
+
+    from __ray_entry__ import _q_order_priority
+    from raysearch.pipelines.relational import order_priority_counts_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_order_priority(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    orc = con.execute(order_priority_counts_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    n_orders = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    assert 0 < got["n_orders"].sum() <= n_orders
+
+
+def test_order_priority_semijoin_edges(ray_session):
+    """Hand-built case: an order with no lineitems, one with only
+    early shipments, one with a late shipment, equal-date excluded
+    (strict >)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import (
+        order_priority_counts,
+        order_priority_counts_sql,
+    )
+
+    d = lambda s: np.datetime64(s, "us")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderdate": pa.array(
+                [d("2020-01-10"), d("2020-01-10"), d("2020-01-10"),
+                 d("2020-01-10")],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_shipdate": pa.array(
+                [d("2020-01-05"), d("2020-01-20"),  # order 1: late ship
+                 d("2020-01-03"),                   # order 2: early only
+                 d("2020-01-10")],                  # order 3: equal (excl)
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = (
+        order_priority_counts(
+            rd.from_arrow(orders).repartition(2),
+            rd.from_arrow(lineitem).repartition(2),
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("lineitem", lineitem)
+    orc = con.execute(order_priority_counts_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert got["n_orders"].tolist() == [1]  # only order 1
