@@ -150,6 +150,20 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(_docs(sf_dir))
 
 
+def _q_lang_mismatch(sf_dir: str):
+    """Label/prediction disagreement audit (round 5, final block):
+    langid composition + one docs-bounded copartition label attach."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import lang_mismatch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    return lang_mismatch(ds)
+
+
 def _q_lang_id_ngram(sf_dir: str):
     import ray.data as rd
 
@@ -162,11 +176,12 @@ def _q_lang_id_ngram(sf_dir: str):
     return lang_id_ngram(ds)
 
 
-def _langid_sql() -> str:
-    """Trigram-profile language-ID oracle — identical deterministic
-    algorithm (train = N lowest doc_ids per lang, profile = top-M
-    trigrams by count desc / trigram asc, score = matching positions,
-    tie-break lang asc)."""
+def _langid_cte() -> str:
+    """Trigram-profile language-ID oracle CTE — identical
+    deterministic algorithm (train = N lowest doc_ids per lang,
+    profile = top-M trigrams by count desc / trigram asc, score =
+    matching positions, tie-break lang asc).  Yields
+    ``pred(doc_id, lang_pred, matches)``."""
     from raysearch.pipelines.textstats import LANGID_PROFILE_M, LANGID_TRAIN_N
 
     return (
@@ -186,8 +201,27 @@ def _langid_sql() -> str:
         f"sc AS (SELECT d.doc_id, p.lang, count(*) AS matches "
         f"FROM dg d JOIN prof p ON p.g = d.g GROUP BY 1, 2), "
         f"best AS (SELECT doc_id, lang AS lang_pred, matches, row_number() OVER ("
-        f"PARTITION BY doc_id ORDER BY matches DESC, lang) AS rn FROM sc) "
-        f"SELECT doc_id, lang_pred, matches FROM best WHERE rn = 1 ORDER BY doc_id"
+        f"PARTITION BY doc_id ORDER BY matches DESC, lang) AS rn FROM sc), "
+        f"pred AS (SELECT doc_id, lang_pred, matches FROM best WHERE rn = 1)"
+    )
+
+
+def _langid_sql() -> str:
+    """Trigram-profile language-ID oracle (see :func:`_langid_cte`)."""
+    return (
+        f"{_langid_cte()} "
+        "SELECT doc_id, lang_pred, matches FROM pred ORDER BY doc_id"
+    )
+
+
+def _lang_mismatch_sql() -> str:
+    """DuckDB twin of ``lang_mismatch`` — the langid CTE joined back
+    to the labels, mismatches only."""
+    return (
+        f"{_langid_cte()} "
+        "SELECT p.doc_id, d.lang, p.lang_pred, p.matches "
+        "FROM pred p JOIN documents d USING (doc_id) "
+        "WHERE p.lang_pred <> d.lang ORDER BY p.doc_id"
     )
 
 
@@ -2383,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "dup_span_stats": _q_dup_span_stats,
         "lang_id_ngram": _q_lang_id_ngram,
+        "lang_mismatch": _q_lang_mismatch,
         # round 5 (late): prefix_jaccard_pairs admitted above the cap;
         # conjunctive_search demoted — bm25_topk (above the cap)
         # consumes the same _conjunctive_frame term-intersection
@@ -3006,6 +3041,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _fingerprint_sql(),
         "dup_span_stats": _dup_span_sql(),
         "lang_id_ngram": _langid_sql(),
+        "lang_mismatch": _lang_mismatch_sql(),
         "conjunctive_search": f"{_TOK}{_TF}{_CAND} SELECT doc_id FROM cand ORDER BY doc_id",
         "bm25_topk": (
             f"{_TOK}{_TF}{_CAND}"

@@ -2410,3 +2410,46 @@ def dup_span_stats(ds, k: int = FP_K, w: int = FP_W, base: int = FP_BASE):
         )
         .sort("doc_id")
     )
+
+
+def lang_mismatch(ds, train_n: int = LANGID_TRAIN_N,
+                  profile_m: int = LANGID_PROFILE_M):
+    """Label/prediction disagreement audit — documents whose
+    :func:`lang_id_ngram` prediction differs from their ``lang``
+    label (the curation-QA pass that surfaces mislabeled or
+    code-switched documents before training).
+
+    Composition, not new machinery: the langid prediction stream is
+    joined back to the (doc_id, lang) label pairs with ONE
+    ``copartition_attach`` (docs-bounded — labels are metadata, text
+    never re-ships) and filtered to disagreements.  Output
+    ``(doc_id, lang, lang_pred, matches)`` sorted by doc_id."""
+    from raysearch.util import copartition_attach
+
+    pred = lang_id_ngram(ds, train_n=train_n, profile_m=profile_m)
+    labels = ds.select_columns(["doc_id", "lang"])
+    joined = copartition_attach(
+        pred.map_batches(
+            lambda b: b.select(["doc_id", "lang_pred", "matches"]),
+            batch_format="pyarrow",
+        ),
+        labels,
+        "doc_id",
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang_pred", pa.string()),
+                ("matches", pa.int64()),
+            ]
+        ),
+        {"lang": pa.string()},
+    )
+
+    def keep_mismatch(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["lang_pred"], b["lang"]))
+        return b.select(["doc_id", "lang", "lang_pred", "matches"])
+
+    return (
+        joined.map_batches(keep_mismatch, batch_format="pyarrow")
+        .sort("doc_id")
+    )

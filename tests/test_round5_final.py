@@ -676,3 +676,36 @@ def test_order_priority_semijoin_edges(ray_session):
     orc = con.execute(order_priority_counts_sql()).fetchdf()
     assert got[orc.columns].equals(orc)
     assert got["n_orders"].tolist() == [1]  # only order 1
+
+
+# ---------------------------------------------------------------------------
+# lang_mismatch
+# ---------------------------------------------------------------------------
+
+
+def test_lang_mismatch_matches_duckdb(ray_session):
+    """Disagreement audit equals the SQL twin at sf0.001; every output
+    row really disagrees; output is a subset of the langid stream."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import _lang_mismatch_sql, _langid_sql
+    from raysearch.pipelines.textstats import lang_mismatch
+
+    p = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        lang_mismatch(
+            rd.read_parquet(p, columns=["doc_id", "lang", "text"])
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')"
+    )
+    orc = con.execute(_lang_mismatch_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert (got["lang"] != got["lang_pred"]).all()
+    pred = con.execute(_langid_sql()).fetchdf()
+    assert set(got["doc_id"]) <= set(pred["doc_id"])
