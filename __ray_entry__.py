@@ -1578,6 +1578,41 @@ def _q_props_stats(sf_dir: str):
     return props_stats(ds)
 
 
+def _q_supplier_volume(sf_dir: str):
+    """Fact-side-first supplier dimension join (round 5, final
+    block): suppliers-bounded fold + copartition name attach;
+    integer centi-quantities."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import supplier_volume
+
+    return supplier_volume(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_quantity"],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+        ),
+    )
+
+
+def _q_order_gaps(sf_dir: str):
+    """Per-customer LAG-window inter-order gaps (round 5, final
+    block): one per-customer ordered scan, all-integer output."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import order_gaps
+
+    return order_gaps(
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderkey", "o_orderdate"],
+        )
+    )
+
+
 def _q_rollup_counts(sf_dir: str):
     """Multi-level ROLLUP counts (round 5): every prefix level of
     (lang, source) in one shuffle — per-batch all-level partials,
@@ -2648,6 +2683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_flag": _q_revenue,
         "nation_revenue": _q_nation_revenue,
         "order_priority_counts": _q_order_priority,
+        "supplier_volume": _q_supplier_volume,
+        "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
         "top_customers": _q_top_customers,
@@ -3217,6 +3254,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["nation_revenue"] = nation_revenue_sql()
     out["order_priority_counts"] = order_priority_counts_sql()
+    from raysearch.pipelines.relational import (
+        order_gaps_sql,
+        supplier_volume_sql,
+    )
+
+    out["supplier_volume"] = supplier_volume_sql()
+    out["order_gaps"] = order_gaps_sql()
     # C4-style rule filter — same metrics SQL, integer-scaled threshold
     # compare (matches quality_filter's ×10⁴ integer comparison, so a
     # last-ulp rounding difference can never flip a keep decision).

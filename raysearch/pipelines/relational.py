@@ -1119,3 +1119,137 @@ def order_priority_counts_sql() -> str:
         "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
         "GROUP BY 1 ORDER BY 1"
     )
+
+
+def supplier_volume(lineitem, supplier):
+    """Shipped quantity and line count per supplier with the name
+    attached — the fact-side-first dimension join (J4 generalized to
+    the supplier dimension): per-batch partial sums → ONE
+    ``groupby(l_suppkey)`` fold (suppliers-bounded) → the supplier
+    name attached by ``copartition_attach`` (the dimension never
+    lands on the driver, at any supplier count).  Quantity is summed
+    as integer centi-units (the synthetic quantities are 2-dp
+    decimals), so cross-engine partial-sum order is irrelevant.
+
+    Output ``(s_suppkey, s_name, sum_qty_c, n_lines)`` sorted."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.util import copartition_attach
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keys = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        qc = round_half_away(
+            round_half_away(qty, 2) * 100.0, 0
+        ).astype(np.int64)
+        ukeys, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(ukeys, pa.int64()),
+                "sum_qty_c": pa.array(
+                    np.bincount(inv, weights=qc).astype(np.int64), pa.int64()
+                ),
+                "n_lines": pa.array(
+                    np.bincount(inv).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_supp = (
+        lineitem.select_columns(["l_suppkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("n_lines", alias_name="n_lines"),
+        )
+    )
+    joined = copartition_attach(
+        per_supp,
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        "s_suppkey",
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("sum_qty_c", pa.int64()),
+                ("n_lines", pa.int64()),
+            ]
+        ),
+        {"s_name": pa.string()},
+    )
+    return joined.map_batches(
+        lambda b: b.select(["s_suppkey", "s_name", "sum_qty_c", "n_lines"]),
+        batch_format="pyarrow",
+    ).sort("s_suppkey")
+
+
+def supplier_volume_sql() -> str:
+    """DuckDB twin of :func:`supplier_volume`."""
+    return (
+        "SELECT s_suppkey, s_name, "
+        "CAST(sum(CAST(round(round(l_quantity, 2) * 100) AS BIGINT)) "
+        "AS BIGINT) AS sum_qty_c, "
+        "CAST(count(*) AS BIGINT) AS n_lines "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "GROUP BY 1, 2 ORDER BY 1"
+    )
+
+
+def order_gaps(orders):
+    """Per-customer inter-order gap statistics — the LAG-window
+    family over the orders stream (repeat-purchase cadence): for each
+    customer with ≥ 2 orders, the number of gaps and the total /
+    min / max gap in MICROSECONDS between consecutive orders
+    (ts-sorted, o_orderkey tie-break).  All integers — no float mean
+    to cross engines; a consumer derives mean = sum/n exactly.
+
+    Plan: one ``groupby(o_custkey)`` (the funnel_counts precedent for
+    per-entity ordered scans; per-group work is a vectorized sort +
+    diff, state bounded by a customer's order count — same skew note
+    as funnel_counts).  Output ``(o_custkey, n_gaps, sum_gap_us,
+    min_gap_us, max_gap_us)`` sorted."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        ts = g["o_orderdate"].to_numpy()
+        if len(ts) < 2:
+            return pd.DataFrame(
+                columns=[
+                    "o_custkey", "n_gaps", "sum_gap_us",
+                    "min_gap_us", "max_gap_us",
+                ]
+            ).astype(np.int64)
+        d = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_custkey": [np.int64(g["o_custkey"].iloc[0])],
+                "n_gaps": [np.int64(len(d))],
+                "sum_gap_us": [np.int64(d.sum())],
+                "min_gap_us": [np.int64(d.min())],
+                "max_gap_us": [np.int64(d.max())],
+            }
+        )
+
+    return (
+        orders.select_columns(["o_custkey", "o_orderkey", "o_orderdate"])
+        .groupby("o_custkey")
+        .map_groups(gaps, batch_format="pandas")
+        .sort("o_custkey")
+    )
+
+
+def order_gaps_sql() -> str:
+    """DuckDB twin of :func:`order_gaps` (LAG window form)."""
+    return (
+        "WITH w AS (SELECT o_custkey, o_orderdate, "
+        "lag(o_orderdate) OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey) AS prev FROM orders), "
+        "g AS (SELECT o_custkey, "
+        "CAST(epoch_us(o_orderdate) - epoch_us(prev) AS BIGINT) AS gap "
+        "FROM w WHERE prev IS NOT NULL) "
+        "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps, "
+        "CAST(sum(gap) AS BIGINT) AS sum_gap_us, "
+        "CAST(min(gap) AS BIGINT) AS min_gap_us, "
+        "CAST(max(gap) AS BIGINT) AS max_gap_us "
+        "FROM g GROUP BY 1 ORDER BY 1"
+    )

@@ -709,3 +709,80 @@ def test_lang_mismatch_matches_duckdb(ray_session):
     assert (got["lang"] != got["lang_pred"]).all()
     pred = con.execute(_langid_sql()).fetchdf()
     assert set(got["doc_id"]) <= set(pred["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# supplier_volume / order_gaps
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_volume_matches_duckdb(ray_session):
+    """Fold + name attach equals the SQL twin; centi-quantities are
+    integer-exact; line counts conserve."""
+    import duckdb
+
+    from __ray_entry__ import _q_supplier_volume
+    from raysearch.pipelines.relational import supplier_volume_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_supplier_volume(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    orc = con.execute(supplier_volume_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    n_li = con.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    assert got["n_lines"].sum() == n_li
+
+
+def test_order_gaps_matches_duckdb_and_edges(ray_session):
+    """LAG-window gaps equal the SQL twin on sf0.001 and on a
+    hand-built table with a single-order customer (excluded), equal
+    dates (gap 0, orderkey tie-break) and out-of-order input rows."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from __ray_entry__ import _q_order_gaps
+    from raysearch.pipelines.relational import order_gaps, order_gaps_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_order_gaps(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    orc = con.execute(order_gaps_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert (got["min_gap_us"] <= got["max_gap_us"]).all()
+    assert (got["n_gaps"] >= 1).all()
+
+    d = lambda s: np.datetime64(s, "us")
+    tbl = pa.table(
+        {
+            "o_custkey": pa.array([7, 7, 7, 8, 9, 9], pa.int64()),
+            "o_orderkey": pa.array([3, 1, 2, 4, 6, 5], pa.int64()),
+            "o_orderdate": pa.array(
+                [d("2020-01-05"), d("2020-01-01"), d("2020-01-05"),
+                 d("2020-01-01"), d("2020-02-01"), d("2020-01-01")],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    con2 = duckdb.connect()
+    con2.register("orders", tbl)
+    orc2 = con2.execute(order_gaps_sql()).fetchdf()
+    got2 = (
+        order_gaps(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert got2[orc2.columns].equals(orc2)
+    by = got2.set_index("o_custkey")
+    assert 8 not in by.index                     # single order
+    assert by.loc[7, "min_gap_us"] == 0          # equal dates
+    assert by.loc[9, "n_gaps"] == 1
