@@ -1613,6 +1613,56 @@ def _q_order_gaps(sf_dir: str):
     )
 
 
+def _q_unshipped_revenue(sf_dir: str):
+    """TPC-H Q3-flavor top-k open-order revenue (round 5, final
+    block): date-filtered lineitem partial → orders-bounded fold →
+    date-filtered o_orderdate attach (the predicate IS the join
+    filter) → sort+limit reduce; integer-cents revenue."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import unshipped_revenue
+
+    return unshipped_revenue(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate",
+            ],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate"],
+        ),
+    )
+
+
+def _q_returned_revenue(sf_dir: str):
+    """TPC-H Q10-flavor returned-item customer revenue (round 5,
+    final block): flag-filtered cents ladder through orders to the
+    customer, names attached to just the k winners by key
+    broadcast."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import returned_revenue
+
+    return returned_revenue(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag",
+            ],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+        ),
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        ),
+    )
+
+
 def _q_rollup_counts(sf_dir: str):
     """Multi-level ROLLUP counts (round 5): every prefix level of
     (lang, source) in one shuffle — per-batch all-level partials,
@@ -2522,7 +2572,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-term aggregates of transcripts_postings_sql (above the
         # cap) and df also drives transcripts_bm25_sql's idf (oracle +
         # pytest retained; the doclens demotion rationale, term side).
-        "retention_cohorts": _q_retention_cohorts,
         "transcripts_postings_sql": _q_transcripts_postings_sql,
         # round 5 (late): lexical_diversity admitted above the cap;
         # transcripts_doclens_sql demoted — doclens is the per-doc sum
@@ -2593,11 +2642,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # length_quantiles keeps the quantile oracle below the cap
         # (oracle + pytest retained).
         "tool_latency": _q_tool_latency,
-        # round 5 (late): js_divergence admitted above the cap;
-        # vec_dup_clusters demoted — it shares the connected-components
-        # machinery with dup_clusters (above the cap) and its pair
-        # source stays driver-checked via embedding_near_dup.
-        "js_divergence": _q_js_divergence,
+        # round 5 (final): unshipped_revenue and returned_revenue
+        # (the Q3- and Q10-flavor joins) admitted above the cap — new
+        # operators get driver-checked immediately, and they join the
+        # promoted nation_revenue as the checked multi-table-join
+        # family.  js_divergence demoted — its tokenize+groupby(term)
+        # fold is vocab_growth's primitive (oracle below the cap) and
+        # its integer-scaled-contribution discipline is
+        # quality_topfrac's (above the cap); retention_cohorts demoted
+        # — its first-seen min-fold + copartition_attach + two-key
+        # count fold are exactly the attach/fold primitives
+        # nation_revenue now drives above the cap (oracles + pytest +
+        # crosspar retained for both).
+        # (js_divergence's original admission note: vec_dup_clusters
+        # demoted, connected-components driven by dup_clusters.)
+        "unshipped_revenue": _q_unshipped_revenue,
+        "returned_revenue": _q_returned_revenue,
         "redact_text": _q_redact_text,
         # round 5 (late): chunk_manifest admitted above the cap — its
         # oracle re-derives the ENTIRE pack_offsets prefix sum before
@@ -2701,6 +2761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": _q_role_transitions,
         "order_priority_counts": _q_order_priority,
         "supplier_volume": _q_supplier_volume,
+        "js_divergence": _q_js_divergence,
+        "retention_cohorts": _q_retention_cohorts,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3278,6 +3340,13 @@ def oracle_sql() -> dict[str, str]:
 
     out["supplier_volume"] = supplier_volume_sql()
     out["order_gaps"] = order_gaps_sql()
+    from raysearch.pipelines.relational import (
+        returned_revenue_sql,
+        unshipped_revenue_sql,
+    )
+
+    out["unshipped_revenue"] = unshipped_revenue_sql()
+    out["returned_revenue"] = returned_revenue_sql()
     # C4-style rule filter — same metrics SQL, integer-scaled threshold
     # compare (matches quality_filter's ×10⁴ integer comparison, so a
     # last-ulp rounding difference can never flip a keep decision).

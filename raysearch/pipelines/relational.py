@@ -1253,3 +1253,217 @@ def order_gaps_sql() -> str:
         "CAST(max(gap) AS BIGINT) AS max_gap_us "
         "FROM g GROUP BY 1 ORDER BY 1"
     )
+
+
+UNSHIPPED_CUTOFF = "1998-07-01"
+
+
+def unshipped_revenue(lineitem, orders, cutoff: str = UNSHIPPED_CUTOFF, k: int = 10):
+    """Top-k open-order revenue — the TPC-H Q3 shipping-priority
+    shape (sans the absent o_shippriority column): orders placed
+    before ``cutoff`` whose lineitems ship after it, ranked by
+    outstanding revenue.
+
+    Plan: the lineitem side filters (``l_shipdate > cutoff``) and
+    partial-sums integer CENTS per order inside ``map_batches`` →
+    ONE ``groupby(l_orderkey)`` fold (exchange bounded by qualifying
+    orders, not lineitems) → ``copartition_attach`` of o_orderdate
+    from the date-filtered orders side (inner semantics drop orders
+    placed on/after the cutoff — the date predicate IS the join
+    filter, no post-filter pass) → Dataset-level
+    ``sort(...).limit(k)`` (the top_customers reduce; the sorted set
+    is qualifying-orders-bounded and never lands on the driver).
+
+    Integer-cents discipline (nation_revenue's): per-lineitem
+    ``round(round(px·(1-disc),2)·100)`` summed as int64, so
+    partial-sum order can't flip a rounding boundary.
+
+    Output ``(l_orderkey, o_orderdate, revenue_cents)``, revenue
+    desc, l_orderkey asc tie-break."""
+    from raysearch.util import copartition_attach
+
+    cut = np.datetime64(cutoff, "us")
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = ship > cut
+        rev = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]),
+        ).to_numpy(zero_copy_only=False)[keep]
+        cents = round_half_away(
+            round_half_away(rev, 2) * 100.0, 0
+        ).astype(np.int64)
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        ukeys, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ukeys, pa.int64()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_order = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def ord_side(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = od < cut
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    b["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "o_orderdate": pa.array(od[keep], pa.timestamp("us")),
+            }
+        )
+
+    with_date = copartition_attach(
+        per_order,
+        orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+            ord_side, batch_format="pyarrow"
+        ),
+        "l_orderkey",
+        pa.schema([("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
+        {"o_orderdate": pa.timestamp("us")},
+    )
+    return (
+        with_date.map_batches(
+            lambda b: b.select(["l_orderkey", "o_orderdate", "revenue_cents"]),
+            batch_format="pyarrow",
+        )
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def unshipped_revenue_sql(cutoff: str = UNSHIPPED_CUTOFF, k: int = 10) -> str:
+    """DuckDB twin of :func:`unshipped_revenue` (same per-lineitem
+    cents quantization)."""
+    return (
+        "SELECT l_orderkey, o_orderdate, "
+        "CAST(sum(CAST(round(round(l_extendedprice * (1 - l_discount), 2) "
+        "* 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE o_orderdate < TIMESTAMP '{cutoff}' "
+        f"AND l_shipdate > TIMESTAMP '{cutoff}' "
+        "GROUP BY 1, 2 "
+        f"ORDER BY revenue_cents DESC, l_orderkey LIMIT {k}"
+    )
+
+
+def returned_revenue(lineitem, orders, customer, k: int = 20):
+    """Top-k customers by revenue lost to returns — the TPC-H Q10
+    returned-item-reporting shape: lineitems flagged ``R`` rolled up
+    through orders to the customer, names attached to just the k
+    winners.
+
+    Plan (nation_revenue's bounded-exchange ladder + top_customers'
+    deferred-dimension reduce): flag-filtered per-batch cents →
+    ``groupby(l_orderkey)`` (returned-orders-bounded) →
+    ``copartition_attach`` of o_custkey (orders-bounded) →
+    ``groupby(o_custkey)`` (customers-bounded) →
+    ``sort(...).limit(k)`` → the k winner KEYS broadcast to filter
+    the customer dimension distributed (driver holds k rows, never
+    |customers|).
+
+    Output ``(c_custkey, c_name, revenue_cents)``, revenue desc,
+    c_custkey asc tie-break."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raysearch.util import broadcast_id_filter, copartition_attach
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["l_returnflag"], pa.scalar("R")).to_numpy(
+            zero_copy_only=False
+        )
+        rev = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]),
+        ).to_numpy(zero_copy_only=False)[keep]
+        cents = round_half_away(
+            round_half_away(rev, 2) * 100.0, 0
+        ).astype(np.int64)
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        ukeys, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ukeys, pa.int64()),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_order = (
+        lineitem.select_columns(
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    with_cust = copartition_attach(
+        per_order,
+        orders.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+            lambda b: pa.table(
+                {"l_orderkey": b["o_orderkey"], "o_custkey": b["o_custkey"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        "l_orderkey",
+        pa.schema([("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]),
+        {"o_custkey": pa.int64()},
+    )
+    top = (
+        with_cust.map_batches(
+            lambda b: b.select(["o_custkey", "revenue_cents"]),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort(["revenue_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    pdf = top.to_pandas()  # k rows — bounded by k by construction
+    winners = broadcast_id_filter(
+        customer.select_columns(["c_custkey", "c_name"]),
+        "c_custkey",
+        pdf["o_custkey"].to_numpy(np.int64),
+    ).to_pandas()  # <= k rows
+    names = dict(zip(winners.c_custkey, winners.c_name))
+    out = pd.DataFrame(
+        {
+            "c_custkey": pdf["o_custkey"].to_numpy(np.int64),
+            "c_name": pdf["o_custkey"].map(names),
+            "revenue_cents": pdf["revenue_cents"].to_numpy(np.int64),
+        }
+    )
+    return rd.from_pandas(out)
+
+
+def returned_revenue_sql(k: int = 20) -> str:
+    """DuckDB twin of :func:`returned_revenue`."""
+    return (
+        "SELECT c_custkey, c_name, "
+        "CAST(sum(CAST(round(round(l_extendedprice * (1 - l_discount), 2) "
+        "* 100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE l_returnflag = 'R' GROUP BY 1, 2 "
+        f"ORDER BY revenue_cents DESC, c_custkey LIMIT {k}"
+    )

@@ -786,3 +786,57 @@ def test_order_gaps_matches_duckdb_and_edges(ray_session):
     assert 8 not in by.index                     # single order
     assert by.loc[7, "min_gap_us"] == 0          # equal dates
     assert by.loc[9, "n_gaps"] == 1
+
+
+def test_unshipped_revenue_matches_duckdb(ray_session):
+    """Q3-flavor date-filtered ladder equals the SQL twin on
+    sf0.001; the date predicate acts as the join filter (every
+    surviving order predates the cutoff); k bounds the output."""
+    import duckdb
+
+    from __ray_entry__ import _q_unshipped_revenue
+    from raysearch.pipelines.relational import (
+        UNSHIPPED_CUTOFF,
+        unshipped_revenue_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_unshipped_revenue(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    orc = con.execute(unshipped_revenue_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert len(got) <= 10
+    import numpy as np
+
+    cut = np.datetime64(UNSHIPPED_CUTOFF, "us")
+    assert (got["o_orderdate"].to_numpy() < cut).all()
+    # revenue desc with orderkey tie-break is pinned
+    rc = got["revenue_cents"].to_numpy()
+    assert (rc[:-1] >= rc[1:]).all()
+
+
+def test_returned_revenue_matches_duckdb(ray_session):
+    """Q10-flavor returned-item ladder equals the SQL twin on
+    sf0.001; names land on exactly the k winners."""
+    import duckdb
+
+    from __ray_entry__ import _q_returned_revenue
+    from raysearch.pipelines.relational import returned_revenue_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_returned_revenue(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    orc = con.execute(returned_revenue_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert got["c_name"].notna().all()
+    assert len(got) == len(orc) <= 20
