@@ -1865,6 +1865,26 @@ def _q_phrase_search(sf_dir: str):
     return phrase_search(ds, PHRASE_QUERY)
 
 
+#: NEAR/w window for the proximity gate row — the conjunctive trio
+#: within a 12-token window (w must be ≥ the distinct term count)
+PROXIMITY_W = 12
+
+
+def _q_proximity_search(sf_dir: str):
+    """Windowed multi-term NEAR/w proximity counts (round 5, final
+    block): per-term cumulative sums turn window containment into a
+    vectorized range-sum positivity test; zero-shuffle."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import proximity_search
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return proximity_search(ds, QUERY_TERMS, PROXIMITY_W)
+
+
 def _q_quality_topfrac(sf_dir: str):
     """Adaptive percentile-threshold quality filter (round 5): top
     half of docs by integer-scaled quality, threshold from the
@@ -2587,7 +2607,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # transcripts_postings_sql (token totals, doc count), both
         # above the cap; the stats API stays pytest-checked (oracle
         # retained).
-        "funnel_counts": _q_funnel_counts,
+        # round 5 (final): proximity_search admitted above the cap
+        # (new operators get driver-checked immediately — the NEAR/w
+        # positional operator between phrase_search's adjacency and
+        # conjunctive AND); funnel_counts demoted — its per-user
+        # ordered-step scan is the per-entity map_groups ordered-scan
+        # machinery sft_pairs and tool_latency drive above the cap,
+        # with order_gaps' oracle below the cap on the same shape
+        # (oracle + pytest + crosspar retained).
+        "proximity_search": _q_proximity_search,
         "event_pairs": _q_event_pairs,
         "props_stats": _q_props_stats,
         # round 5 (late): sft_pairs admitted above the cap (new
@@ -2763,6 +2791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_volume": _q_supplier_volume,
         "js_divergence": _q_js_divergence,
         "retention_cohorts": _q_retention_cohorts,
+        "funnel_counts": _q_funnel_counts,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3539,6 +3568,11 @@ def oracle_sql() -> dict[str, str]:
     out["keyterms_topk"] = keyterms_sql(KEYTERMS_N)
     out["lang_bigrams"] = lang_bigrams_sql(LANG_BIGRAMS_K)
     out["phrase_search"] = phrase_search_sql(PHRASE_QUERY)
+    from raysearch.pipelines.textstats import proximity_search_sql
+
+    out["proximity_search"] = proximity_search_sql(
+        QUERY_TERMS, PROXIMITY_W
+    )
     out["bigram_topk"] = (
         "WITH f AS (SELECT list_filter(regexp_split_to_array("
         "lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM documents), "

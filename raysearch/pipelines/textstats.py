@@ -2453,3 +2453,83 @@ def lang_mismatch(ds, train_n: int = LANGID_TRAIN_N,
         joined.map_batches(keep_mismatch, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def proximity_search(ds, terms: tuple[str, ...], w: int):
+    """Windowed multi-term proximity search (the NEAR/``w`` sloppy
+    phrase operator classic engines layer over positional postings;
+    :func:`phrase_search` is its ``w = len(terms)``, ordered
+    tightening and the reference's conjunctive AND — SURVEY §2 J2 —
+    its ``w = ∞`` relaxation): per doc, the number of length-``w``
+    token windows containing ALL the (distinct) query terms.
+
+    Plan: zero-shuffle, like phrase_search — docs never span
+    batches, so one streaming pass per batch: tokenize to integer
+    codes, resolve each term in the batch dictionary (absent term ⇒
+    batch emits nothing), one cumulative-sum per term turns
+    "window [i, i+w) contains the term" into a vectorized range-sum
+    positivity test, AND across terms plus a same-doc mask
+    (``parent[i] == parent[i+w-1]`` — windows never straddle a doc
+    boundary), bincount hits per doc.  Emits only matching docs.
+    Output ``(doc_id, n_windows)`` sorted by doc_id."""
+    words = sorted({t.lower() for t in terms})
+    if not words:
+        raise ValueError("empty terms")
+    if w < len(words):
+        raise ValueError("window shorter than the distinct term count")
+    warr = np.asarray(words, dtype=object)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_windows": pa.array([], pa.int64())}
+    )
+
+    def find(batch: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parent, codes, uniq = lexer.token_parent_codes(batch["text"])
+        if len(codes) < w:
+            return empty
+        vorder = np.argsort(uniq, kind="stable")
+        pos = np.searchsorted(uniq[vorder], warr)
+        if (pos >= len(uniq)).any() or (uniq[vorder][pos] != warr).any():
+            return empty
+        wcodes = vorder[pos]
+        span = len(codes) - w + 1
+        m = parent[:span] == parent[w - 1:]
+        for code in wcodes:
+            c = np.concatenate(
+                ([0], np.cumsum(codes == code, dtype=np.int64))
+            )
+            m &= (c[w:] - c[:span]) > 0
+        if not m.any():
+            return empty
+        upar, counts = np.unique(parent[:span][m], return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[upar], pa.int64()),
+             "n_windows": pa.array(counts, pa.int64())}
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow").sort("doc_id")
+
+
+def proximity_search_sql(terms: tuple[str, ...], w: int,
+                         table: str = "documents") -> str:
+    """DuckDB twin of :func:`proximity_search` (window join +
+    distinct-term count)."""
+    words = sorted({t.lower() for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in words)
+    return (
+        "WITH f AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        f"lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts FROM {table}), "
+        "pos AS (SELECT doc_id, u.i, ts[u.i] AS tok FROM f, "
+        "unnest(generate_series(1, len(ts))) AS u(i) "
+        f"WHERE ts[u.i] IN ({in_list})), "
+        "win AS (SELECT doc_id, u.i FROM f, "
+        f"unnest(generate_series(1, len(ts) - {w - 1})) AS u(i)), "
+        "hit AS (SELECT w.doc_id, w.i FROM win w JOIN pos p "
+        "ON p.doc_id = w.doc_id AND p.i >= w.i "
+        f"AND p.i < w.i + {w} "
+        f"GROUP BY 1, 2 HAVING count(DISTINCT p.tok) = {len(words)}) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows "
+        "FROM hit GROUP BY 1 ORDER BY 1"
+    )

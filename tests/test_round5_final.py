@@ -840,3 +840,60 @@ def test_returned_revenue_matches_duckdb(ray_session):
     assert got[orc.columns].equals(orc)
     assert got["c_name"].notna().all()
     assert len(got) == len(orc) <= 20
+
+
+def test_proximity_search_matches_duckdb_and_edges(ray_session):
+    """NEAR/w window counts equal the SQL twin on sf0.001; a
+    hand-built batch pins boundary behavior (windows never straddle
+    docs, docs shorter than w emit nothing — on BOTH engines —
+    and an absent term empties the batch)."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import PROXIMITY_W, QUERY_TERMS, _q_proximity_search
+    from raysearch.pipelines.textstats import (
+        proximity_search,
+        proximity_search_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_proximity_search(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = con.execute(
+        proximity_search_sql(QUERY_TERMS, PROXIMITY_W)
+    ).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert len(got) > 0
+    # hand-built edges: exact window arithmetic and doc isolation
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b c"},          # all 3 in w=3 -> 1
+            {"doc_id": 2, "text": "a b x c"},        # needs w>=4
+            {"doc_id": 3, "text": "a b"},            # shorter than w
+            {"doc_id": 4, "text": "c x x x a b"},    # far apart
+        ]
+    )
+    out = (
+        proximity_search(docs, ("a", "b", "c"), 3)
+        .to_pandas()
+        .set_index("doc_id")["n_windows"]
+        .to_dict()
+    )
+    assert out == {1: 1}
+    # w=4: doc 1 (3 tokens) is SHORTER than the window -> no window
+    # fits inside it, so it drops out; doc 2 gains its single window
+    out4 = (
+        proximity_search(docs, ("a", "b", "c"), 4)
+        .to_pandas()
+        .set_index("doc_id")["n_windows"]
+        .to_dict()
+    )
+    assert out4 == {2: 1}
+    # absent term: nothing matches anywhere
+    assert (
+        proximity_search(docs, ("a", "zzz"), 4).to_pandas().empty
+    )
