@@ -2039,6 +2039,21 @@ def _q_lang_length_quantiles(sf_dir: str):
     return exact_quantiles_by(ds, "n_chars", QUANTILE_QS, group_col="lang")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact φ=1/8 heavy hitters (round 5, final block): per-block
+    pigeonhole candidates + broadcast exact-count verification — the
+    MG/SpaceSaving question answered exactly with no vocabulary-wide
+    shuffle (sketch.heavy_hitters docstring)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import heavy_hitters
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return heavy_hitters(ds)
+
+
 def _q_hll_vocab_registers(sf_dir: str):
     """HyperLogLog distinct-token sketch (round 5) — the register
     table is a deterministic integer function of md5, so the DuckDB
@@ -2593,12 +2608,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cap) and df also drives transcripts_bm25_sql's idf (oracle +
         # pytest retained; the doclens demotion rationale, term side).
         "transcripts_postings_sql": _q_transcripts_postings_sql,
-        # round 5 (late): lexical_diversity admitted above the cap;
-        # transcripts_doclens_sql demoted — doclens is the per-doc sum
-        # of transcripts_postings_sql (which stays above the cap) and
-        # the doclen computation itself stays driver-checked inside
-        # transcripts_bm25_sql's scorer (oracle + pytest retained).
-        "lexical_diversity": _q_lexical_diversity,
+        # round 5 (final): heavy_hitters admitted above the cap (new
+        # operators get driver-checked immediately — the exact
+        # φ-heavy-hitter completion of the sketch trio beside
+        # hll_vocab_registers, with cm_token_counters' oracle below
+        # the cap); lexical_diversity demoted — its per-doc
+        # integer-scaled tokenize metrics are the single-pass fold
+        # quality_topfrac and lm_score drive above the cap, and
+        # token_counts keeps the n_tokens oracle below the cap
+        # (oracle + pytest + crosspar retained).
+        # (lexical_diversity's original admission note:
+        # transcripts_doclens_sql demoted — doclens is the per-doc
+        # sum of transcripts_postings_sql, above the cap.)
+        "heavy_hitters": _q_heavy_hitters,
         "transcripts_bm25_sql": _q_transcripts_bm25_sql,
         "transcripts_reference_sql": _q_transcripts_reference_sql,
         # round 5 (late): funnel_counts admitted above the cap;
@@ -2792,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_divergence": _q_js_divergence,
         "retention_cohorts": _q_retention_cohorts,
         "funnel_counts": _q_funnel_counts,
+        "lexical_diversity": _q_lexical_diversity,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3597,6 +3620,9 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB md5_number_upper == first 8 md5 bytes little-endian
     # (test_sketch.py pins the parity), bitlength via bin(); the twin
     # is therefore EXACT (sketch.py module doc explains the formula)
+    from raysearch.pipelines.sketch import heavy_hitters_sql
+
+    out["heavy_hitters"] = heavy_hitters_sql()
     out["hll_vocab_registers"] = (
         "WITH tok AS (SELECT t.term FROM (SELECT unnest("
         "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "

@@ -272,3 +272,153 @@ def hll_vocab_estimate(ds, p: int = HLL_P) -> float:
     return hll_estimate(
         t["bucket"].to_numpy(), t["register"].to_numpy(), p
     )
+
+
+#: heavy-hitter threshold: report terms with count · k > total tokens
+#: (the synthetic vocabulary is near-uniform over ~31 terms with top
+#: share ≈ 3.5%, so 1/30 ≈ 3.33% yields a non-trivial hitter set;
+#: real corpora are Zipfian and any k works)
+HH_K = 30
+
+#: hard bound on the candidate union pulled to the driver (the same
+#: discipline as dedup.BROADCAST_ID_LIMIT): per-block candidates are
+#: ≤ k each, so the union is ≤ min(vocab, blocks·k) — at 100 TB with
+#: ~10^5 blocks and k ≈ 8-64 that is ≤ ~10^6, far under this cap
+HH_CAND_LIMIT = 10_000_000
+
+
+def _hh_candidate_task(batch: pa.Table, *, k: int) -> pa.Table:
+    lexer = _LEXER_CACHE.get("simple")
+    if lexer is None:
+        lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+    _, codes, uniq = lexer.token_parent_codes(batch["text"])
+    n = len(codes)
+    if n == 0:
+        return pa.table({"term": pa.array([], pa.string())})
+    cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    keep = cnt * k > n
+    return pa.table({"term": pa.array(uniq[keep], pa.string())})
+
+
+def heavy_hitters(ds, k: int = HH_K):
+    """EXACT φ-heavy hitters (φ = 1/``k``) over the corpus token
+    stream in two bounded passes — the classic Misra-Gries /
+    SpaceSaving question ("which tokens exceed a 1/k share of 100 TB
+    of text?") answered WITHOUT a vocabulary-wide ``groupby(term)``
+    shuffle and with exact output (not summary estimates):
+
+    1. **candidates** — per block, the terms whose IN-BLOCK share
+       exceeds 1/k (blocks are in-memory Arrow, so the exact
+       per-block counts MG would approximate are free; the MG
+       guarantee survives by the average argument: a term with
+       global count > N/k must exceed share 1/k in ≥ 1 block, so
+       the union of per-block candidate sets is a superset of every
+       global heavy hitter).  Each block emits ≤ k terms; the union
+       is deduped by a tiny ``groupby(term)`` bounded by blocks·k
+       rows and pulled to the driver under ``HH_CAND_LIMIT``.
+    2. **verification** — the sorted candidate array is broadcast
+       ONCE (``ray.put``); a second streaming pass emits exact
+       per-block counts for candidate terms only (plus one sentinel
+       row carrying the block's token total), one ``groupby(term)``
+       fold bounded by candidates+1 keys, and the driver filters
+       ``n · k > N`` on ≤ candidates rows.
+
+    False positives cost only verification rows; false negatives are
+    impossible.  Output ``(term, n)``, n desc, term asc tie-break —
+    exact counts, so the DuckDB twin is a plain HAVING clause.
+
+    Reference analog: none (brief "novel sketch" family, with
+    :func:`hll_vocab_registers` and :func:`cm_token_counters`)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import functools
+    import pandas as pd
+
+    cand = (
+        ds.map_batches(
+            functools.partial(_hh_candidate_task, k=k),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .count()
+    )
+    cand_pdf = cand.to_pandas()  # ≤ min(vocab, blocks·k) rows
+    if len(cand_pdf) == 0:
+        # no block-local candidate anywhere ⇒ (by the average
+        # argument) no global hitter exists; an empty DATASET loses
+        # its schema through to_pandas (Ray 2.49), so return the
+        # typed empty DataFrame directly
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    if len(cand_pdf) > HH_CAND_LIMIT:
+        raise ValueError(
+            f"heavy-hitter candidate union {len(cand_pdf)} exceeds "
+            f"HH_CAND_LIMIT={HH_CAND_LIMIT}; raise k or the cap"
+        )
+    terms = np.sort(cand_pdf["term"].to_numpy(dtype=object))
+    ref = ray.put(terms)
+
+    def count_task(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        lexer = _LEXER_CACHE.get("simple")
+        if lexer is None:
+            lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+        _, codes, uniq = lexer.token_parent_codes(batch["text"])
+        n = len(codes)
+        out_t = [""]
+        out_n = [n]
+        if n and len(w):
+            cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+            pos = np.searchsorted(w, uniq)
+            pos[pos >= len(w)] = len(w) - 1
+            hit = w[pos] == uniq
+            out_t.extend(uniq[hit].tolist())
+            out_n.extend(cnt[hit].tolist())
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "n": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(count_task, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    pdf = folded.to_pandas()  # ≤ candidates + 1 rows (the "" sentinel
+    # carries N; tokens are never empty, so it cannot collide)
+    total = int(pdf.loc[pdf["term"] == "", "n"].iloc[0])
+    out = pdf[pdf["term"] != ""].copy()
+    out = out[out["n"].to_numpy(np.int64) * k > total]
+    out = out.sort_values(
+        ["n", "term"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "term": out["term"].astype(str),
+                "n": out["n"].to_numpy(np.int64),
+            }
+        )
+    )
+
+
+def heavy_hitters_sql(k: int = HH_K, table: str = "documents") -> str:
+    """DuckDB twin of :func:`heavy_hitters` (exact counts, integer
+    threshold compare — no division crosses engines)."""
+    return (
+        "WITH tok AS (SELECT t.term FROM (SELECT "
+        "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "c AS (SELECT term, count(*) AS n FROM tok GROUP BY 1), "
+        "tot AS (SELECT count(*) AS total FROM tok) "
+        "SELECT term, CAST(n AS BIGINT) AS n FROM c, tot "
+        f"WHERE n * {k} > total ORDER BY n DESC, term"
+    )

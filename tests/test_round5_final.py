@@ -897,3 +897,49 @@ def test_proximity_search_matches_duckdb_and_edges(ray_session):
     assert (
         proximity_search(docs, ("a", "zzz"), 4).to_pandas().empty
     )
+
+
+def test_heavy_hitters_matches_duckdb_and_edges(ray_session):
+    """Exact heavy hitters equal the SQL twin on sf0.001; a skewed
+    hand-built corpus split across many blocks pins the candidate
+    union argument (hitter concentrated in one block still found,
+    near-threshold non-hitter rejected by verification); a tiny k on
+    the near-uniform corpus yields the empty set with the declared
+    schema."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import _q_heavy_hitters
+    from raysearch.pipelines.sketch import heavy_hitters, heavy_hitters_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_heavy_hitters(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = con.execute(heavy_hitters_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert len(got) > 0
+    # strict > threshold: every reported n clears total/k
+    total = con.execute(
+        "SELECT count(*) FROM (SELECT unnest(regexp_split_to_array("
+        "lower(text), '[^a-z0-9]+')) AS t FROM documents) WHERE t <> ''"
+    ).fetchone()[0]
+    assert (got["n"].to_numpy() * 30 > total).all()
+    # near-uniform corpus at k=2: nothing exceeds half the stream
+    # (the empty path returns a typed DataFrame — an empty Dataset
+    # would lose its schema through to_pandas)
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    empty = heavy_hitters(ds, k=2)
+    assert list(empty.columns) == ["term", "n"] and len(empty) == 0
+    # skew: 'hot' is >1/3 of the stream but all its mass sits in the
+    # first rows; across 8 blocks the block-local pigeonhole still
+    # nominates it somewhere and verification gets the exact count.
+    rows = [{"text": "hot hot hot"}] * 40 + [
+        {"text": f"w{i} w{i} filler"} for i in range(40)
+    ]
+    skew = rd.from_items(rows, override_num_blocks=8)
+    out = heavy_hitters(skew, k=3).to_pandas().set_index("term")["n"]
+    assert out.to_dict() == {"hot": 120}
