@@ -1173,6 +1173,35 @@ def _q_turn_rate(sf_dir: str):
     return turn_rate(_conv_corpus(sf_dir, ["conv_id", "ts"]))
 
 
+def _q_tool_ngrams(sf_dir: str):
+    """Tool-call-sequence bigram counts (round 5, final block): the
+    first-order Markov audit of agent tool behavior — per-conv
+    tool-turn subsequence shift + value_counts partials, one
+    tool-pair-bounded fold."""
+    from raysearch.pipelines.convstats import tool_ngrams
+
+    return tool_ngrams(
+        _conv_corpus(sf_dir, ["conv_id", "turn_idx", "role", "tool"])
+    )
+
+
+def _q_active_users(sf_dir: str):
+    """Trailing-7-day distinct active users per day (round 5, final
+    block): the sliding DAU/WAU window via (user, day) dedup →
+    ×7 explode → per-bucket dedup+fold; every exchange bounded by
+    users × days, never events."""
+    import ray.data as rd
+
+    from raysearch.pipelines.relational import active_users
+
+    return active_users(
+        rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+    )
+
+
 def _q_tool_latency(sf_dir: str):
     """Per-tool execution-time profile (round 5, late): gap from each
     tool turn to the conversation's next turn, exact int64 µs."""
@@ -2586,14 +2615,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # level of rollup_counts' ROLLUP (above the cap, same lineitem
         # read, superset grouping sets) (oracle + pytest retained).
         "edit_distance_pairs": _q_edit_distance_pairs,
-        # round 5 (late): conv_role_stats admitted above the cap (new
-        # operators get driver-checked immediately; first gate row to
-        # consume the transcript shape's role column); top_customers
-        # demoted — its customer⋈orders join is driver-checked via
-        # customers_no_orders (same tables, anti variant), its grouped
-        # Sum via rollup_counts and its bounded pinned top-k via
-        # pmi_topk, all above the cap (oracle + pytest retained).
-        "conv_role_stats": _q_conv_role_stats,
+        # round 5 (final): active_users admitted above the cap (new
+        # operators get driver-checked immediately — the trailing
+        # sliding-window distinct count over events);
+        # conv_role_stats demoted — its (role, conv) fold is the
+        # combiner shape turn_rate / role_run_stats drive above the
+        # cap, and tool_stats keeps the same distinct-conv fold
+        # oracle below the cap (oracle + pytest + crosspar retained).
+        # (conv_role_stats' original admission note: top_customers
+        # demoted — join via customers_no_orders, grouped Sum via
+        # rollup_counts, pinned top-k via pmi_topk.)
+        "active_users": _q_active_users,
         # transcripts engine + non-SQL ops (exact conformance asserted
         # in pytest vs oracle.py).  ORDER MATTERS: the driver gate
         # checks the FIRST 50 entries, so every oracled row sits above
@@ -2684,14 +2716,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quality_metrics_from_codes + a fixed-threshold compare, the
         # same path quality_topfrac drives above the cap with an
         # adaptive threshold (oracle + pytest retained).
-        # round 5 (late): tool_latency admitted above the cap (new
-        # operators get driver-checked immediately); percentile_ranks
-        # demoted — its exact histogram-CDF machinery is the same
-        # structure quality_topfrac drives above the cap (percentile
-        # threshold from the identical quantile histogram), and
-        # length_quantiles keeps the quantile oracle below the cap
-        # (oracle + pytest retained).
-        "tool_latency": _q_tool_latency,
+        # round 5 (final): tool_ngrams admitted above the cap (new
+        # operators get driver-checked immediately — the tool-call
+        # Markov audit); tool_latency demoted — its per-conv ts-diff
+        # scan is turn_gap_stats' machinery (oracle below the cap)
+        # and its tool-turn filter + small-pair fold is exactly what
+        # tool_ngrams drives above the cap (oracle + pytest +
+        # crosspar retained).
+        # (tool_latency's original admission note: percentile_ranks
+        # demoted — histogram-CDF machinery via quality_topfrac,
+        # quantile oracle via length_quantiles below the cap.)
+        "tool_ngrams": _q_tool_ngrams,
         # round 5 (final): unshipped_revenue and returned_revenue
         # (the Q3- and Q10-flavor joins) admitted above the cap — new
         # operators get driver-checked immediately, and they join the
@@ -2815,6 +2850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "funnel_counts": _q_funnel_counts,
         "lexical_diversity": _q_lexical_diversity,
+        "conv_role_stats": _q_conv_role_stats,
+        "tool_latency": _q_tool_latency,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3728,6 +3765,12 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.convstats import tool_latency_sql
 
     out["tool_latency"] = tool_latency_sql(_conv_tbl)
+    from raysearch.pipelines.convstats import tool_ngrams_sql
+
+    out["tool_ngrams"] = tool_ngrams_sql(_conv_tbl)
+    from raysearch.pipelines.relational import active_users_sql
+
+    out["active_users"] = active_users_sql()
     from raysearch.pipelines.convstats import conv_similarity_pairs_sql
 
     out["conv_similarity_pairs"] = conv_similarity_pairs_sql(_conv_tbl, 0.22)

@@ -1042,3 +1042,73 @@ def turn_gap_stats_sql(table: str) -> str:
         f"CAST(COALESCE(max(gap), 0) AS BIGINT) AS max_gap_us "
         f"FROM g GROUP BY conv_id ORDER BY conv_id"
     )
+
+
+def tool_ngrams(ds):
+    """Global tool-CALL-sequence bigram counts ``(prev_tool, tool,
+    n)`` — the agent-workflow mining sibling of
+    :func:`role_transitions`: within each conversation, the tool-role
+    turns in turn_idx order form the conversation's tool-call
+    sequence; consecutive calls (intervening non-tool turns ignored)
+    are counted as transitions.  Which tool tends to follow which is
+    the first-order Markov audit of agent behavior.
+
+    Same exchange shape as role_transitions: per-conversation partials
+    (filter to tool turns, shift, value_counts — rows ≤ tools² per
+    conversation) feed one small ``groupby((prev_tool,
+    tool)).Sum``; the exchange carries tool-pair counts, never
+    turns."""
+    from ray.data.aggregate import Sum
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[(g["role"] == "tool") & (g["tool"] != "")]
+        g = g.sort_values("turn_idx")
+        prev = g["tool"].shift(1)
+        m = prev.notna()
+        if not m.any():
+            return pd.DataFrame(
+                {"prev_tool": [], "tool": [], "n": []}
+            ).astype({"prev_tool": "object", "tool": "object", "n": "int64"})
+        key = pd.MultiIndex.from_arrays([prev[m], g["tool"][m]])
+        agg = pd.Series(1, index=key).groupby(level=[0, 1]).sum()
+        return pd.DataFrame(
+            {
+                "prev_tool": agg.index.get_level_values(0),
+                "tool": agg.index.get_level_values(1),
+                "n": agg.to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        ds.groupby("conv_id")
+        .map_groups(partial, batch_format="pandas")
+        .groupby(["prev_tool", "tool"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_tool": b["prev_tool"],
+                "tool": b["tool"],
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow").sort(
+        ["prev_tool", "tool"]
+    )
+
+
+def tool_ngrams_sql(table: str) -> str:
+    """DuckDB twin of :func:`tool_ngrams` (LAG over the tool-turn
+    subsequence)."""
+    return (
+        "WITH t AS (SELECT conv_id, turn_idx, tool FROM "
+        f"{table} WHERE role = 'tool' AND tool <> ''), "
+        "w AS (SELECT tool, lag(tool) OVER (PARTITION BY conv_id "
+        "ORDER BY turn_idx) AS prev_tool FROM t) "
+        "SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n "
+        "FROM w WHERE prev_tool IS NOT NULL "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )

@@ -1467,3 +1467,122 @@ def returned_revenue_sql(k: int = 20) -> str:
         "WHERE l_returnflag = 'R' GROUP BY 1, 2 "
         f"ORDER BY revenue_cents DESC, c_custkey LIMIT {k}"
     )
+
+
+ACTIVE_WINDOW_DAYS = 7
+
+
+def active_users(events, window_days: int = ACTIVE_WINDOW_DAYS):
+    """Trailing-window distinct active users per day — the sliding
+    DAU/WAU analytics window (``n_users`` for bucket ``d`` = distinct
+    users with ≥ 1 event in the ``window_days`` days ending at
+    ``d``), computed EXACTLY with bounded exchanges instead of a
+    per-window distinct over raw events:
+
+    1. per-batch dedup to (user_id, day) pairs → ONE
+       ``groupby((user_id, day)).count()`` — the only exchange that
+       sees activity data, bounded by users × active-days, never
+       events;
+    2. a vectorized ×``window_days`` explode maps each activity day
+       onto the trailing buckets it keeps alive (day .. day +
+       window_days - 1) — buckets after the last event day appear
+       exactly when their trailing window still contains activity,
+       same as the SQL twin;
+    3. ``groupby((bucket, user_id)).count()`` dedups users per
+       bucket (≤ users × days × window_days rows), then per-batch
+       partial counts → ``groupby(bucket).Sum`` folds to one row
+       per bucket.
+
+    Output ``(bucket, n_users)`` sorted by bucket."""
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def to_days(b: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us")
+        ).to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        key = pd.MultiIndex.from_arrays([u, d]).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    key.get_level_values(0).to_numpy(), pa.int64()
+                ),
+                "day": pa.array(
+                    key.get_level_values(1).to_numpy(), pa.timestamp("us")
+                ),
+            }
+        )
+
+    distinct_ud = (
+        events.select_columns(["user_id", "ts"])
+        .map_batches(to_days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .count()
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = b["day"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        offs = (np.arange(window_days, dtype=np.int64) * day_us).astype(
+            "timedelta64[us]"
+        )
+        bucket = (d[:, None] + offs[None, :]).ravel()
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.timestamp("us")),
+                "user_id": pa.array(np.repeat(u, window_days), pa.int64()),
+            }
+        )
+
+    per_bucket_user = (
+        distinct_ud.map_batches(explode, batch_format="pyarrow")
+        .groupby(["bucket", "user_id"])
+        .count()
+    )
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        bk = b["bucket"].to_numpy(zero_copy_only=False)
+        ub, inv = np.unique(bk, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    ub.astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "n_users": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    return (
+        per_bucket_user.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(
+            # pin the bucket dtype: Ray's pandas-routed fold paths can
+            # degrade timestamp precision (observed [us] → [s]), which
+            # would make the output schema partitioning-dependent
+            lambda b: pa.table(
+                {
+                    "bucket": pc.cast(b["bucket"], pa.timestamp("us")),
+                    "n_users": pc.cast(b["n_users"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+    )
+
+
+def active_users_sql(window_days: int = ACTIVE_WINDOW_DAYS) -> str:
+    """DuckDB twin of :func:`active_users` (same explode-side window
+    definition)."""
+    return (
+        "WITH du AS (SELECT DISTINCT user_id, "
+        "CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events), "
+        "e AS (SELECT user_id, d + to_days(CAST(u.i AS INTEGER)) "
+        "AS bucket FROM du, "
+        f"unnest(generate_series(0, {window_days - 1})) AS u(i)) "
+        "SELECT bucket, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS n_users FROM e GROUP BY 1 ORDER BY 1"
+    )

@@ -943,3 +943,98 @@ def test_heavy_hitters_matches_duckdb_and_edges(ray_session):
     skew = rd.from_items(rows, override_num_blocks=8)
     out = heavy_hitters(skew, k=3).to_pandas().set_index("term")["n"]
     assert out.to_dict() == {"hot": 120}
+
+
+def test_tool_ngrams_matches_duckdb_and_edges(ray_session):
+    """Tool-call bigrams equal the LAG twin over the generated
+    transcripts; intervening non-tool turns are ignored; a
+    conversation with < 2 tool calls emits nothing."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from __ray_entry__ import _conv_corpus, _corpus_and_index
+    from raysearch.pipelines.convstats import tool_ngrams, tool_ngrams_sql
+
+    sf = "/root/testdata/sf0.001"
+    corpus, _ = _corpus_and_index(sf)
+    got = (
+        tool_ngrams(_conv_corpus(sf, ["conv_id", "turn_idx", "role", "tool"]))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW conv AS SELECT * FROM read_parquet('{corpus}/*.parquet')"
+    )
+    orc = con.execute(tool_ngrams_sql("conv")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert len(got) > 0
+    assert int(got["n"].sum()) == con.execute(
+        "SELECT count(*) - count(DISTINCT conv_id) FROM conv "
+        "WHERE role = 'tool' AND tool <> ''"
+    ).fetchone()[0]
+    # hand-built: user turns between tool calls don't break the chain
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "tool", "tool": "grep"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "user", "tool": ""},
+        {"conv_id": "c1", "turn_idx": 2, "role": "tool", "tool": "edit"},
+        {"conv_id": "c2", "turn_idx": 0, "role": "tool", "tool": "grep"},
+        {"conv_id": "c3", "turn_idx": 0, "role": "user", "tool": ""},
+    ]
+    out = (
+        tool_ngrams(rd.from_items(rows, override_num_blocks=2))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"prev_tool": "grep", "tool": "edit", "n": 1}
+    ]
+
+
+def test_active_users_matches_duckdb_and_window(ray_session):
+    """Trailing-7-day distinct users equal the SQL twin on sf0.001;
+    a hand-built stream pins the window arithmetic (activity on day
+    d keeps buckets d..d+6 alive; repeat events and multi-day users
+    count once per bucket)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from __ray_entry__ import _q_active_users
+    from raysearch.pipelines.relational import active_users, active_users_sql
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_active_users(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    orc = con.execute(active_users_sql()).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert len(got) > 0
+    # hand-built: u1 twice on day 0 (dedup), u2 on day 3; 7-day
+    # trailing windows overlap on days 3..6 where both are active
+    def d(day, h=5):
+        return np.datetime64("2024-01-01", "us") + np.timedelta64(
+            day * 24 + h, "h"
+        )
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 2],
+            "ts": [d(0), d(0, 9), d(3)],
+        }
+    )
+    out = (
+        active_users(rd.from_pandas(ev))
+        .to_pandas()
+        .set_index("bucket")["n_users"]
+    )
+    day0 = pd.Timestamp("2024-01-01")
+    for off in range(10):
+        expect = (1 if off <= 6 else 0) + (1 if 3 <= off <= 9 else 0)
+        assert out.get(day0 + pd.Timedelta(days=off), 0) == expect
