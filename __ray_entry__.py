@@ -1202,6 +1202,15 @@ def _q_active_users(sf_dir: str):
     )
 
 
+def _q_trending_terms(sf_dir: str):
+    """Per-day top-10 tokens over the transcript stream (round 5,
+    final block): day-bucketed counts + exact distributed per-day
+    top-k via group_topn; ties pinned (n DESC, term ASC)."""
+    from raysearch.pipelines.convstats import trending_terms
+
+    return trending_terms(_conv_corpus(sf_dir, ["text", "ts"]))
+
+
 def _q_tool_latency(sf_dir: str):
     """Per-tool execution-time profile (round 5, late): gap from each
     tool turn to the conversation's next turn, exact int64 µs."""
@@ -2757,14 +2766,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_turns": _q_boilerplate_turns,
         "curation_pipeline": _q_curation_pipeline,
         "tfidf_features": _q_tfidf_features,
-        # round 5 (late): turn_rate admitted above the cap (new
-        # operators get driver-checked immediately; first gate row
-        # bucketing the transcript shape's ts column);
-        # column_profile demoted — its per-block partial fold is the
-        # combiner shape dozens of above-cap rows drive (role_stats /
-        # rollup_counts / transcripts_stats family) (oracle + pytest
-        # retained).
-        "turn_rate": _q_turn_rate,
+        # round 5 (final): trending_terms admitted above the cap (new
+        # operators get driver-checked immediately — the per-day
+        # top-k dashboard window over the transcript stream);
+        # turn_rate demoted — its floor_temporal ts-bucket fold is
+        # exactly the day-bucket machinery trending_terms drives
+        # above the cap (plus tokenize + group_topn), and
+        # active_users keeps a ts-bucket oracle above the cap too
+        # (oracle + pytest + crosspar retained).
+        # (turn_rate's original admission note: column_profile
+        # demoted — per-block partial fold, the combiner shape.)
+        "trending_terms": _q_trending_terms,
         # round 5 (late): zipf_buckets admitted above the cap;
         # ngram_jaccard_pairs demoted — its exact-Jaccard verification
         # tail is the same code path minhash_pairs' candidate
@@ -2852,6 +2864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": _q_lexical_diversity,
         "conv_role_stats": _q_conv_role_stats,
         "tool_latency": _q_tool_latency,
+        "turn_rate": _q_turn_rate,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3768,6 +3781,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.convstats import tool_ngrams_sql
 
     out["tool_ngrams"] = tool_ngrams_sql(_conv_tbl)
+    from raysearch.pipelines.convstats import trending_terms_sql
+
+    out["trending_terms"] = trending_terms_sql(_conv_tbl)
     from raysearch.pipelines.relational import active_users_sql
 
     out["active_users"] = active_users_sql()

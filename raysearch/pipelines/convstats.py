@@ -61,6 +61,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+#: per-worker lexer cache (the build.py ST1 discipline: construct
+#: stateful tokenizers once per process, not once per batch)
+_LEX_CACHE: dict = {}
+
 #: simple-mode token rule as a COUNT kernel: occurrences of [a-z0-9]+
 #: runs in the lowered text == number of non-empty simple tokens
 #: (lex._MODES["simple"] splits on the complement), so SQL replays it
@@ -1111,4 +1115,92 @@ def tool_ngrams_sql(table: str) -> str:
         "SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n "
         "FROM w WHERE prev_tool IS NOT NULL "
         "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def trending_terms(ds, k: int = 10):
+    """Top-``k`` tokens per DAY of the transcript stream ``(day,
+    term, n, rk)`` — the trending-terms dashboard window (what is
+    the corpus talking about today?): day-bucketed token counts with
+    an exact distributed per-day top-k.
+
+    Plan: per-batch tokenize (the SQL-parity simple lexer) + one
+    in-batch (day, term) fold → ``groupby((day, term)).Sum`` —
+    exchange bounded by days × vocabulary, never tokens —
+    → :func:`raysearch.pipelines.sampling.group_topn` (block-local
+    partial top-k, candidate-bounded fold; ties pinned n DESC, term
+    ASC) → ``sort((day, rk))``.  Day dtype pinned to timestamp[us]
+    (the active_users lesson: pandas-routed folds degrade
+    timestamp precision partitioning-dependently)."""
+    from ray.data.aggregate import Sum
+
+    from raysearch.lex import Lexer
+    from raysearch.pipelines.sampling import group_topn
+
+    def partial(b: pa.Table) -> pa.Table:
+        lexer = _LEX_CACHE.get("simple")
+        if lexer is None:
+            lexer = _LEX_CACHE["simple"] = Lexer("simple")
+        day = pc.cast(
+            pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us")
+        ).to_numpy(zero_copy_only=False)
+        parent, codes, uniq = lexer.token_parent_codes(b["text"])
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.timestamp("us")),
+                    "term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        tok_day = day[parent].astype("datetime64[us]").astype(np.int64)
+        key = tok_day * np.int64(len(uniq)) + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(
+                    (ukey // len(uniq)).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "term": pa.array(
+                    uniq[(ukey % len(uniq)).astype(np.int64)], pa.string()
+                ),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = group_topn(
+        counts, group_col="day", order_col="n", n=k, id_col="term"
+    )
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "day": pc.cast(b["day"], pa.timestamp("us")),
+                "term": b["term"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "rk": pc.cast(b["rk"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["day", "rk"])
+
+
+def trending_terms_sql(table: str, k: int = 10) -> str:
+    """DuckDB twin of :func:`trending_terms` (same tie pins)."""
+    return (
+        "WITH t AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+        "AS day, u.term FROM (SELECT ts, unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) u(ts, term) WHERE u.term <> ''), "
+        "c AS (SELECT day, term, count(*) AS n FROM t GROUP BY 1, 2), "
+        "r AS (SELECT day, term, n, row_number() OVER ("
+        "PARTITION BY day ORDER BY n DESC, term) AS rk FROM c) "
+        "SELECT day, term, CAST(n AS BIGINT) AS n, "
+        f"CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k} "
+        "ORDER BY day, rk"
     )

@@ -1038,3 +1038,49 @@ def test_active_users_matches_duckdb_and_window(ray_session):
     for off in range(10):
         expect = (1 if off <= 6 else 0) + (1 if 3 <= off <= 9 else 0)
         assert out.get(day0 + pd.Timedelta(days=off), 0) == expect
+
+
+def test_trending_terms_matches_duckdb_and_ties(ray_session):
+    """Per-day top-k equals the SQL window on the generated
+    transcripts; a hand-built two-day stream pins tie-breaks
+    (n DESC, term ASC) and day isolation."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from __ray_entry__ import _conv_corpus, _corpus_and_index
+    from raysearch.pipelines.convstats import (
+        trending_terms,
+        trending_terms_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus, _ = _corpus_and_index(sf)
+    got = (
+        trending_terms(_conv_corpus(sf, ["text", "ts"]))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW conv AS SELECT * FROM read_parquet('{corpus}/*.parquet')"
+    )
+    orc = con.execute(trending_terms_sql("conv")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert (got.groupby("day")["rk"].max() <= 10).all()
+    # hand-built: day 1 has a 3-way count tie broken by term; day 2's
+    # vocabulary never leaks into day 1
+    t0 = np.datetime64("2024-03-01T10:00", "us")
+    day = np.timedelta64(24 * 3600 * 1_000_000, "us")
+    ev = pd.DataFrame(
+        {
+            "text": ["b b a a c c", "zz zz zz yy"],
+            "ts": [t0, t0 + day],
+        }
+    )
+    out = trending_terms(rd.from_pandas(ev), k=2).to_pandas()
+    d1 = out[out["day"] == pd.Timestamp("2024-03-01")]
+    assert list(d1["term"]) == ["a", "b"] and list(d1["n"]) == [2, 2]
+    d2 = out[out["day"] == pd.Timestamp("2024-03-02")]
+    assert list(d2["term"]) == ["zz", "yy"] and list(d2["n"]) == [3, 1]
