@@ -2437,6 +2437,44 @@ def _q_media_skip_counts(sf_dir: str):
     return decode_skip_counts(rd.read_parquet(_media_parquet(), columns=["fmt"]))
 
 
+def _q_index_lineage(sf_dir: str):
+    """Per-partition build lineage + metrics (round 5, final block):
+    the north-rule checkpoint/lineage surface as a queryable — one
+    row per (wave, partition) straight from the atomic wave
+    manifests build_index writes (input files, doc/token/term/
+    posting counts, flush count; build_s excluded as wall-clock
+    nondeterminism).  Rows-only driver check: the manifests are the
+    engine's own resume state, not derivable from the input tables
+    by SQL."""
+    import glob
+    import json
+
+    import pandas as pd
+
+    _, index = _corpus_and_index(sf_dir)
+    rows = []
+    for mpath in sorted(
+        glob.glob(os.path.join(index, "waves", "*", "manifest.json"))
+    ):
+        wave = os.path.basename(os.path.dirname(mpath))
+        with open(mpath) as f:
+            m = json.load(f)
+        for pid, p in sorted(m["per_partition"].items(), key=lambda kv: int(kv[0])):
+            rows.append(
+                {
+                    "wave": wave,
+                    "partition_id": int(pid),
+                    "n_files": len(p["files"]),
+                    "n_docs": int(p["n_docs"]),
+                    "n_tokens": int(p["n_tokens"]),
+                    "n_terms": int(p["n_terms"]),
+                    "n_postings": int(p["n_postings"]),
+                    "n_flushes": int(p["n_flushes"]),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def _q_media_video_frames(sf_dir: str):
     """REAL video-frame decode: motion-JPEG MP4s (round 4) AND MPEG-1
     intra MP4s (round 5, mpeg1_codec) → demux → per-tick frame pixel
@@ -2915,6 +2953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_video_frames": _q_media_video_frames,
+        "index_lineage": _q_index_lineage,
         "priority_sample": _q_priority_sample,
         "length_quantiles": _q_length_quantiles,
         "lang_length_quantiles": _q_lang_length_quantiles,

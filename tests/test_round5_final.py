@@ -1084,3 +1084,30 @@ def test_trending_terms_matches_duckdb_and_ties(ray_session):
     assert list(d1["term"]) == ["a", "b"] and list(d1["n"]) == [2, 2]
     d2 = out[out["day"] == pd.Timestamp("2024-03-02")]
     assert list(d2["term"]) == ["zz", "yy"] and list(d2["n"]) == [3, 1]
+
+
+def test_index_lineage_rows_match_manifests(ray_session):
+    """The lineage queryable mirrors the wave manifests exactly and
+    its per-partition totals agree with the corpus-wide stats (token
+    and doc sums equal the doclens-derived totals)."""
+    import duckdb
+
+    from __ray_entry__ import _corpus_and_index, _q_index_lineage
+
+    sf = "/root/testdata/sf0.001"
+    df = _q_index_lineage(sf)
+    corpus, index = _corpus_and_index(sf)
+    assert len(df) >= 1
+    assert df["partition_id"].is_unique or df["wave"].nunique() > 1
+    con = duckdb.connect()
+    n_turns = con.execute(
+        f"SELECT count(*) FROM read_parquet('{corpus}/*.parquet')"
+    ).fetchone()[0]
+    assert int(df["n_docs"].sum()) == n_turns
+    import json
+
+    with open(f"{index}/merged/meta.json") as f:
+        meta = json.load(f)
+    assert int(df["n_docs"].sum()) == meta["n_docs"]
+    assert int(df["n_tokens"].sum()) == meta["total_tokens"]
+    assert (df["n_flushes"] >= 1).all() and (df["n_files"] >= 1).all()
