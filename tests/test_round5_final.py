@@ -1111,3 +1111,69 @@ def test_index_lineage_rows_match_manifests(ray_session):
     assert int(df["n_docs"].sum()) == meta["n_docs"]
     assert int(df["n_tokens"].sum()) == meta["total_tokens"]
     assert (df["n_flushes"] >= 1).all() and (df["n_files"] >= 1).all()
+
+
+def test_resumable_sink_write_resume_and_content(ray_session, tmp_path):
+    """Fresh write: partitioned tree content equals the source and
+    stats equal the SQL twin.  Crash simulation: deleting two
+    markers (+ their dirs) re-runs ONLY those buckets — untouched
+    bucket files keep their mtimes — and restores identical content.
+    Full-marker re-run touches nothing and returns the same stats."""
+    import duckdb
+    import os
+    import ray.data as rd
+
+    from raysearch.pipelines.sink import resumable_sink_sql, write_resumable
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "sink")
+    ds = rd.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    stats = write_resumable(ds, out, key_col="doc_id", n_buckets=16)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = con.execute(resumable_sink_sql(16)).fetchdf()
+    assert stats[orc.columns].reset_index(drop=True).equals(orc)
+    # content equality (ignoring order): the tree holds exactly the
+    # source rows
+    back = con.execute(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{out}/bucket=*/part-0.parquet') ORDER BY doc_id"
+    ).fetchdf()
+    src = con.execute(
+        "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
+    ).fetchdf()
+    assert back.equals(src)
+
+    def mtimes():
+        return {
+            b: os.path.getmtime(os.path.join(out, b, "part-0.parquet"))
+            for b in os.listdir(out)
+            if os.path.exists(os.path.join(out, b, "part-0.parquet"))
+        }
+
+    before = mtimes()
+    # full-marker re-run: nothing rewritten, same stats
+    again = write_resumable(ds, out, key_col="doc_id", n_buckets=16)
+    assert again.equals(stats)
+    assert mtimes() == before
+    # crash simulation: lose buckets 3 and 7 entirely
+    import shutil
+
+    for b in (3, 7):
+        shutil.rmtree(os.path.join(out, f"bucket={b:05d}"))
+    resumed = write_resumable(ds, out, key_col="doc_id", n_buckets=16)
+    assert resumed.equals(stats)
+    after = mtimes()
+    for b, t in before.items():
+        if b not in (f"bucket={3:05d}", f"bucket={7:05d}"):
+            assert after[b] == t, b  # untouched buckets not rewritten
+    back2 = con.execute(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{out}/bucket=*/part-0.parquet') ORDER BY doc_id"
+    ).fetchdf()
+    assert back2.equals(src)
