@@ -1211,6 +1211,17 @@ def _q_trending_terms(sf_dir: str):
     return trending_terms(_conv_corpus(sf_dir, ["text", "ts"]))
 
 
+def _q_tool_latency_quantiles(sf_dir: str):
+    """Exact per-tool latency percentiles (round 5, final block):
+    p50/p90/p99 from the tool_latency timing rule through the
+    grouped exact-quantile histogram (no global sort)."""
+    from raysearch.pipelines.convstats import tool_latency_quantiles
+
+    return tool_latency_quantiles(
+        _conv_corpus(sf_dir, ["conv_id", "turn_idx", "role", "tool", "ts"])
+    )
+
+
 def _q_tool_latency(sf_dir: str):
     """Per-tool execution-time profile (round 5, late): gap from each
     tool turn to the conversation's next turn, exact int64 µs."""
@@ -2747,7 +2758,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retained below the cap).  epoch_shuffle's original admission
         # note: transcripts_bm25's scoring path stays triply
         # driver-checked via transcripts_bm25_sql / bm25_topk.
-        "sft_pairs": _q_sft_pairs,
+        # round 5 (final): tool_latency_quantiles admitted above the
+        # cap (new operators get driver-checked immediately — the
+        # p50/p90/p99 tool-telemetry dashboard); sft_pairs demoted —
+        # conv_curation's fused tail EMITS the same (user→assistant)
+        # SFT pairs above the cap, and the per-conv adjacency scan is
+        # tool_ngrams' machinery (oracle + pytest + crosspar
+        # retained).
+        "tool_latency_quantiles": _q_tool_latency_quantiles,
         # round 5 (final): group_sample_k and role_transitions demoted
         # in the cap-rebalance — the keyed-hash bottom-k/selection
         # idiom stays driver-checked via temperature_mix (same
@@ -2930,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_latency": _q_tool_latency,
         "turn_rate": _q_turn_rate,
         "boilerplate_turns": _q_boilerplate_turns,
+        "sft_pairs": _q_sft_pairs,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3853,6 +3872,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.convstats import trending_terms_sql
 
     out["trending_terms"] = trending_terms_sql(_conv_tbl)
+    from raysearch.pipelines.convstats import tool_latency_quantiles_sql
+
+    out["tool_latency_quantiles"] = tool_latency_quantiles_sql(_conv_tbl)
     from raysearch.pipelines.relational import active_users_sql
 
     out["active_users"] = active_users_sql()

