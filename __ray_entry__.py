@@ -1934,6 +1934,24 @@ def _q_proximity_search(sf_dir: str):
     return proximity_search(ds, QUERY_TERMS, PROXIMITY_W)
 
 
+#: misspelled query term for the did-you-mean gate row
+FUZZY_QUERY = "scann"
+
+
+def _q_fuzzy_terms(sf_dir: str):
+    """Spell-correction candidates (round 5, final block): vocab
+    terms within Levenshtein 2 of a misspelled query term — df fold
+    + zero-shuffle length-pruned banded DP."""
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import fuzzy_terms
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return fuzzy_terms(ds, FUZZY_QUERY, max_d=2)
+
+
 def _q_quality_topfrac(sf_dir: str):
     """Adaptive percentile-threshold quality filter (round 5): top
     half of docs by integer-scaled quality, threshold from the
@@ -2691,7 +2709,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # revenue_by_flag demoted — its grouped-Sum fold is the base
         # level of rollup_counts' ROLLUP (above the cap, same lineitem
         # read, superset grouping sets) (oracle + pytest retained).
-        "edit_distance_pairs": _q_edit_distance_pairs,
+        # round 5 (final): fuzzy_terms admitted above the cap (new
+        # operators get driver-checked immediately — the did-you-mean
+        # lexicon fallback); edit_distance_pairs demoted —
+        # fuzzy_terms drives the IDENTICAL _lev_capped banded DP
+        # above the cap, and the pair operator's length-bucket prune
+        # is pytest-pinned with its levenshtein() oracle below the
+        # cap (oracle + pytest + crosspar retained).
+        "fuzzy_terms": _q_fuzzy_terms,
         # round 5 (final): active_users admitted above the cap (new
         # operators get driver-checked immediately — the trailing
         # sliding-window distinct count over events);
@@ -2949,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_rate": _q_turn_rate,
         "boilerplate_turns": _q_boilerplate_turns,
         "sft_pairs": _q_sft_pairs,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3761,6 +3787,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.sink import resumable_sink_sql
 
     out["resumable_sink"] = resumable_sink_sql()
+    from raysearch.pipelines.textstats import fuzzy_terms_sql
+
+    out["fuzzy_terms"] = fuzzy_terms_sql(FUZZY_QUERY, max_d=2)
     out["hll_vocab_registers"] = (
         "WITH tok AS (SELECT t.term FROM (SELECT unnest("
         "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "

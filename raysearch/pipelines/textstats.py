@@ -2533,3 +2533,91 @@ def proximity_search_sql(terms: tuple[str, ...], w: int,
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows "
         "FROM hit GROUP BY 1 ORDER BY 1"
     )
+
+
+def fuzzy_terms(ds, query: str, max_d: int = 1):
+    """Spell-correction candidates for a query term: corpus
+    vocabulary terms within Levenshtein distance ``max_d`` of
+    ``query``, with their document frequencies ``(term, d, df)``
+    sorted by (d, df desc, term) — the did-you-mean fallback a
+    search engine offers when a query term misses the lexicon
+    (reference analog: none; the reference returns an empty result
+    for unknown lemmas, SearchServiceImpl.java:118).
+
+    Plan: tokenize → per-batch distinct (term, doc) partials → ONE
+    ``groupby(term)`` df fold (vocabulary-bounded, the term_df
+    primitive) → a zero-shuffle vectorized filter: terms outside
+    ``len(query) ± max_d`` drop on length alone, survivors run the
+    banded capped DP (``dedup._lev_capped``) — per batch that is
+    O(batch_vocab × |query| × (2·max_d+1)), embarrassingly parallel,
+    nothing vocab-scale on the driver."""
+    q = query.lower()
+    from ray.data.aggregate import Sum
+
+    from raysearch.pipelines.dedup import _lev_capped
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        lexer = _cached(_RepetitionStats).lexer
+        parent, codes, uniq = lexer.token_parent_codes(b["text"])
+        if len(codes) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        pair = parent.astype(np.int64) * np.int64(len(uniq)) + codes
+        upair = np.unique(pair)
+        ucode, cnt = np.unique(upair % len(uniq), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq[ucode], pa.string()),
+                "df": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+    def near(b: pa.Table) -> pa.Table:
+        terms = b["term"].to_numpy(zero_copy_only=False)
+        dfs = pc.cast(b["df"], pa.int64()).to_numpy(zero_copy_only=False)
+        lens = np.array([len(t) for t in terms], np.int64)
+        cand = np.flatnonzero(np.abs(lens - len(q)) <= max_d)
+        out_t, out_d, out_df = [], [], []
+        for i in cand:
+            d = _lev_capped(q, terms[i], max_d)
+            if d <= max_d:
+                out_t.append(terms[i])
+                out_d.append(d)
+                out_df.append(int(dfs[i]))
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "d": pa.array(np.asarray(out_d, np.int64), pa.int64()),
+                "df": pa.array(np.asarray(out_df, np.int64), pa.int64()),
+            }
+        )
+
+    return df.map_batches(near, batch_format="pyarrow").sort(
+        ["d", "df", "term"], descending=[False, True, False]
+    )
+
+
+def fuzzy_terms_sql(query: str, max_d: int = 1,
+                    table: str = "documents") -> str:
+    """DuckDB twin of :func:`fuzzy_terms` (levenshtein() over the
+    distinct-term df aggregate)."""
+    q = query.lower().replace("'", "''")
+    return (
+        "WITH tok AS (SELECT doc_id, t.term FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok "
+        "GROUP BY 1) "
+        f"SELECT term, CAST(levenshtein(term, '{q}') AS BIGINT) AS d, "
+        "CAST(df AS BIGINT) AS df FROM df "
+        f"WHERE levenshtein(term, '{q}') <= {max_d} "
+        "ORDER BY d, df DESC, term"
+    )

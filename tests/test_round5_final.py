@@ -1202,3 +1202,34 @@ def test_tool_latency_quantiles_matches_duckdb(ray_session):
     assert set(got["q"]) == {0.5, 0.9, 0.99}
     piv = got.pivot(index="tool", columns="q", values="value")
     assert (piv[0.5] <= piv[0.9]).all() and (piv[0.9] <= piv[0.99]).all()
+
+
+def test_fuzzy_terms_matches_duckdb_and_edges(ray_session):
+    """Did-you-mean candidates equal the levenshtein() twin on
+    sf0.001 for several misspellings; exact-hit queries report
+    themselves at d=0; a nonsense query yields the typed empty
+    result; the length prune can never drop a true candidate
+    (|len(a)-len(b)| <= d is admissible)."""
+    import duckdb
+    import ray.data as rd
+
+    from raysearch.pipelines.textstats import fuzzy_terms, fuzzy_terms_sql
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    for q, d in (("scann", 2), ("tabel", 2), ("join", 1), ("zzzz", 1)):
+        got = (
+            fuzzy_terms(ds, q, max_d=d).to_pandas().reset_index(drop=True)
+        )
+        orc = con.execute(fuzzy_terms_sql(q, max_d=d)).fetchdf()
+        if len(orc) == 0:
+            assert len(got) == 0, q
+            continue
+        assert got[orc.columns].equals(orc), q
+    exact = fuzzy_terms(ds, "join", max_d=1).to_pandas()
+    assert exact.iloc[0]["term"] == "join" and exact.iloc[0]["d"] == 0
