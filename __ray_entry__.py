@@ -814,6 +814,33 @@ def _q_transcripts_bm25(sf_dir: str):
     return _search_batch(sf_dir, "bm25")
 
 
+def _q_transcripts_bm25_or(sf_dir: str):
+    """OR-mode (disjunctive) block-max WAND top-k over the fixture
+    queries (round 5, final block) — the driver-checked row for the
+    search_or path (previously pytest-only): every returned score is
+    exactly computed after pruning, so the disjunctive SQL twin
+    (same BM25 expression, candidates = docs with ANY surviving
+    term) must value-match.  Driver-side loop over the fixture
+    queries — bounded at queries × k rows."""
+    import pandas as pd
+
+    from raysearch.search import IndexSearcher
+    from raysearch.util import round_half_away
+
+    _, index = _corpus_and_index(sf_dir)
+    s = IndexSearcher(index)
+    rows = []
+    for qid, q in enumerate(_transcript_queries()):
+        ids, scores = s.search_or(q, k=10)
+        for rank, (d, sc) in enumerate(zip(ids, scores)):
+            rows.append(
+                (qid, rank, int(d), float(round_half_away(sc, 4)))
+            )
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score"]
+    )
+
+
 def _q_transcripts_snippets(sf_dir: str):
     """Full search responses (M9-M12 analogs: doc fetch, snippet window
     + <b> highlighting, relevance) for a few fixture queries."""
@@ -2809,7 +2836,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (test_sharded_searcher_*), whose scorer stays driver-checked
         # via transcripts_bm25_sql and bm25_topk above the cap (oracle
         # retained below the cap).
-        "assistant_share": _q_assistant_share,
+        # round 5 (final): transcripts_bm25_or admitted above the cap
+        # (new gate row — the disjunctive block-max WAND path
+        # search_or, previously pytest-only, now value-checked against
+        # a same-scorer SQL twin whose candidates are docs with ANY
+        # surviving term); assistant_share demoted — its integer
+        # basis-point share computation is embedded verbatim in
+        # conv_curation's share-band head above the cap (oracle +
+        # pytest + crosspar retained).
+        "transcripts_bm25_or": _q_transcripts_bm25_or,
         "transcripts_snippets": _q_transcripts_snippets,
         "minhash_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
@@ -2975,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_turns": _q_boilerplate_turns,
         "sft_pairs": _q_sft_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "assistant_share": _q_assistant_share,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3076,7 +3112,7 @@ def _latin_stops_sql() -> str:
 _LM_PARQUET = "/tmp/raysearch_entry/lemma_map.parquet"
 
 
-def _fixture_topk_sql(scorer: str, k: int = 10) -> str:
+def _fixture_topk_sql(scorer: str, k: int = 10, mode: str = "and") -> str:
     """Top-k SQL twin of the ENGINE's fixture-query search rows
     (transcripts_bm25 / transcripts_bm25_sharded /
     transcripts_reference) — round 3, closing the r2 VERDICT #5 gap.
@@ -3123,8 +3159,13 @@ def _fixture_topk_sql(scorer: str, k: int = 10) -> str:
             f"(SELECT term FROM q{qid}) GROUP BY 1) d, stats s "
             f"WHERE d.df * 1.0 / s.n_docs <= 0.95), "
             f"c{qid} AS (SELECT f.doc_id FROM tf f JOIN k{qid} USING (term) "
-            f"GROUP BY f.doc_id HAVING count(DISTINCT f.term) = "
-            f"(SELECT count(*) FROM k{qid}))"
+            f"GROUP BY f.doc_id HAVING count(DISTINCT f.term) "
+            + (
+                f"= (SELECT count(*) FROM k{qid}))"
+                if mode == "and"
+                # disjunctive (search_or): any surviving term admits
+                else ">= 1)"
+            )
         )
         if scorer == "reference":
             cts.append(
@@ -3328,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
             "AS avg_doc_len, FALSE AS is_indexing"
         ),
         "transcripts_bm25": _fixture_topk_sql("bm25"),
+        "transcripts_bm25_or": _fixture_topk_sql("bm25", mode="or"),
         "transcripts_bm25_sharded": _fixture_topk_sql("bm25"),
         "transcripts_reference": _fixture_topk_sql("reference"),
         "transcripts_reference_sql": (
