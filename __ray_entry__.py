@@ -2167,6 +2167,21 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(ds)
 
 
+def _q_bloom_vocab_bits(sf_dir: str):
+    """Bloom membership sketch over the corpus vocabulary (round 5,
+    final block): set-bit table from double-hashed md5 positions —
+    deterministic integer function of md5, so the DuckDB twin is
+    bitwise-exact (sketch.bloom_vocab_bits docstring)."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import bloom_vocab_bits
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return bloom_vocab_bits(ds)
+
+
 def _q_hll_vocab_registers(sf_dir: str):
     """HyperLogLog distinct-token sketch (round 5) — the register
     table is a deterministic integer function of md5, so the DuckDB
@@ -2730,7 +2745,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sessionize family's (relational.py shares the partial/carry
         # helpers) and events_sessionize stays above the cap (oracle +
         # pytest retained).
-        "ngram_novelty": _q_ngram_novelty,
+        # round 5 (final): bloom_vocab_bits admitted above the cap
+        # (new operators get driver-checked immediately — the
+        # membership sketch completing the family: HLL cardinality,
+        # Count-Min frequency, heavy_hitters exact shares, Bloom
+        # membership); ngram_novelty demoted — its (shingle, doc)
+        # first-occurrence fold is vocab_growth's cumulative
+        # machinery (oracle below the cap) and dup_ngram_stats
+        # drives the inter-document shingle folds above the cap
+        # (oracle + pytest + crosspar retained).
+        "bloom_vocab_bits": _q_bloom_vocab_bits,
         # round 5 (late): edit_distance_pairs admitted above the cap
         # (new operators get driver-checked immediately);
         # revenue_by_flag demoted — its grouped-Sum fold is the base
@@ -3011,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_pairs": _q_sft_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "assistant_share": _q_assistant_share,
+        "ngram_novelty": _q_ngram_novelty,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3832,6 +3857,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.textstats import fuzzy_terms_sql
 
     out["fuzzy_terms"] = fuzzy_terms_sql(FUZZY_QUERY, max_d=2)
+    from raysearch.pipelines.sketch import bloom_vocab_bits_sql
+
+    out["bloom_vocab_bits"] = bloom_vocab_bits_sql()
     out["hll_vocab_registers"] = (
         "WITH tok AS (SELECT t.term FROM (SELECT unnest("
         "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "

@@ -422,3 +422,94 @@ def heavy_hitters_sql(k: int = HH_K, table: str = "documents") -> str:
         "SELECT term, CAST(n AS BIGINT) AS n FROM c, tot "
         f"WHERE n * {k} > total ORDER BY n DESC, term"
     )
+
+
+#: Bloom geometry: m = 2^14 bits, k = 4 double-hashed probes
+BLOOM_M_BITS = 14
+BLOOM_K = 4
+
+
+def bloom_positions(h: np.ndarray, m_bits: int = BLOOM_M_BITS,
+                    k: int = BLOOM_K) -> np.ndarray:
+    """(n, k) bit positions via Kirsch–Mitzenmacher double hashing
+    over ONE md5 u64: ``bit_i = (h1 + i·h2) mod m`` with
+    ``h1 = h & (m-1)`` (low bits — HLL's bucket uses the TOP bits,
+    so the two sketches stay decorrelated) and ``h2 = (h >> 32) | 1``
+    (odd).  Every operation is exact UBIGINT arithmetic, so DuckDB
+    replicates the positions bit-for-bit."""
+    m = np.int64(1 << m_bits)
+    h1 = (h & np.uint64(m - 1)).astype(np.int64)
+    h2 = (((h >> np.uint64(32)) | np.uint64(1))
+          & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & (m - 1)
+
+
+def bloom_vocab_bits(ds, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """documents(text) → the SET BITS of a Bloom filter over the
+    corpus vocabulary ``(bit)``, sorted — the membership sketch
+    completing the family (HLL = cardinality, Count-Min = frequency,
+    heavy_hitters = exact top shares, Bloom = membership): a
+    downstream decontaminate-style stage tests "is this token in the
+    corpus vocabulary?" against ≤ 2^m_bits bits instead of the
+    vocabulary itself.
+
+    Same exchange shape as HLL: per-block distinct tokens hash and
+    set bits locally (OR-fold — associative, commutative,
+    idempotent, so cross-block duplicates are harmless), ONE
+    ``groupby(bit)`` dedup bounded by ``blocks × m`` rows, pinned
+    sort.  The bits are a deterministic function of md5, so the
+    DuckDB twin is bitwise-exact, not approximate-vs-exact."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lexer = _LEXER_CACHE.get("simple")
+        if lexer is None:
+            lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+        _, _, uniq = lexer.token_parent_codes(batch["text"])
+        if len(uniq) == 0:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        pos = bloom_positions(md5_u64(list(uniq)), m_bits, k)
+        return pa.table(
+            {"bit": pa.array(np.unique(pos.ravel()), pa.int64())}
+        )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"bit": b["bit"].cast(pa.int64())})
+
+    deduped = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .count()
+    )
+    return deduped.map_batches(project, batch_format="pyarrow").sort("bit")
+
+
+def bloom_contains(bits: np.ndarray, terms: list[str],
+                   m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Membership probe against the SORTED set-bit array
+    :func:`bloom_vocab_bits` produced: True ⇔ all k probe bits set
+    (no false negatives; FP rate ≈ (1 - e^{-kn/m})^k)."""
+    if len(terms) == 0:
+        return np.zeros(0, bool)
+    pos = bloom_positions(md5_u64(list(terms)), m_bits, k)
+    idx = np.searchsorted(bits, pos)
+    idx[idx >= len(bits)] = max(len(bits) - 1, 0)
+    found = (bits[idx] == pos) if len(bits) else np.zeros_like(pos, bool)
+    return found.all(axis=1)
+
+
+def bloom_vocab_bits_sql(m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K,
+                         table: str = "documents") -> str:
+    """DuckDB twin of :func:`bloom_vocab_bits` (same double-hash
+    positions in exact UBIGINT arithmetic)."""
+    m1 = (1 << m_bits) - 1
+    return (
+        "WITH term AS (SELECT DISTINCT t.term FROM (SELECT unnest("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        "h AS (SELECT md5_number_upper(term) AS h64 FROM term), "
+        f"p AS (SELECT ((h64 & {m1}) + u.i * (((h64 >> 32) | 1) "
+        f"& 4294967295)) & {m1} AS bit FROM h, "
+        f"unnest(generate_series(0, {k - 1})) AS u(i)) "
+        "SELECT DISTINCT CAST(bit AS BIGINT) AS bit FROM p ORDER BY bit"
+    )

@@ -262,3 +262,48 @@ def test_cm_estimate_unseen_terms_and_sparse_grid():
     est = cm_estimate(rows, cells, counts, ["almost-surely-unseen-term"])
     assert est.shape == (1,)
     assert 0 <= est[0] <= 10
+
+
+def test_bloom_bits_match_duckdb_and_membership(ray_session):
+    """Set bits equal the UBIGINT double-hash twin on sf0.001; every
+    corpus term probes positive (no false negatives); random
+    non-corpus probes stay under a generous FP bound for the
+    m=2^14 / k=4 / n≈vocab geometry."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import (
+        bloom_contains,
+        bloom_vocab_bits,
+        bloom_vocab_bits_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    got = bloom_vocab_bits(ds).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = con.execute(bloom_vocab_bits_sql()).fetchdf()
+    assert got.equals(orc)
+    bits = got["bit"].to_numpy(np.int64)
+    vocab = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT t.term FROM (SELECT unnest("
+            "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+            "FROM documents) t WHERE t.term <> ''"
+        ).fetchall()
+    ]
+    assert bloom_contains(bits, vocab).all()  # no false negatives
+    probes = [f"nonword{i:04d}" for i in range(2000)]
+    fp = bloom_contains(bits, probes).mean()
+    n = len(vocab)
+    bound = (1 - np.exp(-4 * n / 16384.0)) ** 4
+    assert fp <= max(5 * bound, 0.01), (fp, bound)
+    # empty probe set and empty bit set behave
+    assert bloom_contains(bits, []).shape == (0,)
+    assert not bloom_contains(np.array([], np.int64), ["x"]).any()
