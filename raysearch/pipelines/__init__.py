@@ -8,9 +8,10 @@ and duplicate clustering (dedup.py), similarity search over embeddings
 packing (packing.py), feature extraction (features.py),
 conversation-level curation over the transcript shape's role/tool/ts
 columns (convstats.py), dataset
-profiling (profile.py), cardinality
-sketches (sketch.py), the composed curation flagship (curation.py),
-multimodal binary-column plumbing (multimodal.py), and generic
+profiling (profile.py), cardinality / frequency / membership /
+heavy-hitter sketches (sketch.py), the composed curation flagship
+(curation.py), multimodal binary-column plumbing (multimodal.py),
+the resumable partitioned output sink (sink.py), and generic
 relational aggregates/joins/windows (relational.py).  All are
 Ray-Data-first: vectorized map_batches over Arrow batches, partial
 aggregation before shuffles, broadcast small sides via ray.put.
