@@ -2182,6 +2182,21 @@ def _q_bloom_vocab_bits(sf_dir: str):
     return bloom_vocab_bits(ds)
 
 
+def _q_heavy_hitters_by(sf_dir: str):
+    """Per-language exact heavy hitters (round 5, final block): the
+    grouped form of the pigeonhole-candidates + verified-counts
+    plan; every bound is groups × k."""
+    import ray.data as rd
+
+    from raysearch.pipelines.sketch import heavy_hitters_by
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "text"],
+    )
+    return heavy_hitters_by(ds, key="lang")
+
+
 def _q_hll_vocab_registers(sf_dir: str):
     """HyperLogLog distinct-token sketch (round 5) — the register
     table is a deterministic integer function of md5, so the DuckDB
@@ -2693,7 +2708,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "dup_span_stats": _q_dup_span_stats,
         "lang_id_ngram": _q_lang_id_ngram,
-        "lang_mismatch": _q_lang_mismatch,
+        # round 5 (final): heavy_hitters_by admitted above the cap
+        # (new operators get driver-checked immediately — the grouped
+        # heavy-hitter form); lang_mismatch demoted — it composes
+        # lang_id_ngram (above the cap, same langid machinery) with a
+        # label attach, the copartition idiom dozens of above-cap
+        # rows drive (oracle + pytest + crosspar retained).
+        "heavy_hitters_by": _q_heavy_hitters_by,
         # round 5 (late): prefix_jaccard_pairs admitted above the cap;
         # conjunctive_search demoted — bm25_topk (above the cap)
         # consumes the same _conjunctive_frame term-intersection
@@ -3036,6 +3057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "assistant_share": _q_assistant_share,
         "ngram_novelty": _q_ngram_novelty,
+        "lang_mismatch": _q_lang_mismatch,
         "order_gaps": _q_order_gaps,
         "simhash_pairs": _q_simhash_pairs,
         "exact_dedup": _q_exact_dedup,
@@ -3860,6 +3882,9 @@ def oracle_sql() -> dict[str, str]:
     from raysearch.pipelines.sketch import bloom_vocab_bits_sql
 
     out["bloom_vocab_bits"] = bloom_vocab_bits_sql()
+    from raysearch.pipelines.sketch import heavy_hitters_by_sql
+
+    out["heavy_hitters_by"] = heavy_hitters_by_sql(key="lang")
     out["hll_vocab_registers"] = (
         "WITH tok AS (SELECT t.term FROM (SELECT unnest("
         "regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "

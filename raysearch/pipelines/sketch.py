@@ -513,3 +513,161 @@ def bloom_vocab_bits_sql(m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K,
         f"unnest(generate_series(0, {k - 1})) AS u(i)) "
         "SELECT DISTINCT CAST(bit AS BIGINT) AS bit FROM p ORDER BY bit"
     )
+
+
+def heavy_hitters_by(ds, key: str = "lang", k: int = HH_K):
+    """Grouped EXACT φ=1/``k`` heavy hitters: per ``key`` group, the
+    terms exceeding a 1/k share of THAT group's token stream —
+    :func:`heavy_hitters` with the pigeonhole argument applied
+    group-wise (a term with in-group share > 1/k must exceed 1/k in
+    at least one block's slice of that group, so the union of
+    per-(block, group) candidates is a superset per group).
+
+    Two bounded passes like the global form: candidates ≤ groups × k
+    per block (union pulled under ``HH_CAND_LIMIT``), then one
+    broadcast of the sorted (group, term) candidate pairs and a
+    ``groupby((key, term))`` verification fold bounded by
+    candidates + groups sentinel rows.  Output ``(key, term, n)``
+    with exact counts, (key, n desc, term) sorted — plain
+    per-group HAVING SQL twin."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def cand_partial(b: pa.Table) -> pa.Table:
+        lexer = _LEXER_CACHE.get("simple")
+        if lexer is None:
+            lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+        parent, codes, uniq = lexer.token_parent_codes(b["text"])
+        if len(codes) == 0:
+            return pa.table(
+                {key: pa.array([], pa.string()),
+                 "term": pa.array([], pa.string())}
+            )
+        keys = b[key].to_numpy(zero_copy_only=False)
+        gvals, ginv = np.unique(keys, return_inverse=True)
+        g = ginv[parent].astype(np.int64)
+        pair = g * np.int64(len(uniq)) + codes
+        upair, cnt = np.unique(pair, return_counts=True)
+        gn = np.bincount(g, minlength=len(gvals)).astype(np.int64)
+        ug = (upair // len(uniq)).astype(np.int64)
+        keep = cnt.astype(np.int64) * k > gn[ug]
+        return pa.table(
+            {
+                key: pa.array(gvals[ug[keep]], pa.string()),
+                "term": pa.array(
+                    uniq[(upair % len(uniq))[keep].astype(np.int64)],
+                    pa.string(),
+                ),
+            }
+        )
+
+    cand = (
+        ds.map_batches(cand_partial, batch_format="pyarrow")
+        .groupby([key, "term"])
+        .count()
+        .to_pandas()
+    )
+    if len(cand) > HH_CAND_LIMIT:
+        raise ValueError(
+            f"grouped heavy-hitter candidate union {len(cand)} exceeds "
+            f"HH_CAND_LIMIT={HH_CAND_LIMIT}; raise k or the cap"
+        )
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "term": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    pairs = np.sort(
+        np.char.add(
+            np.char.add(cand[key].to_numpy(str), "\x00"),
+            cand["term"].to_numpy(str),
+        ).astype(object)
+    )
+    ref = ray.put(pairs)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        lexer = _LEXER_CACHE.get("simple")
+        if lexer is None:
+            lexer = _LEXER_CACHE["simple"] = Lexer("simple")
+        parent, codes, uniq = lexer.token_parent_codes(b["text"])
+        keys = b[key].to_numpy(zero_copy_only=False)
+        out_k, out_t, out_n = [], [], []
+        if len(codes):
+            gvals, ginv = np.unique(keys, return_inverse=True)
+            g = ginv[parent].astype(np.int64)
+            pair = g * np.int64(len(uniq)) + codes
+            upair, cnt = np.unique(pair, return_counts=True)
+            gn = np.bincount(g, minlength=len(gvals)).astype(np.int64)
+            # group total sentinels ("" term never collides)
+            for gi, n in enumerate(gn):
+                if n:
+                    out_k.append(str(gvals[gi]))
+                    out_t.append("")
+                    out_n.append(int(n))
+            ug = (upair // len(uniq)).astype(np.int64)
+            ut = (upair % len(uniq)).astype(np.int64)
+            probe = np.char.add(
+                np.char.add(gvals[ug].astype(str), "\x00"),
+                uniq[ut].astype(str),
+            ).astype(object)
+            pos = np.searchsorted(w, probe)
+            pos[pos >= len(w)] = len(w) - 1
+            hit = w[pos] == probe
+            for i in np.flatnonzero(hit):
+                out_k.append(str(gvals[ug[i]]))
+                out_t.append(str(uniq[ut[i]]))
+                out_n.append(int(cnt[i]))
+        return pa.table(
+            {
+                key: pa.array(out_k, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "n": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+            }
+        )
+
+    folded = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby([key, "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    totals = (
+        folded[folded["term"] == ""].set_index(key)["n"].astype(np.int64)
+    )
+    out = folded[folded["term"] != ""].copy()
+    nv = out["n"].to_numpy(np.int64)
+    tv = totals.loc[out[key]].to_numpy(np.int64)
+    out = out[nv * k > tv]
+    out = out.sort_values(
+        [key, "n", "term"], ascending=[True, False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                key: out[key].astype(str),
+                "term": out["term"].astype(str),
+                "n": out["n"].to_numpy(np.int64),
+            }
+        )
+    )
+
+
+def heavy_hitters_by_sql(key: str = "lang", k: int = HH_K,
+                         table: str = "documents") -> str:
+    """DuckDB twin of :func:`heavy_hitters_by`."""
+    return (
+        f"WITH tok AS (SELECT {key}, t.term FROM (SELECT {key}, "
+        "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+        f"FROM {table}) t WHERE t.term <> ''), "
+        f"c AS (SELECT {key}, term, count(*) AS n FROM tok GROUP BY 1, 2), "
+        f"tot AS (SELECT {key}, count(*) AS total FROM tok GROUP BY 1) "
+        f"SELECT c.{key}, c.term, CAST(c.n AS BIGINT) AS n "
+        f"FROM c JOIN tot USING ({key}) "
+        f"WHERE c.n * {k} > tot.total ORDER BY c.{key}, n DESC, term"
+    )

@@ -307,3 +307,44 @@ def test_bloom_bits_match_duckdb_and_membership(ray_session):
     # empty probe set and empty bit set behave
     assert bloom_contains(bits, []).shape == (0,)
     assert not bloom_contains(np.array([], np.int64), ["x"]).any()
+
+
+def test_heavy_hitters_by_matches_duckdb_and_skew(ray_session):
+    """Grouped exact heavy hitters equal the per-group HAVING twin
+    on sf0.001; a skewed hand-built corpus across blocks pins the
+    group-wise pigeonhole (a term heavy only in one small group is
+    found; the same term diluted in a big group is not)."""
+    import duckdb
+    import ray.data as rd
+
+    from __ray_entry__ import _q_heavy_hitters_by
+    from raysearch.pipelines.sketch import (
+        heavy_hitters_by,
+        heavy_hitters_by_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = _q_heavy_hitters_by(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    orc = con.execute(heavy_hitters_by_sql(key="lang")).fetchdf()
+    assert got[orc.columns].equals(orc)
+    assert len(got) > 0
+    # skew: 'hot' is 3/5 of lang a's stream but only 3/23 of lang b's
+    rows = (
+        [{"lang": "a", "text": "hot hot hot x y"}]
+        + [{"lang": "b", "text": "hot hot hot"}]
+        + [{"lang": "b", "text": f"w{i} z{i}"} for i in range(10)]
+    )
+    out = (
+        heavy_hitters_by(
+            rd.from_items(rows, override_num_blocks=4), key="lang", k=2
+        )
+        .to_pandas()
+        .set_index(["lang", "term"])["n"]
+        .to_dict()
+    )
+    assert out == {("a", "hot"): 3}
