@@ -171,6 +171,17 @@ def _pipeline_bench() -> dict:
         "sft_pairs": E._q_sft_pairs,
         "assistant_share": E._q_assistant_share,
         "conv_curation": E._q_conv_curation,
+        # round-5 final-session additions (new keys — earlier keys
+        # stay comparable)
+        "proximity_search": E._q_proximity_search,
+        "heavy_hitters": E._q_heavy_hitters,
+        "trending_terms": E._q_trending_terms,
+        "active_users": E._q_active_users,
+        "fuzzy_terms": E._q_fuzzy_terms,
+        "bloom_vocab_bits": E._q_bloom_vocab_bits,
+        "resumable_sink": E._q_resumable_sink,
+        "unshipped_revenue": E._q_unshipped_revenue,
+        "returned_revenue": E._q_returned_revenue,
     }
     out = {}
     for name, fn in stages.items():
