@@ -68,6 +68,7 @@ class IndexSearcher:
         warm_top_terms: int = 0,
         lazy_lexicon: bool = False,
     ):
+        self.index_dir = index_dir
         merged = os.path.join(index_dir, "merged")
         with open(os.path.join(merged, "meta.json")) as f:
             self.meta = json.load(f)
@@ -549,6 +550,35 @@ class IndexSearcher:
 
     # -- full response (SearchData analog, dto/search/SearchData.java:6-13) --
 
+    def suggest(self, term: str, max_d: int = 2, limit: int = 5) -> list[dict]:
+        """Did-you-mean candidates over the INDEX lexicon — the
+        serving-side sibling of ``pipelines.textstats.fuzzy_terms``
+        (same ranking: Levenshtein distance asc, df desc, term asc;
+        same admissible length prune; the banded capped DP from
+        ``dedup._lev_capped``).  In lazy-lexicon mode the full
+        lexicon parquet is read ONCE on first use and cached —
+        suggestion is a miss-path feature, not per-query work."""
+        from raysearch.pipelines.dedup import _lev_capped
+
+        q = term.lower()
+        if not self._lex_terms:
+            lex_table = pq.read_table(
+                os.path.join(self.index_dir, "merged", "lexicon.parquet")
+            )
+            self._lex_terms = lex_table["term"].to_pylist()
+            self._lex_df = lex_table["df"].to_numpy()
+        out = []
+        for t, df in zip(self._lex_terms, self._lex_df):
+            if abs(len(t) - len(q)) > max_d:
+                continue
+            d = _lev_capped(q, t, max_d)
+            if d <= max_d:
+                out.append((d, -int(df), t))
+        out.sort()
+        return [
+            {"term": t, "d": d, "df": -ndf} for d, ndf, t in out[:limit]
+        ]
+
     def search_response(
         self,
         query: str,
@@ -556,11 +586,23 @@ class IndexSearcher:
         offset: int = 0,
         scope: str | None = None,
         scorer: str = "bm25",
+        mode: str = "and",
     ) -> dict:
         err = validate_query(query, self.mode)
         if err:
             return {"result": False, "error": err}
-        ids, scores, total = self.search(query, k=offset + k, scope=scope, scorer=scorer)
+        if mode == "or":
+            # disjunctive block-max WAND path; scope/scorer are the
+            # conjunctive path's options (OR is BM25-only by design).
+            # ``count`` is the number of RETURNED rows: WAND prunes
+            # without materializing the full candidate union, so an
+            # exact total would defeat the pruning (documented).
+            ids, scores = self.search_or(query, k=offset + k)
+            total = int(len(ids))
+        else:
+            ids, scores, total = self.search(
+                query, k=offset + k, scope=scope, scorer=scorer
+            )
         ids, scores = ids[offset : offset + k], scores[offset : offset + k]
         docs = self.fetch_docs(ids.tolist()) if len(ids) else pa.table({})
         query_lemmas = self.query_terms(query)

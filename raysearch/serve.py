@@ -17,8 +17,13 @@ API (controllers/ApiController.java:28-52):
 * ``POST /api/indexConv?conv_id=`` → partition-scoped rebuild of the
   conversation (the /api/indexPage analog,
   IndexingServiceImpl.java:137-152, including the out-of-scope error).
-* ``GET  /api/search?query=&offset=&limit=&site=`` → top-k search
-  (``site`` = conv scope, SearchServiceImpl.java:33-54).
+* ``GET  /api/search?query=&offset=&limit=&site=&mode=`` → top-k
+  search (``site`` = conv scope, SearchServiceImpl.java:33-54;
+  ``mode=or`` switches to the disjunctive block-max WAND path —
+  no reference analog, round 5).
+* ``GET  /api/suggest?term=&limit=`` → did-you-mean lexicon
+  candidates for a misspelled query word (no reference analog —
+  the reference returns empty for unknown lemmas; round 5).
 
 The server process itself never calls ``ray.init``: queries are served
 in-process from an :class:`IndexSearcher` (reloaded when the merged
@@ -325,11 +330,25 @@ class EngineServer:
             "result": False, "error": f"rebuild failed (exit {rc})"
         }
 
-    def search(self, query: str, offset: int, limit: int, site: str | None) -> dict:
+    def search(self, query: str, offset: int, limit: int, site: str | None,
+               mode: str = "and") -> dict:
         s = self.get_searcher()
         if s is None:
             return {"result": False, "error": "index not built"}
-        return s.search_response(query, k=limit, offset=offset, scope=site or None)
+        return s.search_response(
+            query, k=limit, offset=offset, scope=site or None,
+            mode="or" if mode == "or" else "and",
+        )
+
+    def suggest(self, term: str, limit: int) -> dict:
+        """Did-you-mean endpoint: close lexicon terms for a
+        misspelled query word (IndexSearcher.suggest ranking)."""
+        s = self.get_searcher()
+        if s is None:
+            return {"result": False, "error": "index not built"}
+        if not term:
+            return {"result": False, "error": "empty term"}
+        return {"result": True, "data": s.suggest(term, limit=limit)}
 
 
 def make_handler(engine: EngineServer):
@@ -385,6 +404,14 @@ def make_handler(engine: EngineServer):
                             self._int_param(q, "offset", 0),
                             self._int_param(q, "limit", 10),
                             q.get("site", [None])[0],
+                            q.get("mode", ["and"])[0],
+                        )
+                    )
+                elif u.path == "/api/suggest":
+                    self._send(
+                        engine.suggest(
+                            q.get("term", [""])[0],
+                            self._int_param(q, "limit", 5),
                         )
                     )
                 else:

@@ -318,3 +318,32 @@ def test_conv_lemma_counts_sidecar(built, oracle):
             want[conv] += 1
     exp = np.array([want[c] for c in conv_ids], dtype=np.int64)
     assert np.array_equal(got, exp)
+
+
+def test_suggest_eager_and_lazy_identical(built, searcher):
+    """IndexSearcher.suggest ranks (d, df desc, term) and returns the
+    identical list from an eager and a lazy-lexicon searcher (the
+    lazy path loads the lexicon parquet once on first use)."""
+    from raysearch.search import IndexSearcher
+
+    term = searcher._lex_terms[5]
+    missp = term + "q"
+    eager = searcher.suggest(missp, max_d=2, limit=5)
+    assert any(d["term"] == term for d in eager)
+    ds = [d["d"] for d in eager]
+    assert ds == sorted(ds)
+    lazy = IndexSearcher(built[1], lazy_lexicon=True).suggest(
+        missp, max_d=2, limit=5
+    )
+    assert eager == lazy
+
+
+def test_search_response_or_mode(searcher, oracle):
+    """mode='or' routes through search_or: multi-term responses rank
+    by the disjunctive scores and count equals returned rows."""
+    q = f"{searcher._lex_terms[5]} {searcher._lex_terms[9]}"
+    resp = searcher.search_response(q, k=5, mode="or")
+    assert resp["result"] is True
+    ids, scores = searcher.search_or(q, k=5)
+    assert [d["doc_id"] for d in resp["data"]] == list(ids)
+    assert resp["count"] == len(resp["data"])

@@ -171,3 +171,34 @@ def test_dashboard_page_served(server):
     for marker in ("/api/statistics", "/api/startIndexing", "/api/search",
                    "Dashboard", "Management", "Search"):
         assert marker in html
+
+
+def test_or_mode_and_suggest_routes(server):
+    """mode=or returns the WAND disjunctive ranking (superset-or-equal
+    of the AND results for a multi-term query, equal for one term);
+    /api/suggest returns lexicon candidates ranked (d, df desc, term)
+    and errors structurally on an empty term."""
+    from raysearch.search import IndexSearcher
+
+    engine, port, index = server
+    s = IndexSearcher(index)
+    q = LEMMAS[10]
+    got_or = _get(port, f"/api/search?query={urllib.parse.quote(q)}&limit=5&mode=or")
+    assert got_or["result"] is True
+    ids_or, _ = s.search_or(q, k=5)
+    assert [d["doc_id"] for d in got_or["data"]] == list(ids_or[:5])
+    # single-term queries coincide across modes
+    got_and = _get(port, f"/api/search?query={urllib.parse.quote(q)}&limit=5")
+    assert [d["doc_id"] for d in got_or["data"]] == [
+        d["doc_id"] for d in got_and["data"]
+    ]
+    # suggest: misspell a known lemma by dropping its last char
+    term = LEMMAS[10]
+    missp = term[:-1] + "zz"
+    sug = _get(port, f"/api/suggest?term={urllib.parse.quote(missp)}")
+    assert sug["result"] is True
+    assert any(d["term"] == term for d in sug["data"])
+    ds = [d["d"] for d in sug["data"]]
+    assert ds == sorted(ds)
+    bad = _get(port, "/api/suggest?term=")
+    assert bad["result"] is False
